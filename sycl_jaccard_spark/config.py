@@ -1,0 +1,66 @@
+"""Pipeline configuration.
+
+Mirrors the reference's compile-time/env-var knobs (``main.cpp:40-61``
+``selectImplementation``, ``Makefile:33`` type selection) as one dataclass.
+All randomness is seeded — the reference's kernels are deterministic and we
+keep that property (SURVEY.md §7.2 determinism).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- shingling ---
+    shingle_k: int = 5              # tokens per shingle (k-gram)
+    shingle_mode: str = "token"     # "token" | "char"
+    char_shingle_k: int = 20        # chars per shingle in char mode
+
+    # --- MinHash ---
+    num_perms: int = 128
+    bands: int = 32
+    rows_per_band: int = 4          # bands * rows_per_band == num_perms
+    seed: int = 42
+    # (a*x + b) % P with P = 2^31-1, a,b < P over 31-bit lanes: every
+    # intermediate < 2^62, exactly representable in int64 on NumPy, Spark SQL
+    # BIGINT and DuckDB BIGINT alike -> bit-identical oracles, and the product
+    # wraps mod P ~2^31 times (min-wise mixing).
+    mersenne_prime: int = (1 << 31) - 1
+
+    # --- SimHash ---
+    simhash_bits: int = 64
+    simhash_bands: int = 4          # 4 x 16-bit bands => catches Hamming<=3
+    simhash_max_hamming: int = 3
+
+    # --- candidate generation / skew control (SURVEY.md §7.2) ---
+    bucket_cap: int = 64            # max docs per LSH bucket before capping
+    salt_buckets: int = 8           # salt fan-out for degenerate buckets
+
+    # --- verification ---
+    verify_threshold: float = 0.7   # J >= threshold => duplicate pair
+    nonzero_threshold: float = 1e-5  # reference EC epilogue (jaccard.cpp:811-819)
+
+    # --- connected components ---
+    max_cc_iterations: int = 50
+    checkpoint_every: int = 3
+
+    # --- substring (suffix-array analog) pass ---
+    substring_len: int = 40         # sampled char-gram length
+    substring_stride: int = 17      # sampling stride (co-prime with typical line lengths)
+
+    # --- execution ---
+    shuffle_partitions: int = 32
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perms:
+            raise ValueError("bands * rows_per_band must equal num_perms")
+
+    @property
+    def lsh_threshold(self) -> float:
+        """Approximate LSH S-curve threshold (1/b)^(1/r)."""
+        return (1.0 / self.bands) ** (1.0 / self.rows_per_band)
+
+
+DEFAULT = PipelineConfig()

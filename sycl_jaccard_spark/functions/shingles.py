@@ -1,0 +1,92 @@
+"""Tokenization + k-shingling as pure JVM-side column expressions.
+
+The reference's "neighbor set of a vertex" (``standalone_csr.hpp:73-84``)
+becomes "shingle set of a document". Everything here stays inside
+whole-stage codegen — no Python on the hot path.
+
+Two hash families:
+
+* ``xxhash64`` — the scale path (fast, JVM built-in).
+* ``md5_long`` — the *portable* path: the identical value is computable in
+  DuckDB as ``('0x' || substr(md5(x),1,15))::BIGINT``, which is what lets the
+  driver's DuckDB oracle replay MinHash/LSH bit-for-bit (SURVEY.md §5's
+  compareCoords analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WHITESPACE = r"\s+"
+
+
+def md5_long(col: Column | str) -> Column:
+    """60-bit integer hash portable between Spark and DuckDB.
+
+    Spark:  conv(substring(md5(x), 1, 15), 16, 10)::long
+    DuckDB: ('0x' || substr(md5(x), 1, 15))::BIGINT
+    15 hex digits = 60 bits < 2^63: no sign ambiguity in either engine.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def tokens(text: Column | str, lowercase: bool = False) -> Column:
+    """Whitespace tokenization; empties removed (split on regex keeps no empty
+    trailing fields but can keep a leading one for texts starting with space).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        c = F.lower(c)
+    return F.filter(F.split(F.trim(c), WHITESPACE), lambda t: t != F.lit(""))
+
+
+def shingles(toks: Column, k: int) -> Column:
+    """Distinct, sorted k-token shingle strings (space-joined).
+
+    Sortedness mirrors the reference's sorted-adjacency invariant
+    (``jaccard.cpp:353`` "column indices are sorted within each row") and
+    makes downstream intersection deterministic. Documents shorter than k
+    tokens contribute their whole token string as a single shingle, so every
+    non-empty document has a non-empty set (a vertex with an empty neighbor
+    set would never appear in any pair anyway).
+    """
+    whole = F.array(F.concat_ws(" ", toks))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return F.array_sort(
+        F.array_distinct(F.when(F.size(toks) >= k, grams).otherwise(whole))
+    )
+
+
+def shingle_hashes(shingle_strs: Column, portable: bool = False) -> Column:
+    """Hash each shingle string to int64; distinct + sorted (set semantics).
+
+    ``portable=True`` uses :func:`md5_long` (DuckDB-replayable); default is
+    ``xxhash64`` (seed 42, Spark's default) for the scale path.
+    """
+    if portable:
+        hash_one = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")  # noqa: E731
+    else:
+        hash_one = F.xxhash64
+    return F.array_sort(F.array_distinct(F.transform(shingle_strs, hash_one)))
+
+
+def char_shingle_hashes(text: Column, k: int, stride: int = 1, portable: bool = False) -> Column:
+    """Hashed character k-grams sampled every ``stride`` chars.
+
+    With ``stride > 1`` this is the sampled-substring candidate pass
+    (SURVEY.md §7 step 8 — the suffix-array analog): two documents sharing
+    any sampled k-char window become a candidate pair.
+    """
+    n = F.length(text)
+    starts = F.when(
+        n >= k,
+        F.sequence(F.lit(1), n - k + 1, F.lit(stride)),
+    ).otherwise(F.array(F.lit(1)))
+    grams = F.transform(starts, lambda i: text.substr(i, F.lit(k)))
+    hash_one = (lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")) if portable else F.xxhash64
+    return F.array_sort(F.array_distinct(F.transform(grams, hash_one)))

@@ -1,0 +1,22 @@
+from sycl_jaccard_spark.operators.normalize import (
+    canonical_pairs,
+    dedup_edges,
+    drop_self_loops,
+    invert_direction,
+    symmetrize,
+)
+from sycl_jaccard_spark.operators.rowsum import degrees, volumes
+from sycl_jaccard_spark.operators.graph_jaccard import jaccard_all_edges
+from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs
+
+__all__ = [
+    "invert_direction",
+    "symmetrize",
+    "canonical_pairs",
+    "drop_self_loops",
+    "dedup_edges",
+    "degrees",
+    "volumes",
+    "jaccard_all_edges",
+    "jaccard_pairs",
+]

@@ -1,0 +1,129 @@
+"""Unit tests for functions/: shingles, portable hash, jaccard exprs,
+minhash, simhash, textstats."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sycl_jaccard_spark.functions.jaccard import jaccard_of_arrays
+from sycl_jaccard_spark.functions.minhash import MERSENNE, make_perms, minhash_batch, minhash_udf
+from sycl_jaccard_spark.functions.shingles import md5_long, shingle_hashes, shingles, tokens
+from sycl_jaccard_spark.functions.simhash import simhash_batch
+from sycl_jaccard_spark.functions import textstats
+
+
+def py_md5_long(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def py_shingles(text: str, k: int) -> set[str]:
+    toks = text.split()
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_md5_long_matches_python(spark):
+    rows = [("hello world",), ("",), ("ünïcode ok",)]
+    df = spark.createDataFrame(rows, ["t"])
+    got = {r.t: r.h for r in df.select("t", md5_long("t").alias("h")).collect()}
+    for (t,) in rows:
+        assert got[t] == py_md5_long(t)
+
+
+def test_shingles_match_python_oracle(spark):
+    texts = [
+        "a b c d e f g",
+        "a a a a a",
+        "one two",          # shorter than k
+        "  padded   spacing\tweird  ",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], ["t"])
+    out = df.select("t", shingles(tokens(F.col("t")), 3).alias("sh")).collect()
+    for row in out:
+        expect = py_shingles(" ".join(row.t.split()), 3)
+        assert set(row.sh) == expect
+        assert row.sh == sorted(set(row.sh))  # sorted, distinct
+
+
+def test_shingle_hashes_portable(spark):
+    df = spark.createDataFrame([("x y z w v",)], ["t"])
+    row = df.select(
+        shingle_hashes(shingles(tokens(F.col("t")), 3), portable=True).alias("h")
+    ).collect()[0]
+    expect = sorted({py_md5_long(s) for s in py_shingles("x y z w v", 3)})
+    assert row.h == expect
+
+
+def test_jaccard_of_arrays_k6_semantics(spark):
+    df = spark.createDataFrame(
+        [(list("abcd"), list("cdef")), (list("ab"), list("ab")), (["x"], ["y"])],
+        ["a", "b"],
+    )
+    got = [r.j for r in df.select(jaccard_of_arrays(F.col("a"), F.col("b")).alias("j")).collect()]
+    # |{c,d}| / (4+4-2) = 2/6
+    assert got[0] == pytest.approx(2 / 6, abs=1e-12)
+    assert got[1] == 1.0
+    assert got[2] == 0.0
+
+
+def test_minhash_deterministic_and_bounded():
+    a, b = make_perms(16, seed=42)
+    sig1 = minhash_batch(pd.Series([[1, 2, 3], []]), a, b)
+    sig2 = minhash_batch(pd.Series([[1, 2, 3], []]), a, b)
+    assert list(sig1[0]) == list(sig2[0])
+    assert all(0 <= v < MERSENNE for v in sig1[0])
+    assert list(sig1[1]) == [MERSENNE] * 16  # empty set sentinel
+
+
+def test_minhash_estimates_jaccard():
+    """MinHash collision rate ≈ exact Jaccard (statistical, fixed seed)."""
+    a, b = make_perms(256, seed=42)
+    rng = np.random.default_rng(7)
+    s1 = set(rng.integers(0, 1 << 32, 300).tolist())
+    s2 = set(list(s1)[:200]) | set(rng.integers(0, 1 << 32, 100).tolist())
+    sigs = minhash_batch(pd.Series([list(s1), list(s2)]), a, b)
+    est = np.mean(np.array(sigs[0]) == np.array(sigs[1]))
+    exact = len(s1 & s2) / len(s1 | s2)
+    assert abs(est - exact) < 0.1
+
+
+def test_minhash_udf_in_spark(spark):
+    df = spark.createDataFrame([(1, [10, 20, 30]), (2, [10, 20, 30]), (3, [99])], ["id", "h"])
+    out = df.select("id", minhash_udf(32, 42)(F.col("h")).alias("sig")).collect()
+    by_id = {r.id: r.sig for r in out}
+    assert by_id[1] == by_id[2]
+    assert by_id[1] != by_id[3]
+    a, b = make_perms(32, 42)
+    assert by_id[1] == list(minhash_batch(pd.Series([[10, 20, 30]]), a, b)[0])
+
+
+def test_simhash_similarity_property():
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 1 << 63, 200).tolist()
+    near = base[:-5] + rng.integers(0, 1 << 63, 5).tolist()
+    far = rng.integers(0, 1 << 63, 200).tolist()
+    h = simhash_batch(pd.Series([base, near, far]))
+    d_near = bin((int(h[0]) ^ int(h[1])) & ((1 << 64) - 1)).count("1")
+    d_far = bin((int(h[0]) ^ int(h[2])) & ((1 << 64) - 1)).count("1")
+    assert d_near < d_far
+
+
+def test_textstats_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame([("a b c",), ("c b a",), ("a b c",)], ["t"])
+    fps = [r.fp for r in df.select(textstats.fingerprint(F.col("t")).alias("fp")).collect()]
+    assert fps[0] == fps[2]
+    assert fps[0] != fps[1]
+
+
+def test_lang_id_votes(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog is here",), ("el que de la los y en",), ("zzz qqq",)], ["t"]
+    )
+    out = [r.l for r in df.select(textstats.lang_id(F.col("t")).alias("l")).collect()]
+    assert out == ["en", "es", "und"]

@@ -1,0 +1,157 @@
+"""Graph-operator tests: N1-N5, K3, K4-K6 (both impls), K9 — replayed against
+a pure-Python oracle with 1e-9 tolerance (the compareCoords methodology,
+/root/reference/compareCoords.cpp:217-227) on hand-built + random graphs.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from sycl_jaccard_spark.operators.graph_jaccard import jaccard_all_edges, nonzero_pair_count
+from sycl_jaccard_spark.operators.normalize import (
+    canonical_pairs,
+    dedup_edges,
+    drop_self_loops,
+    invert_direction,
+    symmetrize,
+)
+from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs
+from sycl_jaccard_spark.operators.rowsum import degrees, volumes
+
+TOL = 1e-9
+
+# hand-built graphs (undirected, as canonical pair lists) — FIXTURES.md §2
+TRIANGLE = [(0, 1), (1, 2), (0, 2)]
+STAR = [(0, i) for i in range(1, 6)]
+PATH = [(i, i + 1) for i in range(5)]
+CLIQUE4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+TWO_PAIRS = [(0, 1), (2, 3)]
+
+
+def py_jaccard_edges(undirected_pairs):
+    """Oracle: per directed edge, J of neighbor sets."""
+    nbrs: dict[int, set[int]] = {}
+    for a, b in undirected_pairs:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    out = {}
+    for a, b in undirected_pairs:
+        for u, v in ((a, b), (b, a)):
+            inter = len(nbrs[u] & nbrs[v])
+            union = len(nbrs[u]) + len(nbrs[v]) - inter
+            out[(u, v)] = inter / union if union else None
+    return out
+
+
+def sym_edges_df(spark, pairs):
+    df = spark.createDataFrame(pairs, ["src", "dst"])
+    return symmetrize(df)
+
+
+@pytest.mark.parametrize("pairs", [TRIANGLE, STAR, PATH, CLIQUE4, TWO_PAIRS])
+@pytest.mark.parametrize("impl", ["arrays", "exploded"])
+def test_jaccard_all_edges_vs_oracle(spark, pairs, impl):
+    edges = sym_edges_df(spark, pairs)
+    got = {(r.src, r.dst): r.jaccard for r in jaccard_all_edges(edges, impl=impl).collect()}
+    expect = py_jaccard_edges(pairs)
+    assert set(got) == set(expect)  # zero missing / zero added (compareCoords)
+    for k, v in expect.items():
+        assert got[k] == pytest.approx(v, abs=TOL), k
+
+
+def test_jaccard_random_graph_dual_impl_consistency(spark):
+    """EC-vs-VC analog (run_proteus.sh): both impls identical on G(n,p)."""
+    rng = random.Random(42)
+    n = 60
+    pairs = [(a, b) for a in range(n) for b in range(a + 1, n) if rng.random() < 0.1]
+    edges = sym_edges_df(spark, pairs)
+    a = {(r.src, r.dst): r.jaccard for r in jaccard_all_edges(edges, impl="arrays").collect()}
+    b = {(r.src, r.dst): r.jaccard for r in jaccard_all_edges(edges, impl="exploded").collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=0)  # bit-identical
+    expect = py_jaccard_edges(pairs)
+    for k, v in expect.items():
+        assert a[k] == pytest.approx(v, abs=TOL)
+
+
+def test_weighted_jaccard_vs_oracle(spark):
+    """Weighted J = Wi/(vol_a+vol_b-Wi) with per-vertex weights
+    (standalone_algorithms.hpp:52-69)."""
+    pairs = CLIQUE4 + [(3, 4), (4, 5)]
+    w = {v: 1.0 + 0.5 * v for v in range(6)}
+    edges = sym_edges_df(spark, pairs)
+    wdf = spark.createDataFrame([(v, wv) for v, wv in w.items()], ["vertex", "w"])
+    got = {(r.src, r.dst): r.jaccard for r in jaccard_all_edges(edges, vertex_weights=wdf).collect()}
+
+    nbrs: dict[int, set[int]] = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    for a, b in pairs:
+        for u, v in ((a, b), (b, a)):
+            wi = sum(w[x] for x in nbrs[u] & nbrs[v])
+            ws = sum(w[x] for x in nbrs[u]) + sum(w[x] for x in nbrs[v])
+            expect = wi / (ws - wi)
+            assert got[(u, v)] == pytest.approx(expect, abs=TOL), (u, v)
+
+
+def test_jaccard_pairs_explicit_list(spark):
+    """jaccard_list semantics (standalone_algorithms.hpp:109-133): explicit
+    candidate pairs over items with set columns, both impls."""
+    items = [
+        (1, [1, 2, 3, 4]),
+        (2, [3, 4, 5, 6]),
+        (3, [1, 2, 3, 4]),
+        (4, [100]),
+    ]
+    cand = [(1, 2), (1, 3), (1, 4), (2, 3)]
+    items_df = spark.createDataFrame(items, ["id", "set"])
+    pairs_df = spark.createDataFrame(cand, ["a", "b"])
+    expect = {}
+    sets = {i: set(s) for i, s in items}
+    for a, b in cand:
+        inter = len(sets[a] & sets[b])
+        expect[(a, b)] = inter / (len(sets[a]) + len(sets[b]) - inter)
+    for impl in ("arrays", "exploded"):
+        got = {(r.a, r.b): r.jaccard for r in jaccard_pairs(items_df, pairs_df, impl=impl).collect()}
+        assert set(got) == set(expect)
+        for k in expect:
+            assert got[k] == pytest.approx(expect[k], abs=TOL), (impl, k)
+
+
+def test_normalize_ops(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 1), (3, 4), (3, 4), (4, 3), (5, 6)], ["src", "dst"]
+    )
+    assert {(r.src, r.dst) for r in invert_direction(edges).collect()} == {
+        (2, 1), (1, 2), (1, 1), (4, 3), (3, 4), (6, 5)
+    }
+    sym = {(r.src, r.dst) for r in symmetrize(edges).collect()}
+    assert sym == {(1, 2), (2, 1), (1, 1), (3, 4), (4, 3), (5, 6), (6, 5)}
+    canon = {(r.src, r.dst) for r in canonical_pairs(edges).collect()}
+    assert canon == {(1, 2), (3, 4), (5, 6)}
+    assert (1, 1) not in {(r.src, r.dst) for r in drop_self_loops(edges).collect()}
+    assert dedup_edges(edges).count() == 6  # (3,4) dup collapsed
+
+
+def test_rowsum_k3(spark):
+    edges = sym_edges_df(spark, STAR)
+    deg = {r.vertex: r.degree for r in degrees(edges).collect()}
+    assert deg[0] == 5 and all(deg[i] == 1 for i in range(1, 6))
+    wdf = spark.createDataFrame([(v, float(v + 1)) for v in range(6)], ["vertex", "w"])
+    vol = {r.vertex: r.volume for r in volumes(edges, wdf).collect()}
+    assert vol[0] == pytest.approx(sum(range(2, 7)), abs=TOL)
+    assert vol[3] == pytest.approx(1.0, abs=TOL)
+
+
+def test_nonzero_pair_count_k9(spark):
+    edges = sym_edges_df(spark, PATH)
+    scored = jaccard_all_edges(edges)
+    n = nonzero_pair_count(scored, 1e-5)
+    expect = sum(1 for v in py_jaccard_edges(PATH).values() if v and v > 1e-5)
+    assert n == expect
