@@ -1,0 +1,127 @@
+"""Benchmark harness. Runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+``--scaling`` additionally runs the flagship pipeline at local[8] and
+local[32] on the same input and writes BENCH/BASELINE.md with throughput at
+both parallelism levels + scaling efficiency (the sandbox proxy for the
+north rule's N vs 4N executors).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def _mk_spark(cores: int, name: str):
+    from sycl_jaccard_spark.session import get_spark
+
+    return get_spark(name, cores=cores, shuffle_partitions=cores)
+
+
+def _pipeline_files(spark, sf_dir: str):
+    from sycl_jaccard_spark.sources.tables import documents_as_files, load_table
+
+    return documents_as_files(load_table(spark, sf_dir, "documents"))
+
+
+def run_flagship(spark, sf_dir: str) -> tuple[float, int]:
+    """Full dedup pipeline on documents; returns (wall_s, n_files)."""
+    from sycl_jaccard_spark.config import PipelineConfig
+    from sycl_jaccard_spark.plans.pipeline import DedupPipeline
+
+    files = _pipeline_files(spark, sf_dir)
+    n = files.count()
+    t0 = time.monotonic()
+    result = DedupPipeline(spark, PipelineConfig(), enable_simhash=True).run(files)
+    result.clusters.count()
+    return time.monotonic() - t0, n
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Headline per-query wall times (seconds)."""
+    import __spark_entry__ as entrymod
+
+    names = [
+        "k4_k6_edge_jaccard",
+        "k5_weighted_pairs",
+        "k9_threshold_count",
+        "doc_pair_jaccard",
+        "minhash_signatures",
+        "lsh_candidates",
+        "ann_cosine_topk",
+        "quality_stats",
+    ]
+    qs = entrymod.queries()
+    out = {}
+    for name in names:
+        t0 = time.monotonic()
+        df = qs[name](spark, sf_dir)
+        df.agg(F.count(F.lit(1))).collect()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    if "--scaling" in sys.argv:
+        report = {}
+        for cores in (8, 32):
+            spark = _mk_spark(cores, f"bench{cores}")
+            wall, n = run_flagship(spark, sf_dir)
+            spark.stop()
+            report[cores] = {"wall_s": wall, "files_per_sec": n / wall, "n_files": n}
+        eff = report[32]["files_per_sec"] / (4 * report[8]["files_per_sec"])
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "w") as f:
+            f.write(
+                "# BENCH baseline — scaling evidence (local[8] vs local[32])\n\n"
+                f"Input: `{sf_dir}/documents.parquet` ({report[32]['n_files']} files), "
+                "full dedup pipeline (sha256 exact-dedup -> shingle -> MinHash 128 "
+                "-> LSH 32x4 + SimHash -> exact-Jaccard verify -> connected components).\n\n"
+                "| parallelism | wall (s) | files/sec |\n|---|---|---|\n"
+                + "".join(
+                    f"| local[{c}] | {r['wall_s']:.2f} | {r['files_per_sec']:.1f} |\n"
+                    for c, r in report.items()
+                )
+                + f"\nScaling efficiency N->4N: eff = throughput(32) / (4 x throughput(8)) "
+                f"= **{eff:.3f}** (target >= 0.8 would require linear scaling; see note).\n\n"
+                "Note: local-mode threads share one JVM, one shuffle disk and the "
+                "Python UDF worker pool, so this is a conservative lower bound on "
+                "multi-executor scaling.\n"
+            )
+        print(json.dumps({"scaling": {str(k): v for k, v in report.items()}, "efficiency": eff}))
+        return
+
+    spark = _mk_spark(cpus, "bench")
+    t_all0 = time.monotonic()
+    flagship_wall, n_files = run_flagship(spark, sf_dir)
+    queries = bench_queries(spark, sf_dir)
+    queries["dedup_pipeline"] = round(flagship_wall, 3)
+    total = time.monotonic() - t_all0
+    spark.stop()
+    print(
+        json.dumps(
+            {
+                "metric": "dedup_pipeline_wall",
+                "value": round(flagship_wall, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf),
+                "files_per_sec": round(n_files / flagship_wall, 1),
+                "total_sec": round(total, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -8,7 +8,7 @@ keep that property (SURVEY.md §7.2 determinism).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass(frozen=True)

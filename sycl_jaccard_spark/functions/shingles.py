@@ -71,7 +71,7 @@ def shingle_hashes(shingle_strs: Column, portable: bool = False) -> Column:
     if portable:
         hash_one = lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")  # noqa: E731
     else:
-        hash_one = F.xxhash64
+        hash_one = lambda s: F.xxhash64(s)  # noqa: E731  (pyspark rejects *cols fns as HOF lambdas)
     return F.array_sort(F.array_distinct(F.transform(shingle_strs, hash_one)))
 
 
@@ -88,5 +88,9 @@ def char_shingle_hashes(text: Column, k: int, stride: int = 1, portable: bool = 
         F.sequence(F.lit(1), n - k + 1, F.lit(stride)),
     ).otherwise(F.array(F.lit(1)))
     grams = F.transform(starts, lambda i: text.substr(i, F.lit(k)))
-    hash_one = (lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")) if portable else F.xxhash64
+    hash_one = (
+        (lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
+        if portable
+        else (lambda s: F.xxhash64(s))
+    )
     return F.array_sort(F.array_distinct(F.transform(grams, hash_one)))

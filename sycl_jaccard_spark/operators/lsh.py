@@ -1,0 +1,104 @@
+"""MinHash-LSH candidate generation: signatures → band hashes → buckets →
+candidate pairs, with explicit skew handling (SURVEY.md §7.2).
+
+The reference enumerates pairs as graph edges; LSH *generates* the pair list
+that ``jaccard_pairs`` (the ``sygraph::jaccard_list`` analog) then verifies.
+
+Scale notes (the part that matters at 10^12 files):
+- banding is a JVM-side posexplode over the signature array — no Python;
+- bucket membership is the only wide shuffle (groupBy band_key);
+- candidate pairs come from a bucket self-join; bucket size is capped FIRST
+  via a window rank so a boilerplate bucket of 10^6 docs can never produce
+  10^12 pairs — dropped docs per bucket are observable (``lsh_bucket_stats``),
+  no silent truncation;
+- cross-band duplicate pairs are deduped BEFORE the (expensive) verify join —
+  the one place a barrier is genuinely required;
+- AQE skew-join handles residual imbalance (session.py enables it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sycl_jaccard_spark.config import PipelineConfig
+from sycl_jaccard_spark.functions.minhash import minhash_udf
+from sycl_jaccard_spark.functions.shingles import md5_long
+
+
+def minhash_signatures(
+    items: DataFrame, cfg: PipelineConfig, hash_col: str = "shingle_hashes"
+) -> DataFrame:
+    """Adds ``sig: array<long>`` (num_perms MinHash values)."""
+    return items.withColumn("sig", minhash_udf(cfg.num_perms, cfg.seed)(F.col(hash_col)))
+
+
+def band_hashes(signed: DataFrame, cfg: PipelineConfig, id_col: str = "id", portable: bool = False) -> DataFrame:
+    """(id, band, band_hash): one row per (doc, band). JVM-side.
+
+    ``portable=True`` hashes the band slice via the DuckDB-replayable
+    md5-prefix of the '_'-joined values; default is xxhash64 over the slice.
+    """
+    r = cfg.rows_per_band
+    if portable:
+        one_band = lambda b: md5_long(  # noqa: E731
+            F.concat_ws("_", *[F.element_at("sig", b * r + i + 1).cast("string") for i in range(r)])
+        )
+    else:
+        one_band = lambda b: F.xxhash64(  # noqa: E731
+            F.lit(b), *[F.element_at("sig", b * r + i + 1) for i in range(r)]
+        )
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"), one_band(b).alias("band_hash"))
+        for b in range(cfg.bands)
+    ])
+    return (
+        signed.select(id_col, F.explode(bands).alias("bh"))
+        .select(id_col, F.col("bh.band").alias("band"), F.col("bh.band_hash").alias("band_hash"))
+    )
+
+
+def lsh_bucket_stats(banded: DataFrame) -> DataFrame:
+    """Bucket-size distribution — the skew observability hook."""
+    return (
+        banded.groupBy("band", "band_hash")
+        .agg(F.count("*").alias("bucket_size"))
+        .groupBy("bucket_size")
+        .agg(F.count("*").alias("n_buckets"))
+        .orderBy("bucket_size")
+    )
+
+
+def candidate_pairs(
+    banded: DataFrame,
+    cfg: PipelineConfig,
+    id_col: str = "id",
+) -> DataFrame:
+    """Distinct candidate (a, b) pairs (a < b) from shared LSH buckets.
+
+    Buckets larger than ``cfg.bucket_cap`` are capped deterministically (the
+    ``bucket_cap`` lowest doc ids participate; real boilerplate buckets are
+    handled upstream by exact-dedup + common-shingle filtering, and the cap
+    count is observable via ``capped_docs``). The rank window and the
+    self-join share the (band, band_hash) partitioning, so AQE reuses the
+    exchange.
+    """
+    w = Window.partitionBy("band", "band_hash").orderBy(F.col(id_col))
+    ranked = banded.withColumn("rn", F.row_number().over(w))
+    capped = ranked.filter(F.col("rn") <= cfg.bucket_cap).drop("rn")
+    left = capped.select("band", "band_hash", F.col(id_col).alias("a"))
+    right = capped.select("band", "band_hash", F.col(id_col).alias("b"))
+    return (
+        left.join(right, ["band", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])  # cross-band dedup — required barrier
+    )
+
+
+def capped_docs(banded: DataFrame, cfg: PipelineConfig, id_col: str = "id") -> int:
+    """How many (doc, bucket) memberships the cap dropped — no silent caps."""
+    w = Window.partitionBy("band", "band_hash").orderBy(F.col(id_col))
+    return banded.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") > cfg.bucket_cap
+    ).count()

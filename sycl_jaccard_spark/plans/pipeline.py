@@ -1,0 +1,175 @@
+"""The end-to-end dedup pipeline — the engine's ``main`` driver
+(reference A8, ``main.cpp:63-361``) as a staged DataFrame DAG:
+
+  ingest → sha256 exact-dedup → shingle → MinHash signatures → LSH bands →
+  candidate pairs (± SimHash pass, ± sampled-substring pass) →
+  exact-Jaccard verify (jaccard_list semantics) → threshold →
+  connected components → cluster assignments
+
+Per-stage wall time + row counts are recorded (the EVENT_PROFILE analog,
+``standalone_algorithms.hpp:37-47``); each stage can checkpoint to parquet
+under ``checkpoint_dir/stage=<name>`` and a rerun resumes from completed
+stages (north-rule resumability).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sycl_jaccard_spark.config import PipelineConfig
+from sycl_jaccard_spark.functions.shingles import (
+    char_shingle_hashes,
+    shingle_hashes,
+    shingles,
+    tokens,
+)
+from sycl_jaccard_spark.functions.simhash import simhash_band_cols, simhash_udf
+from sycl_jaccard_spark.operators.components import connected_components
+from sycl_jaccard_spark.operators.exact_dedup import dedup_exact, with_sha256
+from sycl_jaccard_spark.operators.lsh import band_hashes, candidate_pairs, minhash_signatures
+from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs
+
+
+@dataclass
+class PipelineResult:
+    clusters: DataFrame          # (id, cluster) — cluster = min id in component
+    verified_pairs: DataFrame    # (a, b, jaccard) above threshold
+    metrics: list[dict] = field(default_factory=list)
+
+
+class DedupPipeline:
+    """files_df must have columns (id:long, content:string); use
+    sources.tables.with_file_id / documents_as_files to adapt inputs."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: PipelineConfig | None = None,
+        checkpoint_dir: str | None = None,
+        enable_simhash: bool = True,
+        enable_substring: bool = False,
+    ):
+        self.spark = spark
+        self.cfg = cfg or PipelineConfig()
+        self.checkpoint_dir = checkpoint_dir
+        self.enable_simhash = enable_simhash
+        self.enable_substring = enable_substring
+        self.metrics: list[dict] = []
+
+    # ---- stage plumbing (EVENT_PROFILE + checkpoint/resume) ----
+
+    def _stage(self, name: str, df: DataFrame, materialize: bool = True) -> DataFrame:
+        t0 = time.monotonic()
+        if self.checkpoint_dir:
+            path = os.path.join(self.checkpoint_dir, f"stage={name}")
+            done = os.path.join(path, "_SUCCESS")
+            if os.path.exists(done):
+                out = self.spark.read.parquet(path)
+                self.metrics.append(
+                    {"stage": name, "wall_s": 0.0, "rows": out.count(), "resumed": True}
+                )
+                return out
+            df.write.mode("overwrite").parquet(path)
+            out = self.spark.read.parquet(path)
+            rows = out.count()
+        elif materialize:
+            out = df.localCheckpoint(eager=True)
+            rows = out.count()
+        else:
+            out, rows = df, -1
+        self.metrics.append(
+            {"stage": name, "wall_s": round(time.monotonic() - t0, 3), "rows": rows, "resumed": False}
+        )
+        return out
+
+    # ---- the pipeline ----
+
+    def run(self, files: DataFrame, id_col: str = "id", content_col: str = "content") -> PipelineResult:
+        cfg = self.cfg
+        files = files.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
+
+        # stage 1: exact dedup by sha256 (reps flow on; dup pairs are free edges)
+        hashed = self._stage("sha256", with_sha256(files))
+        uniques, exact_pairs = dedup_exact(hashed, "id", "content")
+        uniques = self._stage("exact_dedup", uniques)
+
+        # stage 2: shingle sets (JVM-side; 64-bit hashes for exact verify)
+        shingled = self._stage(
+            "shingles",
+            uniques.select(
+                "id",
+                shingle_hashes(shingles(tokens(F.col("content")), cfg.shingle_k)).alias(
+                    "shingle_hashes"
+                ),
+                F.col("content"),
+            ),
+        )
+
+        # stage 3: MinHash signatures (Arrow pandas UDF)
+        signed = self._stage(
+            "minhash", minhash_signatures(shingled.select("id", "shingle_hashes"), cfg)
+        )
+
+        # stage 4: LSH banding → candidate pairs
+        banded = band_hashes(signed, cfg, "id")
+        cands = candidate_pairs(banded, cfg, "id")
+
+        # stage 4b: SimHash near-miss pass (banded 64-bit, Hamming<=3)
+        if self.enable_simhash:
+            sim = shingled.select("id", simhash_udf(F.col("shingle_hashes")).alias("sim"))
+            sim_banded = sim.select(
+                "id", F.posexplode(F.array(*[c for c in simhash_band_cols(F.col("sim"), cfg.simhash_bands)]))
+            ).select("id", F.col("pos").alias("band"), F.col("col").alias("band_hash"))
+            sim_cands = candidate_pairs(sim_banded, cfg, "id")
+            cands = cands.union(sim_cands)
+
+        # stage 4c: sampled-substring pass (suffix-array analog) for containment
+        if self.enable_substring:
+            sub = shingled.select(
+                "id",
+                F.explode(
+                    char_shingle_hashes(F.col("content"), cfg.substring_len, cfg.substring_stride)
+                ).alias("band_hash"),
+            ).withColumn("band", F.lit(0))
+            sub_cands = candidate_pairs(sub.select("id", "band", "band_hash"), cfg, "id")
+            cands = cands.union(sub_cands)
+
+        cands = self._stage("candidates", cands.dropDuplicates(["a", "b"]))
+
+        # stage 5: exact-Jaccard verification (sygraph::jaccard_list semantics)
+        scored = jaccard_pairs(
+            shingled.select("id", F.col("shingle_hashes").alias("set")), cands,
+            id_col="id", set_col="set", impl="arrays",
+        )
+        verified = self._stage(
+            "verify",
+            scored.filter(F.col("jaccard") >= cfg.verify_threshold).select("a", "b", "jaccard"),
+        )
+
+        # stage 6: clustering — exact-dup pairs join the verified near-dup graph
+        all_pairs = verified.select("a", "b").union(exact_pairs.select("a", "b"))
+        labels = connected_components(
+            all_pairs, max_iterations=cfg.max_cc_iterations, checkpoint_every=cfg.checkpoint_every
+        )
+        clusters = self._stage(
+            "clusters",
+            files.select("id").join(labels, files.id == labels.node, "left").select(
+                "id", F.coalesce("label", F.col("id")).alias("cluster")
+            ),
+        )
+
+        all_verified = verified.unionByName(
+            exact_pairs.select("a", "b", F.lit(1.0).alias("jaccard"))
+        )
+        return PipelineResult(clusters=clusters, verified_pairs=all_verified, metrics=self.metrics)
+
+    def write_metrics(self, path: str) -> None:
+        with open(path, "w") as f:
+            for m in self.metrics:
+                f.write(json.dumps(m) + "\n")

@@ -1,0 +1,149 @@
+"""Deterministic synthetic source-code corpus with planted near-duplicate
+clusters (FIXTURES.md §1). Input shape is exactly the north rule's Iceberg
+table: (repo, path, commit, lang, content). Ground truth (file index →
+cluster id) is returned alongside for recall measurement.
+
+Pure-Python generation on the driver for test scales (≤ ~100k files), then
+parallelized into a DataFrame; everything seeded — same seed, same corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+LANGS = ("python", "java", "c", "go", "js")
+EXT = {"python": "py", "java": "java", "c": "c", "go": "go", "js": "js"}
+
+_IDENTS = (
+    "data value result index count buffer node item entry key total offset state "
+    "config handler parser writer reader queue stack cache token block chunk row col"
+).split()
+_OPS = ("+", "-", "*", "%")
+_LICENSE = [
+    "// Licensed under the Apache License, Version 2.0 (the License);",
+    "// you may not use this file except in compliance with the License.",
+    "// You may obtain a copy of the License at http://www.apache.org/licenses/",
+    "// Unless required by applicable law or agreed to in writing, software",
+    "// distributed under the License is distributed on an AS IS BASIS,",
+]
+
+
+def _base_file(rng: random.Random, n_funcs: int = 4, boilerplate: bool = False) -> list[str]:
+    lines: list[str] = []
+    if boilerplate:
+        lines += _LICENSE
+    for _ in range(n_funcs):
+        name = rng.choice(_IDENTS) + "_" + rng.choice(_IDENTS)
+        args = rng.sample(_IDENTS, 2)
+        lines.append(f"def {name} ( {args[0]} , {args[1]} ) :")
+        for _ in range(rng.randint(3, 7)):
+            a, b, c = rng.choice(_IDENTS), rng.choice(_IDENTS), rng.choice(_IDENTS)
+            op = rng.choice(_OPS)
+            lines.append(f"    {a} = {b} {op} {c} + {rng.randint(0, 99)}")
+        lines.append(f"    return {rng.choice(args)}")
+    return lines
+
+
+def _mutate(rng: random.Random, lines: list[str], edit_rate: float) -> list[str]:
+    """Token renames / line inserts / comment edits at a controlled rate —
+    keeps shingle-Jaccard to the base high but < 1."""
+    out = list(lines)
+    n_edits = max(1, int(len(out) * edit_rate))
+    for _ in range(n_edits):
+        kind = rng.random()
+        i = rng.randrange(len(out))
+        if kind < 0.4:  # token rename within one line
+            toks = out[i].split(" ")
+            idents = [j for j, t in enumerate(toks) if t in _IDENTS]
+            if idents:
+                toks[rng.choice(idents)] = rng.choice(_IDENTS)
+            out[i] = " ".join(toks)
+        elif kind < 0.7:  # comment insert
+            out.insert(i, f"    # note {rng.randint(0, 9999)}")
+        else:  # line insert
+            a, b = rng.choice(_IDENTS), rng.choice(_IDENTS)
+            out.insert(i, f"    {a} = {a} + {b}")
+    return out
+
+
+@dataclass
+class CorpusSpec:
+    n_files: int = 200
+    n_clusters: int = 30
+    cluster_min: int = 2
+    cluster_max: int = 8
+    edit_rate: float = 0.08
+    exact_dup_rate: float = 0.25   # fraction of cluster members that are exact copies
+    boilerplate_frac: float = 0.0  # fraction of files carrying the shared license header
+    seed: int = 42
+
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("content", T.StringType(), False),
+    ]
+)
+
+
+def synth_source_files(
+    spark: SparkSession, spec: CorpusSpec | None = None
+) -> tuple[DataFrame, dict[tuple[str, str, str], int]]:
+    """Returns (files_df, truth) where truth maps (repo, path, commit) →
+    planted cluster id (-1 for singletons)."""
+    spec = spec or CorpusSpec()
+    rng = random.Random(spec.seed)
+    rows: list[tuple] = []
+    truth: dict[tuple[str, str, str], int] = {}
+
+    def add(i: int, content: str, cluster: int) -> None:
+        lang = LANGS[i % len(LANGS)]
+        repo = f"org{i % 7}/repo{i % 23}"
+        path = f"src/m{i % 13}/f{i}.{EXT[lang]}"
+        commit = hashlib.sha1(f"{spec.seed}:{i}".encode()).hexdigest()
+        rows.append((repo, path, commit, lang, content))
+        truth[(repo, path, commit)] = cluster
+
+    i = 0
+    for c in range(spec.n_clusters):
+        size = rng.randint(spec.cluster_min, spec.cluster_max)
+        boiler = rng.random() < spec.boilerplate_frac
+        base = _base_file(rng, boilerplate=boiler)
+        add(i, "\n".join(base), c)
+        i += 1
+        for _ in range(size - 1):
+            if rng.random() < spec.exact_dup_rate:
+                add(i, "\n".join(base), c)
+            else:
+                add(i, "\n".join(_mutate(rng, base, spec.edit_rate)), c)
+            i += 1
+    while i < spec.n_files:
+        boiler = rng.random() < spec.boilerplate_frac
+        add(i, "\n".join(_base_file(rng, boilerplate=boiler)), -1)
+        i += 1
+
+    df = spark.createDataFrame(rows, SCHEMA)
+    return df, truth
+
+
+def truth_pairs(truth: dict[tuple[str, str, str], int]) -> set[tuple]:
+    """All unordered within-cluster key pairs — the recall denominator."""
+    by_cluster: dict[int, list] = {}
+    for key, c in truth.items():
+        if c >= 0:
+            by_cluster.setdefault(c, []).append(key)
+    out = set()
+    for members in by_cluster.values():
+        ms = sorted(members)
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                out.add((ms[x], ms[y]))
+    return out

@@ -1,0 +1,52 @@
+"""Structured-Streaming ingest for the dedup pipeline.
+
+The reference is pure batch (SURVEY.md §2.5: no streaming ops), but a
+100 TB corpus arrives incrementally; these ops keep the *expensive* stages
+(shingle + MinHash) streaming-incremental so each new file is signed once,
+then batch jobs re-run only candidate-gen/verify/cluster over signatures.
+
+Both functions return a DataFrame wired for ``writeStream`` (parquet sink +
+checkpointLocation); use ``trigger(availableNow=True)`` for catch-up runs —
+that is also how the tests drive them deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sycl_jaccard_spark.config import PipelineConfig
+from sycl_jaccard_spark.functions.shingles import shingle_hashes, shingles, tokens
+from sycl_jaccard_spark.operators.lsh import minhash_signatures
+from sycl_jaccard_spark.sources.corpus import SCHEMA
+
+
+def read_file_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of (repo, path, commit, lang, content) parquet."""
+    return spark.readStream.schema(SCHEMA).parquet(path)
+
+
+def incremental_exact_dedup(files: DataFrame) -> DataFrame:
+    """Per-batch sha256 + stable id; exact-dup *within the stream's lifetime*
+    is resolved downstream by grouping on sha256 (streaming dropDuplicates
+    would need unbounded state at corpus scale — hash-group in batch instead,
+    keep the stream map-only and stateless)."""
+    return files.select(
+        F.xxhash64("repo", "path", "commit").alias("id"),
+        F.sha2("content", 256).alias("sha256"),
+        "repo", "path", "commit", "lang", "content",
+    )
+
+
+def incremental_signatures(files: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
+    """Stateless map-only stream: file -> (id, sha256, shingle_hashes, sig).
+    Safe at any scale (no streaming state); signatures land in parquet
+    partitions that the batch LSH stages consume."""
+    cfg = cfg or PipelineConfig()
+    base = incremental_exact_dedup(files)
+    shingled = base.select(
+        "id",
+        "sha256",
+        shingle_hashes(shingles(tokens(F.col("content")), cfg.shingle_k)).alias("shingle_hashes"),
+    )
+    return minhash_signatures(shingled, cfg)

@@ -1,0 +1,105 @@
+"""Tests for ANN (cosine top-k + hyperplane LSH), multimodal plumbing, and
+streaming incremental signatures."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sycl_jaccard_spark.config import PipelineConfig
+from sycl_jaccard_spark.operators.ann import cosine_topk, lsh_cosine_candidates
+from sycl_jaccard_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_features,
+    frame_sample_plan,
+)
+from sycl_jaccard_spark.functions.minhash import make_perms, minhash_batch
+from sycl_jaccard_spark.streaming.ingest import incremental_signatures, read_file_stream
+from sycl_jaccard_spark.sources.corpus import CorpusSpec, synth_source_files
+
+
+def _vec_rows(n=40, dim=8, seed=5):
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal((n, dim)).astype(np.float32)
+    return [(i, v[i].tolist()) for i in range(n)], v
+
+
+def test_cosine_topk_vs_numpy(spark):
+    rows, v = _vec_rows()
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = cosine_topk(df.filter(F.col("vec_id") < 5), df, k=3).collect()
+    # numpy oracle on the same quantization
+    q = np.round(v.astype(np.float64) * 10000)
+    sims = (q @ q.T) / (np.linalg.norm(q, axis=1)[:, None] * np.linalg.norm(q, axis=1)[None, :])
+    for qid in range(5):
+        order = sorted(
+            (i for i in range(len(v)) if i != qid), key=lambda i: (-sims[qid, i], i)
+        )[:3]
+        got_q = sorted([r for r in got if r.query_id == qid], key=lambda r: r.rank)
+        assert [r.neighbor_id for r in got_q] == order
+        for r in got_q:
+            assert r.cosine == pytest.approx(sims[qid, r.neighbor_id], abs=1e-9)
+
+
+def test_lsh_cosine_candidates_recall_of_near_duplicates(spark):
+    """Planted near-identical vectors must share a band."""
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    # ids 100+i = tiny perturbation of i -> near-parallel vectors
+    rows += [(100 + i, (base[i] + 0.01 * rng.standard_normal(16).astype(np.float32)).tolist()) for i in range(20)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cands = {(r.a, r.b) for r in lsh_cosine_candidates(df, n_planes=32, bands=4, dim=16).collect()}
+    hit = sum(1 for i in range(20) if (i, 100 + i) in cands)
+    assert hit >= 19  # near-parallel pairs collide in ≥1 of 4 bands
+
+
+def test_multimodal_feature_plumbing(spark):
+    rows = [
+        (1, "image", "image/png", 64, 64, None, b"\x89PNGfakebytes"),
+        (2, "audio", "audio/wav", None, None, 2000, b"RIFFfakebytes"),
+        (3, "video", "video/mp4", 320, 240, 3000, b"\x00\x00mp4fake"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(media, dim=8, deterministic_fake=True).collect()
+    assert {r.media_id for r in feats} == {1, 2, 3}
+    assert all(len(r.feature) == 8 for r in feats)
+    assert {r.media_id: r.n_bytes for r in feats}[1] == len(b"\x89PNGfakebytes")
+    # determinism: same payload -> same feature
+    again = extract_features(media, dim=8, deterministic_fake=True).collect()
+    assert {r.media_id: r.feature for r in feats} == {r.media_id: r.feature for r in again}
+    # real decode is an explicit stub
+    with pytest.raises(Exception):
+        extract_features(media, dim=8, deterministic_fake=False).collect()
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    assert [r.frame_ts for r in frames if r.media_id == 3] == [0, 1000, 2000, 3000]
+
+
+def test_streaming_incremental_signatures(spark, tmp_path):
+    """availableNow file-source stream: signatures equal the batch path."""
+    files, _ = synth_source_files(spark, CorpusSpec(n_files=30, n_clusters=5))
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    files.write.parquet(src)
+    cfg = PipelineConfig(num_perms=16, bands=4, rows_per_band=4)
+    stream = incremental_signatures(read_file_stream(spark, src), cfg)
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 30
+    assert set(got.columns) >= {"id", "sha256", "shingle_hashes", "sig"}
+    # cross-check one row's signature against the NumPy batch implementation
+    row = got.orderBy("id").first()
+    a, b = make_perms(16, 42)
+    import pandas as pd
+
+    expect = list(minhash_batch(pd.Series([row.shingle_hashes]), a, b)[0])
+    assert row.sig == expect

@@ -1,0 +1,169 @@
+"""Dedup-layer tests: exact dedup, LSH candidate generation, connected
+components vs a union-find oracle, and the end-to-end recall gate
+(dup-pair recall >= 0.99, BASELINE.md) on the planted-cluster corpus."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from sycl_jaccard_spark.config import PipelineConfig
+from sycl_jaccard_spark.operators.components import connected_components
+from sycl_jaccard_spark.operators.exact_dedup import dedup_exact, exact_dup_groups
+from sycl_jaccard_spark.operators.lsh import (
+    band_hashes,
+    candidate_pairs,
+    capped_docs,
+    minhash_signatures,
+)
+from sycl_jaccard_spark.plans.pipeline import DedupPipeline
+from sycl_jaccard_spark.sources.corpus import CorpusSpec, synth_source_files, truth_pairs
+from sycl_jaccard_spark.sources.tables import with_file_id
+
+from tests.conftest import UnionFind
+
+
+def test_exact_dedup(spark):
+    rows = [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa"), (5, "ccc")]
+    df = spark.createDataFrame(rows, ["id", "content"])
+    groups = {r.sha256: (r.n_docs, r.rep_id, r.members) for r in exact_dup_groups(df).collect()}
+    assert len(groups) == 1
+    (n, rep, members) = next(iter(groups.values()))
+    assert (n, rep, members) == (3, 1, [1, 3, 4])
+    uniques, pairs = dedup_exact(df)
+    assert sorted(r.id for r in uniques.collect()) == [1, 2, 5]
+    assert {(r.a, r.b) for r in pairs.collect()} == {(1, 3), (1, 4)}
+    assert all(r.jaccard == 1.0 for r in pairs.collect())
+
+
+def test_lsh_candidates_find_identical_sets(spark):
+    cfg = PipelineConfig(num_perms=32, bands=8, rows_per_band=4, bucket_cap=16)
+    items = [
+        (1, [10, 20, 30, 40, 50]),
+        (2, [10, 20, 30, 40, 50]),     # identical -> must be candidate
+        (3, [10, 20, 30, 40, 99]),     # J=2/3 -> likely candidate
+        (4, [1000, 2000, 3000, 4000]), # unrelated
+    ]
+    df = spark.createDataFrame(items, ["id", "shingle_hashes"])
+    signed = minhash_signatures(df, cfg)
+    banded = band_hashes(signed, cfg, "id")
+    cands = {(r.a, r.b) for r in candidate_pairs(banded, cfg, "id").collect()}
+    assert (1, 2) in cands
+    assert (1, 4) not in cands and (2, 4) not in cands
+    assert capped_docs(banded, cfg, "id") == 0
+
+
+def test_lsh_bucket_cap_bounds_pairs(spark):
+    """Skew fixture (FIXTURES.md §4): one degenerate bucket; cap bounds the
+    self-join and the drop count is observable."""
+    cfg = PipelineConfig(num_perms=32, bands=8, rows_per_band=4, bucket_cap=8)
+    same = [20, 21, 22, 23, 24]
+    df = spark.createDataFrame([(i, same) for i in range(100)], ["id", "shingle_hashes"])
+    banded = band_hashes(minhash_signatures(df, cfg), cfg, "id")
+    cands = candidate_pairs(banded, cfg, "id")
+    # each of the 8 identical buckets holds the same lowest-8 ids after cap
+    assert cands.count() == 8 * 7 / 2
+    assert capped_docs(banded, cfg, "id") == 8 * (100 - 8)
+
+
+@pytest.mark.parametrize("driver_threshold", [0, 2_000_000])
+@pytest.mark.parametrize(
+    "edges",
+    [
+        [(1, 2), (2, 3), (4, 5)],
+        [(i, i + 1) for i in range(30)],                    # long chain
+        [(0, i) for i in range(1, 10)],                     # star
+        [(a, b) for a in range(6) for b in range(a + 1, 6)],# clique
+        [(10, 2), (2, 30), (30, 4), (100, 200)],            # unsorted ids
+    ],
+)
+def test_connected_components_vs_union_find(spark, edges, driver_threshold):
+    """Both paths (driver union-find and distributed star rounds) must match
+    the oracle exactly — the dual-implementation consistency discipline."""
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {
+        r.node: r.label
+        for r in connected_components(df, driver_threshold=driver_threshold).collect()
+    }
+    uf = UnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+    expect = uf.labels()
+    assert got == expect
+
+
+@pytest.mark.parametrize("driver_threshold", [0, 2_000_000])
+def test_connected_components_random(spark, driver_threshold):
+    rng = random.Random(11)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {
+        r.node: r.label
+        for r in connected_components(df, driver_threshold=driver_threshold).collect()
+    }
+    uf = UnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+    assert got == uf.labels()
+
+
+def _recall(spark, spec: CorpusSpec, **pipe_kw) -> tuple[float, int]:
+    files, truth = synth_source_files(spark, spec)
+    files = with_file_id(files)
+    key_of = {}
+    for r in files.select("repo", "path", "commit", "id").collect():
+        key_of[(r.repo, r.path, r.commit)] = r.id
+    result = DedupPipeline(spark, PipelineConfig(), **pipe_kw).run(files)
+    labels = {r.id: r.cluster for r in result.clusters.collect()}
+    expect_pairs = truth_pairs(truth)
+    hit = sum(
+        1 for (ka, kb) in expect_pairs if labels[key_of[ka]] == labels[key_of[kb]]
+    )
+    return hit / len(expect_pairs), len(expect_pairs)
+
+
+def test_pipeline_recall_on_planted_clusters(spark):
+    """The headline gate: dup-pair recall >= 0.99 on the planted corpus."""
+    recall, n = _recall(spark, CorpusSpec(n_files=200, n_clusters=30, seed=42))
+    assert n > 50
+    assert recall >= 0.99, f"recall {recall} over {n} pairs"
+
+
+def test_pipeline_recall_with_boilerplate_skew(spark):
+    """Shared license headers (FIXTURES.md §4) must not break recall."""
+    spec = CorpusSpec(n_files=150, n_clusters=20, boilerplate_frac=0.6, seed=7)
+    recall, n = _recall(spark, spec)
+    assert recall >= 0.99, f"recall {recall} over {n} pairs"
+
+
+def test_pipeline_no_false_merges_of_unrelated(spark):
+    """Precision sanity: distinct singletons stay singletons."""
+    files, truth = synth_source_files(
+        spark, CorpusSpec(n_files=60, n_clusters=0, seed=3)
+    )
+    files = with_file_id(files)
+    result = DedupPipeline(spark, PipelineConfig()).run(files)
+    n_clusters = result.clusters.select("cluster").distinct().count()
+    assert n_clusters == 60  # every file its own cluster
+
+
+def test_pipeline_checkpoint_resume(spark, tmp_path):
+    files, _ = synth_source_files(spark, CorpusSpec(n_files=80, n_clusters=10))
+    files = with_file_id(files)
+    ckpt = str(tmp_path / "ckpt")
+    p1 = DedupPipeline(spark, checkpoint_dir=ckpt)
+    r1 = p1.run(files)
+    c1 = {(r.id, r.cluster) for r in r1.clusters.collect()}
+    p2 = DedupPipeline(spark, checkpoint_dir=ckpt)
+    r2 = p2.run(files)
+    c2 = {(r.id, r.cluster) for r in r2.clusters.collect()}
+    assert c1 == c2
+    assert any(m["resumed"] for m in p2.metrics)
+    # sha256 integrity: checkpointed stage preserves content hashes
+    sha_ck = spark.read.parquet(f"{ckpt}/stage=sha256")
+    orig = files.withColumn("sha", F.sha2("content", 256)).select("id", "sha")
+    joined = sha_ck.join(orig, "id")
+    assert joined.filter(F.col("sha256") != F.col("sha")).count() == 0
