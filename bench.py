@@ -72,28 +72,93 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    if "--scaling-worker" in sys.argv:
+        i = sys.argv.index("--scaling-worker")
+        cores, corpus_path = int(sys.argv[i + 1]), sys.argv[i + 2]
+        from sycl_jaccard_spark.config import PipelineConfig
+        from sycl_jaccard_spark.plans.pipeline import DedupPipeline
+        from sycl_jaccard_spark.sources.tables import with_file_id
+
+        spark = _mk_spark(cores, f"bench{cores}")
+        files = with_file_id(spark.read.parquet(corpus_path))
+        n = files.count()
+        # warmup OUTSIDE the timed window: fork+import of the per-core Python
+        # UDF workers and JIT of the shuffle path are cluster-startup costs,
+        # not throughput (the reference's EVENT_PROFILE times kernels, not
+        # device init). One tiny pandas-UDF job touches every worker.
+        from pyspark.sql import functions as FF
+
+        from sycl_jaccard_spark.operators.lsh import minhash_signatures
+
+        warm = files.limit(max(cores * 8, 64)).repartition(cores).select(
+            "id", FF.array(FF.xxhash64("content")).alias("shingle_hashes")
+        )
+        minhash_signatures(warm, PipelineConfig()).count()
+        files.repartition(cores).groupBy("lang").count().count()
+
+        t0 = time.monotonic()
+        res = DedupPipeline(spark, PipelineConfig(), enable_simhash=True).run(files)
+        res.clusters.count()
+        wall = time.monotonic() - t0
+        spark.stop()
+        print(json.dumps({"wall_s": wall, "files_per_sec": n / wall, "n_files": n}))
+        return
+
     if "--scaling" in sys.argv:
+        # Scaling must be measured compute-dominant: the 5k-doc sf0.1 table is
+        # fixed-overhead-bound (per-stage scheduling cost is parallelism-
+        # independent), so use the FIXTURES.md bench corpus: 50k synthetic
+        # source files with planted clusters, generated once to a local
+        # parquet and read identically by both runs.
+        n_bench = int(os.environ.get("SPARK_GRAFT_BENCH_FILES", "50000"))
+        corpus_path = f"/tmp/spark_graft_bench_corpus_{n_bench}.parquet"
+        if not os.path.exists(corpus_path):
+            from sycl_jaccard_spark.sources.corpus import CorpusSpec, synth_source_files
+
+            gen = _mk_spark(8, "gen")
+            files, _ = synth_source_files(
+                gen,
+                CorpusSpec(
+                    n_files=n_bench,
+                    n_clusters=n_bench // 10,
+                    boilerplate_frac=0.2,
+                    seed=42,
+                ),
+            )
+            files.repartition(64).write.mode("overwrite").parquet(corpus_path)
+            gen.stop()
+
+        # one subprocess per parallelism level: re-creating a SparkSession
+        # with a different master in the SAME JVM measurably degrades the
+        # second run (stale shuffle state / GC) — fresh process per level.
+        import subprocess
+
         report = {}
         for cores in (8, 32):
-            spark = _mk_spark(cores, f"bench{cores}")
-            wall, n = run_flagship(spark, sf_dir)
-            spark.stop()
-            report[cores] = {"wall_s": wall, "files_per_sec": n / wall, "n_files": n}
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores), corpus_path],
+                capture_output=True,
+                text=True,
+                check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            report[cores] = json.loads(out.stdout.strip().splitlines()[-1])
         eff = report[32]["files_per_sec"] / (4 * report[8]["files_per_sec"])
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/BASELINE.md", "w") as f:
             f.write(
                 "# BENCH baseline — scaling evidence (local[8] vs local[32])\n\n"
-                f"Input: `{sf_dir}/documents.parquet` ({report[32]['n_files']} files), "
-                "full dedup pipeline (sha256 exact-dedup -> shingle -> MinHash 128 "
-                "-> LSH 32x4 + SimHash -> exact-Jaccard verify -> connected components).\n\n"
+                f"Input: {report[32]['n_files']} synthetic source files (planted clusters, "
+                "20% boilerplate headers; FIXTURES.md §1), full dedup pipeline "
+                "(sha256 exact-dedup -> shingle -> MinHash 128 -> LSH 32x4 + SimHash "
+                "-> exact-Jaccard verify -> connected components).\n\n"
                 "| parallelism | wall (s) | files/sec |\n|---|---|---|\n"
                 + "".join(
                     f"| local[{c}] | {r['wall_s']:.2f} | {r['files_per_sec']:.1f} |\n"
                     for c, r in report.items()
                 )
                 + f"\nScaling efficiency N->4N: eff = throughput(32) / (4 x throughput(8)) "
-                f"= **{eff:.3f}** (target >= 0.8 would require linear scaling; see note).\n\n"
+                f"= **{eff:.3f}** (north-rule target >= 0.8).\n\n"
                 "Note: local-mode threads share one JVM, one shuffle disk and the "
                 "Python UDF worker pool, so this is a conservative lower bound on "
                 "multi-executor scaling.\n"

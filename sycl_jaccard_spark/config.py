@@ -47,8 +47,9 @@ class PipelineConfig:
     checkpoint_every: int = 3
 
     # --- substring (suffix-array analog) pass ---
-    substring_len: int = 40         # sampled char-gram length
-    substring_stride: int = 17      # sampling stride (co-prime with typical line lengths)
+    substring_lines: int = 4        # w-line gram width (content-anchored)
+    substring_len: int = 40         # char-gram length (offset-sensitive variant)
+    substring_stride: int = 17      # char-gram sampling stride
 
     # --- execution ---
     shuffle_partitions: int = 32

@@ -75,12 +75,36 @@ def shingle_hashes(shingle_strs: Column, portable: bool = False) -> Column:
     return F.array_sort(F.array_distinct(F.transform(shingle_strs, hash_one)))
 
 
-def char_shingle_hashes(text: Column, k: int, stride: int = 1, portable: bool = False) -> Column:
-    """Hashed character k-grams sampled every ``stride`` chars.
+def line_gram_hashes(text: Column, w: int = 4, portable: bool = False) -> Column:
+    """Hashed w-line grams — the sampled-substring (suffix-array analog)
+    candidate pass (SURVEY.md §7 step 8).
 
-    With ``stride > 1`` this is the sampled-substring candidate pass
-    (SURVEY.md §7 step 8 — the suffix-array analog): two documents sharing
-    any sampled k-char window become a candidate pair.
+    Content-anchored: any two files sharing >= w consecutive (trimmed,
+    non-empty) lines produce a common hash *regardless of byte offset* —
+    position-strided char sampling misses shifted containment. Lines are the
+    natural substring unit for source code.
+    """
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+    whole = F.array(F.concat_ws("\n", lines))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(lines) - w),
+        lambda i: F.concat_ws("\n", F.slice(lines, i + 1, w)),
+    )
+    gram_strs = F.when(F.size(lines) >= w, grams).otherwise(whole)
+    hash_one = (
+        (lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
+        if portable
+        else (lambda s: F.xxhash64(s))
+    )
+    return F.array_sort(F.array_distinct(F.transform(gram_strs, hash_one)))
+
+
+def char_shingle_hashes(text: Column, k: int, stride: int = 1, portable: bool = False) -> Column:
+    """Hashed character k-grams sampled every ``stride`` chars (offset-
+    sensitive; prefer :func:`line_gram_hashes` for containment candidates).
     """
     n = F.length(text)
     starts = F.when(

@@ -27,6 +27,8 @@ directions present for undirected graphs (use operators.normalize first).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -47,14 +49,20 @@ def _adjacency(edges: DataFrame) -> DataFrame:
 def jaccard_all_edges(
     edges: DataFrame,
     vertex_weights: DataFrame | None = None,
-    impl: str = "arrays",
+    impl: str | None = None,
 ) -> DataFrame:
     """Returns (src, dst, jaccard) for every input edge.
 
     ``vertex_weights`` (vertex, w) switches to the weighted coefficient
     J = Wi / (vol(src)+vol(dst)-Wi) with Wi = Σ_{x∈N(src)∩N(dst)} w(x)
     (``standalone_algorithms.hpp:52-69``).
+
+    ``impl`` defaults to the ``JACSPARK_FORCE_IMPL`` env var (the reference's
+    ``JACCARD_FORCE_EDGE_CENTRIC``/``VERTEX_CENTRIC`` dispatch,
+    ``main.cpp:40-61``), else "arrays".
     """
+    if impl is None:
+        impl = os.environ.get("JACSPARK_FORCE_IMPL", "arrays")
     if vertex_weights is not None:
         return _weighted(edges, vertex_weights)
     if impl == "arrays":

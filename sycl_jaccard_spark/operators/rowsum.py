@@ -23,6 +23,17 @@ def degrees(edges: DataFrame, vertex_col: str = "src") -> DataFrame:
     )
 
 
+def synthesize_vertex_weights(edges: DataFrame, weight_col: str = "weight") -> DataFrame:
+    """K10 analog (``main.cpp:216-275``): when only *edge* weights exist, the
+    reference synthesizes per-vertex weights as the sum of incident edge
+    weights (reusing K3 with an identity index buffer). Same thing here —
+    one groupBy."""
+    return (
+        edges.groupBy(F.col("src").alias("vertex"))
+        .agg(F.sum(weight_col).alias("w"))
+    )
+
+
 def volumes(edges: DataFrame, vertex_weights: DataFrame) -> DataFrame:
     """K3 weighted: vol(v) = Σ_{x∈N(v)} w(x).
 

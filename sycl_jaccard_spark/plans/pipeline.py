@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from sycl_jaccard_spark.config import PipelineConfig
 from sycl_jaccard_spark.functions.shingles import (
-    char_shingle_hashes,
+    line_gram_hashes,
     shingle_hashes,
     shingles,
     tokens,
@@ -129,13 +129,12 @@ class DedupPipeline:
             sim_cands = candidate_pairs(sim_banded, cfg, "id")
             cands = cands.union(sim_cands)
 
-        # stage 4c: sampled-substring pass (suffix-array analog) for containment
+        # stage 4c: substring pass (suffix-array analog): shared w-line runs
+        # produce candidates regardless of byte offset (containment/near-miss)
         if self.enable_substring:
             sub = shingled.select(
                 "id",
-                F.explode(
-                    char_shingle_hashes(F.col("content"), cfg.substring_len, cfg.substring_stride)
-                ).alias("band_hash"),
+                F.explode(line_gram_hashes(F.col("content"), cfg.substring_lines)).alias("band_hash"),
             ).withColumn("band", F.lit(0))
             sub_cands = candidate_pairs(sub.select("id", "band", "band_hash"), cfg, "id")
             cands = cands.union(sub_cands)

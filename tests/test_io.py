@@ -1,0 +1,95 @@
+"""MTX source/sink round-trip tests (reference S1-S7 semantics) + the
+checkpoint introspection tool (S10) + full reference-CLI-style flow:
+read mtx -> normalize -> jaccard -> write mtx."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sycl_jaccard_spark.operators.graph_jaccard import jaccard_all_edges
+from sycl_jaccard_spark.operators.normalize import canonical_pairs, symmetrize
+from sycl_jaccard_spark.plans.pipeline import DedupPipeline
+from sycl_jaccard_spark.sources.corpus import CorpusSpec, synth_source_files
+from sycl_jaccard_spark.sources.io import describe_checkpoint, read_mtx, write_mtx
+from sycl_jaccard_spark.sources.tables import with_file_id
+
+MTX_SYM = """%%MatrixMarket matrix coordinate pattern symmetric
+% comment line
+4 4 4
+1 2
+1 3
+2 3
+3 4
+"""
+
+MTX_WEIGHTED = """%%MatrixMarket matrix coordinate real general
+3 3 3
+1 2 0.5
+2 3 1.5
+3 1 2.0
+"""
+
+
+def test_read_mtx_symmetric_pattern(spark, tmp_path):
+    p = str(tmp_path / "g.mtx")
+    open(p, "w").write(MTX_SYM)
+    edges, header = read_mtx(spark, p)
+    assert not header.is_weighted and not header.is_directed
+    got = {(r.src, r.dst, r.weight) for r in edges.collect()}
+    assert got == {(0, 1, 1.0), (0, 2, 1.0), (1, 2, 1.0), (2, 3, 1.0)}
+
+
+def test_read_mtx_weighted_general(spark, tmp_path):
+    p = str(tmp_path / "w.mtx")
+    open(p, "w").write(MTX_WEIGHTED)
+    edges, header = read_mtx(spark, p)
+    assert header.is_weighted and header.is_directed
+    got = {(r.src, r.dst, r.weight) for r in edges.collect()}
+    assert got == {(0, 1, 0.5), (1, 2, 1.5), (2, 0, 2.0)}
+
+
+def test_mtx_round_trip(spark, tmp_path):
+    p1 = str(tmp_path / "a.mtx")
+    p2 = str(tmp_path / "b.mtx")
+    open(p1, "w").write(MTX_WEIGHTED)
+    edges, _ = read_mtx(spark, p1)
+    write_mtx(edges, p2, weighted=True)
+    edges2, header2 = read_mtx(spark, p2)
+    assert header2.is_weighted
+    assert {tuple(r) for r in edges.collect()} == {tuple(r) for r in edges2.collect()}
+    # dest-major ordering in the file body (mtx_less comparator semantics)
+    body = [l.split() for l in open(p2).read().splitlines()[2:]]
+    dsts = [int(x[1]) for x in body]
+    assert dsts == sorted(dsts)
+
+
+def test_reference_cli_flow(spark, tmp_path):
+    """main.cpp flow: read undirected mtx -> materialize reverse edges ->
+    jaccard -> strip reverse for symmetric output -> write."""
+    p1 = str(tmp_path / "in.mtx")
+    p2 = str(tmp_path / "out.mtx")
+    open(p1, "w").write(MTX_SYM)
+    edges, header = read_mtx(spark, p1)
+    sym = symmetrize(edges)
+    scored = jaccard_all_edges(sym)
+    out = canonical_pairs(scored.withColumnRenamed("jaccard", "weight"))
+    write_mtx(out, p2, weighted=True, symmetric=True)
+    edges2, header2 = read_mtx(spark, p2)
+    assert header2.is_weighted and not header2.is_directed
+    got = {(r.src, r.dst): r.weight for r in edges2.collect()}
+    # triangle 0-1-2 plus pendant 3 on vertex 2
+    assert got[(0, 1)] == pytest.approx(1 / 3)   # N(0)={1,2}, N(1)={0,2}
+    assert got[(0, 2)] == pytest.approx(0.25)    # N(2)={0,1,3}
+    assert got[(2, 3)] == pytest.approx(0.0)
+
+
+def test_describe_checkpoint(spark, tmp_path):
+    files, _ = synth_source_files(spark, CorpusSpec(n_files=40, n_clusters=5))
+    files = with_file_id(files)
+    ckpt = str(tmp_path / "ck")
+    DedupPipeline(spark, checkpoint_dir=ckpt).run(files)
+    desc = {r.stage: (r.rows, r.schema) for r in describe_checkpoint(spark, ckpt).collect()}
+    assert {"sha256", "exact_dedup", "shingles", "minhash", "candidates", "verify", "clusters"} <= set(desc)
+    assert desc["clusters"][0] == 40
+    assert "sig:array<bigint>" in desc["minhash"][1]

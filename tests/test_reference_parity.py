@@ -1,0 +1,75 @@
+"""Reference-semantics parity tests: K10 synthetic weights, env-var impl
+dispatch (A7), force-weighted override, substring containment pass."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sycl_jaccard_spark.config import PipelineConfig
+from sycl_jaccard_spark.functions.shingles import line_gram_hashes
+from sycl_jaccard_spark.operators.graph_jaccard import jaccard_all_edges
+from sycl_jaccard_spark.operators.lsh import candidate_pairs
+from sycl_jaccard_spark.operators.normalize import symmetrize
+from sycl_jaccard_spark.operators.rowsum import synthesize_vertex_weights
+from sycl_jaccard_spark.plans.pipeline import DedupPipeline
+from sycl_jaccard_spark.sources.corpus import CorpusSpec, synth_source_files
+from sycl_jaccard_spark.sources.tables import with_file_id
+
+
+def test_synthesize_vertex_weights_k10(spark):
+    """main.cpp:216-275: vertex weight = Σ incident edge weights."""
+    edges = spark.createDataFrame(
+        [(0, 1, 2.0), (0, 2, 3.0), (1, 0, 2.0), (2, 0, 3.0), (1, 2, 1.0), (2, 1, 1.0)],
+        ["src", "dst", "weight"],
+    )
+    w = {r.vertex: r.w for r in synthesize_vertex_weights(edges).collect()}
+    assert w == {0: 5.0, 1: 3.0, 2: 4.0}
+
+
+def test_env_var_impl_dispatch(spark, monkeypatch):
+    """A7 selectImplementation analog: JACSPARK_FORCE_IMPL picks the physical
+    strategy; both must give identical results."""
+    edges = symmetrize(spark.createDataFrame([(0, 1), (1, 2), (0, 2), (2, 3)], ["src", "dst"]))
+    results = {}
+    for mode in ("arrays", "exploded"):
+        monkeypatch.setenv("JACSPARK_FORCE_IMPL", mode)
+        results[mode] = {
+            (r.src, r.dst): r.jaccard for r in jaccard_all_edges(edges).collect()
+        }
+    assert results["arrays"] == results["exploded"]
+    monkeypatch.setenv("JACSPARK_FORCE_IMPL", "bogus")
+    with pytest.raises(ValueError):
+        jaccard_all_edges(edges)
+
+
+def test_substring_pass_catches_containment(spark):
+    """The substring (suffix-array analog) pass: a file whose content
+    contains another file's lines at an arbitrary offset has low token-
+    shingle Jaccard but shares w-line grams — the pass must produce the
+    candidate pair, offset-independently."""
+    body = "\n".join(f"line{i} = x + {i}" for i in range(30))
+    prefix = "\n".join(f"other{i} stuff {i * 7}" for i in range(53))  # odd offset
+    rows = [(1, body), (2, prefix + "\n" + body)]
+    df = spark.createDataFrame(rows, ["id", "content"])
+    cfg = PipelineConfig()
+    sub = df.select(
+        "id",
+        F.explode(line_gram_hashes(F.col("content"), cfg.substring_lines)).alias("band_hash"),
+    ).withColumn("band", F.lit(0))
+    cands = {(r.a, r.b) for r in candidate_pairs(sub.select("id", "band", "band_hash"), cfg, "id").collect()}
+    assert (1, 2) in cands
+
+
+def test_pipeline_substring_stage_enabled(spark):
+    """Pipeline runs end-to-end with the substring pass on."""
+    files, _ = synth_source_files(spark, CorpusSpec(n_files=60, n_clusters=10))
+    files = with_file_id(files)
+    res = DedupPipeline(spark, enable_substring=True).run(files)
+    assert res.clusters.count() == 60
+
+
+def test_env_cleanup():
+    assert os.environ.get("JACSPARK_FORCE_IMPL") != "bogus"
