@@ -219,7 +219,7 @@ def q_minhash_signatures(spark, sf_dir):
 
 def q_lsh_band_hashes(spark, sf_dir):
     cfg = _portable_cfg()
-    signed = minhash_signatures(_doc_shingle_hashes(spark, sf_dir), cfg, "shingle_hashes")
+    signed = minhash_signatures(_doc_shingle_hashes(spark, sf_dir), cfg, "shingle_hashes", materialize=True)
     return band_hashes(signed, cfg, "doc_id", portable=True).select(
         "doc_id", F.col("band").cast("long").alias("band"), "band_hash"
     )
@@ -227,7 +227,7 @@ def q_lsh_band_hashes(spark, sf_dir):
 
 def q_lsh_candidates(spark, sf_dir):
     cfg = _portable_cfg()
-    signed = minhash_signatures(_doc_shingle_hashes(spark, sf_dir), cfg, "shingle_hashes")
+    signed = minhash_signatures(_doc_shingle_hashes(spark, sf_dir), cfg, "shingle_hashes", materialize=True)
     banded = band_hashes(signed, cfg, "doc_id", portable=True)
     return candidate_pairs(banded, cfg, "doc_id")
 

@@ -41,19 +41,72 @@ def make_perms(num_perms: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def _mod_mersenne31(v: np.ndarray, scratch: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """v % (2^31-1) for 0 <= v < 2^62, fully in place (shift/mask folding,
+    ÷-free, no fresh allocations — many concurrent workers each allocating
+    100MB temporaries cause an mmap/page-fault storm that anti-scales)."""
+    p = np.int64(MERSENNE)
+    t = scratch[: v.shape[0]]
+    m = mask[: v.shape[0]]
+    np.right_shift(v, np.int64(31), out=t)
+    v &= p
+    v += t
+    np.right_shift(v, np.int64(31), out=t)
+    v &= p
+    v += t
+    # v <= p+1 now (v == p must become 0, so a shift-fold is not enough)
+    np.greater_equal(v, p, out=m)
+    np.subtract(v, p, out=v, where=m)
+    return v
+
+
 def minhash_batch(hash_arrays: pd.Series, a: np.ndarray, b: np.ndarray) -> pd.Series:
-    """Vectorized batch MinHash: one NumPy matmul-shaped pass per document."""
-    out = []
+    """Vectorized batch MinHash: documents' shingles are concatenated and
+    hashed as flat (chunk, num_perms) matrices — no per-row Python loop —
+    with per-document segment minima via ``np.minimum.reduceat``. Chunked so
+    temporaries stay ~100 MB regardless of batch size; Mersenne-31 reduction
+    uses shift/mask folding (÷-free), identical results to ``% p``."""
     p = MERSENNE
-    for arr in hash_arrays:
-        if arr is None or len(arr) == 0:
-            out.append([int(p)] * len(a))
-            continue
-        x = np.asarray(arr, dtype=np.int64) & np.int64(LANE_MASK)  # 31-bit lanes
-        # (n_shingles, num_perms) — all values < 2^62, exact in int64
-        hashed = (x[:, None] * a[None, :] + b[None, :]) % p
-        out.append(hashed.min(axis=0).tolist())
-    return pd.Series(out)
+    num_perms = len(a)
+    n_docs = len(hash_arrays)
+    lens = np.fromiter(
+        ((len(v) if v is not None else 0) for v in hash_arrays), dtype=np.int64, count=n_docs
+    )
+    out = np.full((n_docs, num_perms), p, dtype=np.int64)
+    if lens.sum() > 0:
+        flat = np.concatenate(
+            [np.asarray(v, dtype=np.int64) for v in hash_arrays if v is not None and len(v)]
+        ) & np.int64(LANE_MASK)
+        doc_idx = np.flatnonzero(lens > 0)
+        seg_lens = lens[doc_idx]
+        bounds = np.zeros(len(seg_lens) + 1, dtype=np.int64)
+        np.cumsum(seg_lens, out=bounds[1:])
+        # chunk on document boundaries; small chunks + preallocated buffers
+        # keep every worker inside its malloc arena (no mmap churn)
+        target = max(1, (16 << 20) // (8 * num_perms))
+        h = np.empty((target + 1024, num_perms), dtype=np.int64)
+        scratch = np.empty_like(h)
+        mask = np.empty(h.shape, dtype=bool)
+        d0 = 0
+        while d0 < len(seg_lens):
+            d1 = d0
+            while d1 < len(seg_lens) and (bounds[d1 + 1] - bounds[d0]) <= target:
+                d1 += 1
+            d1 = max(d1, d0 + 1)  # at least one doc per chunk
+            x = flat[bounds[d0] : bounds[d1]]
+            n = x.shape[0]
+            if n > h.shape[0]:  # single oversized doc
+                h = np.empty((n, num_perms), dtype=np.int64)
+                scratch = np.empty_like(h)
+                mask = np.empty(h.shape, dtype=bool)
+            hv = h[:n]
+            np.multiply(x[:, None], a[None, :], out=hv)
+            hv += b[None, :]
+            _mod_mersenne31(hv, scratch, mask)
+            starts = (bounds[d0:d1] - bounds[d0])
+            out[doc_idx[d0:d1]] = np.minimum.reduceat(hv, starts, axis=0)
+            d0 = d1
+    return pd.Series(out.tolist())
 
 
 def minhash_udf(num_perms: int, seed: int):

@@ -32,6 +32,20 @@ def md5_long(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def let(value: Column, body) -> Column:
+    """Bind ``value`` once and use it many times inside ``body``.
+
+    Spark evaluates expressions that appear inside a higher-order-function
+    lambda *per array element* (no CSE, no codegen inside lambdas), so e.g.
+    ``transform(sequence(...), i -> slice(toks, i+1, k))`` re-computes
+    ``toks`` — a full tokenize of the document — once per shingle: O(n²)
+    per row. Wrapping the value as a 1-element array and transforming over
+    it binds it to a lambda variable, which IS materialized once:
+    ``element_at(transform(array(value), v -> body(v)), 1)``.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def tokens(text: Column | str, lowercase: bool = False) -> Column:
     """Whitespace tokenization; empties removed (split on regex keeps no empty
     trailing fields but can keep a leading one for texts starting with space).
@@ -51,15 +65,20 @@ def shingles(toks: Column, k: int) -> Column:
     tokens contribute their whole token string as a single shingle, so every
     non-empty document has a non-empty set (a vertex with an empty neighbor
     set would never appear in any pair anyway).
+
+    ``toks`` is let-bound: it is referenced inside the per-shingle lambda,
+    which would otherwise re-evaluate it per shingle (see :func:`let`).
     """
-    whole = F.array(F.concat_ws(" ", toks))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - k),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )
-    return F.array_sort(
-        F.array_distinct(F.when(F.size(toks) >= k, grams).otherwise(whole))
-    )
+
+    def body(t: Column) -> Column:
+        whole = F.array(F.concat_ws(" ", t))
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(t) - k),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)),
+        )
+        return F.when(F.size(t) >= k, grams).otherwise(whole)
+
+    return F.array_sort(F.array_distinct(let(toks, body)))
 
 
 def shingle_hashes(shingle_strs: Column, portable: bool = False) -> Column:
@@ -88,18 +107,21 @@ def line_gram_hashes(text: Column, w: int = 4, portable: bool = False) -> Column
         F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
         lambda l: l != F.lit(""),
     )
-    whole = F.array(F.concat_ws("\n", lines))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(lines) - w),
-        lambda i: F.concat_ws("\n", F.slice(lines, i + 1, w)),
-    )
-    gram_strs = F.when(F.size(lines) >= w, grams).otherwise(whole)
+
+    def body(ls: Column) -> Column:
+        whole = F.array(F.concat_ws("\n", ls))
+        grams = F.transform(
+            F.sequence(F.lit(0), F.size(ls) - w),
+            lambda i: F.concat_ws("\n", F.slice(ls, i + 1, w)),
+        )
+        return F.when(F.size(ls) >= w, grams).otherwise(whole)
+
     hash_one = (
         (lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
         if portable
         else (lambda s: F.xxhash64(s))
     )
-    return F.array_sort(F.array_distinct(F.transform(gram_strs, hash_one)))
+    return F.array_sort(F.array_distinct(F.transform(let(lines, body), hash_one)))
 
 
 def char_shingle_hashes(text: Column, k: int, stride: int = 1, portable: bool = False) -> Column:

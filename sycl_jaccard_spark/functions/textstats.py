@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from sycl_jaccard_spark.functions.shingles import tokens
+from sycl_jaccard_spark.functions.shingles import let, tokens
 
 # Tiny deterministic stopword lists (public common words). Votes, not ML.
 STOPWORDS: dict[str, tuple[str, ...]] = {
@@ -86,18 +86,21 @@ def fingerprint(text: Column) -> Column:
     far below 2^63 (no silent Spark wrap / DuckDB overflow error), so the
     DuckDB oracle replays it exactly.
     """
-    toks = tokens(text)
-    # zip token with 1-based position via transform over indices
-    terms = F.transform(
-        F.sequence(F.lit(1), F.size(toks)),
-        lambda i: (
-            i.cast("long")
-            * (
-                F.conv(F.substring(F.md5(F.element_at(toks, i)), 1, 15), 16, 10).cast("long")
-                % F.lit(4294967296)
-            )
-            % MOD_P
-        ),
-    )
-    summed = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: (acc + t) % MOD_P)
-    return F.when(F.size(toks) > 0, summed).otherwise(F.lit(0).cast("long"))
+    def body(tk: Column) -> Column:
+        # zip token with 1-based position via transform over indices; tk is a
+        # let-bound lambda var so element_at doesn't re-tokenize per element
+        terms = F.transform(
+            F.sequence(F.lit(1), F.size(tk)),
+            lambda i: (
+                i.cast("long")
+                * (
+                    F.conv(F.substring(F.md5(F.element_at(tk, i)), 1, 15), 16, 10).cast("long")
+                    % F.lit(4294967296)
+                )
+                % MOD_P
+            ),
+        )
+        summed = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: (acc + t) % MOD_P)
+        return F.when(F.size(tk) > 0, summed).otherwise(F.lit(0).cast("long"))
+
+    return let(tokens(text), body)

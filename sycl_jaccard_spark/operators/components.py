@@ -57,8 +57,13 @@ def _driver_union_find(pairs: DataFrame) -> DataFrame:
             if rb < ra:
                 ra, rb = rb, ra
             parent[rb] = ra
-    rows = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(rows, _LABEL_SCHEMA)
+    import pandas as pd
+
+    out = pd.DataFrame(
+        {"node": list(parent.keys()), "label": [find(n) for n in parent]},
+        dtype="int64",
+    )
+    return spark.createDataFrame(out, _LABEL_SCHEMA)  # Arrow path
 
 
 def _round(edges: DataFrame) -> DataFrame:

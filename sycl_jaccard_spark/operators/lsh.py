@@ -27,10 +27,19 @@ from sycl_jaccard_spark.functions.shingles import md5_long
 
 
 def minhash_signatures(
-    items: DataFrame, cfg: PipelineConfig, hash_col: str = "shingle_hashes"
+    items: DataFrame, cfg: PipelineConfig, hash_col: str = "shingle_hashes",
+    materialize: bool = False,
 ) -> DataFrame:
-    """Adds ``sig: array<long>`` (num_perms MinHash values)."""
-    return items.withColumn("sig", minhash_udf(cfg.num_perms, cfg.seed)(F.col(hash_col)))
+    """Adds ``sig: array<long>`` (num_perms MinHash values).
+
+    ``materialize=True`` cuts the plan with an eager localCheckpoint. Needed
+    when the result feeds a generator (``explode``) WITHOUT an intervening
+    checkpoint: Catalyst inlines the Python UDF into the generator expression,
+    which cannot host Python UDFs (INTERNAL_ERROR: Cannot evaluate _minhash).
+    The staged pipeline checkpoints signatures anyway, so it passes False.
+    """
+    out = items.withColumn("sig", minhash_udf(cfg.num_perms, cfg.seed)(F.col(hash_col)))
+    return out.localCheckpoint(eager=True) if materialize else out
 
 
 def band_hashes(signed: DataFrame, cfg: PipelineConfig, id_col: str = "id", portable: bool = False) -> DataFrame:

@@ -54,12 +54,14 @@ class DedupPipeline:
         checkpoint_dir: str | None = None,
         enable_simhash: bool = True,
         enable_substring: bool = False,
+        count_rows: bool = True,
     ):
         self.spark = spark
         self.cfg = cfg or PipelineConfig()
         self.checkpoint_dir = checkpoint_dir
         self.enable_simhash = enable_simhash
         self.enable_substring = enable_substring
+        self.count_rows = count_rows  # False: skip per-stage count jobs (bench mode)
         self.metrics: list[dict] = []
 
     # ---- stage plumbing (EVENT_PROFILE + checkpoint/resume) ----
@@ -80,7 +82,7 @@ class DedupPipeline:
             rows = out.count()
         elif materialize:
             out = df.localCheckpoint(eager=True)
-            rows = out.count()
+            rows = out.count() if self.count_rows else -1
         else:
             out, rows = df, -1
         self.metrics.append(
@@ -91,11 +93,18 @@ class DedupPipeline:
     # ---- the pipeline ----
 
     def run(self, files: DataFrame, id_col: str = "id", content_col: str = "content") -> PipelineResult:
+        """Checkpoint discipline: only multi-consumer intermediates are
+        materialized (uniques -> shingle+pairs, shingled -> minhash+simhash+
+        verify, signatures -> banding [also required: a pandas-UDF column
+        cannot feed a generator un-materialized], verified -> CC+output).
+        Single-consumer stages (sha256 projection, candidate pairs) stay lazy
+        — every materialization is a full job of scheduling latency that
+        parallelism cannot amortize."""
         cfg = self.cfg
         files = files.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
 
         # stage 1: exact dedup by sha256 (reps flow on; dup pairs are free edges)
-        hashed = self._stage("sha256", with_sha256(files))
+        hashed = with_sha256(files)
         uniques, exact_pairs = dedup_exact(hashed, "id", "content")
         uniques = self._stage("exact_dedup", uniques)
 
@@ -116,30 +125,33 @@ class DedupPipeline:
             "minhash", minhash_signatures(shingled.select("id", "shingle_hashes"), cfg)
         )
 
-        # stage 4: LSH banding → candidate pairs
+        # stage 4: candidate generation — ALL passes (LSH bands, SimHash
+        # bands, substring line-grams) union into ONE (id, band, band_hash)
+        # relation with disjoint band-id ranges, so the bucket-cap window,
+        # the bucket self-join and the pair dedup are paid once, not per pass
         banded = band_hashes(signed, cfg, "id")
-        cands = candidate_pairs(banded, cfg, "id")
 
-        # stage 4b: SimHash near-miss pass (banded 64-bit, Hamming<=3)
         if self.enable_simhash:
+            # SimHash near-miss pass (banded 64-bit, Hamming<=3)
             sim = shingled.select("id", simhash_udf(F.col("shingle_hashes")).alias("sim"))
             sim_banded = sim.select(
-                "id", F.posexplode(F.array(*[c for c in simhash_band_cols(F.col("sim"), cfg.simhash_bands)]))
-            ).select("id", F.col("pos").alias("band"), F.col("col").alias("band_hash"))
-            sim_cands = candidate_pairs(sim_banded, cfg, "id")
-            cands = cands.union(sim_cands)
+                "id",
+                F.posexplode(F.array(*[c for c in simhash_band_cols(F.col("sim"), cfg.simhash_bands)])),
+            ).select(
+                "id", (F.col("pos") + cfg.bands).alias("band"), F.col("col").alias("band_hash")
+            )
+            banded = banded.unionByName(sim_banded)
 
-        # stage 4c: substring pass (suffix-array analog): shared w-line runs
-        # produce candidates regardless of byte offset (containment/near-miss)
         if self.enable_substring:
-            sub = shingled.select(
+            # substring pass (suffix-array analog): shared w-line runs produce
+            # candidates regardless of byte offset (containment/near-miss)
+            sub_banded = shingled.select(
                 "id",
                 F.explode(line_gram_hashes(F.col("content"), cfg.substring_lines)).alias("band_hash"),
-            ).withColumn("band", F.lit(0))
-            sub_cands = candidate_pairs(sub.select("id", "band", "band_hash"), cfg, "id")
-            cands = cands.union(sub_cands)
+            ).select("id", F.lit(cfg.bands + cfg.simhash_bands).alias("band"), "band_hash")
+            banded = banded.unionByName(sub_banded)
 
-        cands = self._stage("candidates", cands.dropDuplicates(["a", "b"]))
+        cands = candidate_pairs(banded, cfg, "id")  # capped + deduped, lazy
 
         # stage 5: exact-Jaccard verification (sygraph::jaccard_list semantics)
         scored = jaccard_pairs(

@@ -163,7 +163,7 @@ def test_pipeline_checkpoint_resume(spark, tmp_path):
     assert c1 == c2
     assert any(m["resumed"] for m in p2.metrics)
     # sha256 integrity: checkpointed stage preserves content hashes
-    sha_ck = spark.read.parquet(f"{ckpt}/stage=sha256")
+    sha_ck = spark.read.parquet(f"{ckpt}/stage=exact_dedup")
     orig = files.withColumn("sha", F.sha2("content", 256)).select("id", "sha")
     joined = sha_ck.join(orig, "id")
     assert joined.filter(F.col("sha256") != F.col("sha")).count() == 0

@@ -90,6 +90,6 @@ def test_describe_checkpoint(spark, tmp_path):
     ckpt = str(tmp_path / "ck")
     DedupPipeline(spark, checkpoint_dir=ckpt).run(files)
     desc = {r.stage: (r.rows, r.schema) for r in describe_checkpoint(spark, ckpt).collect()}
-    assert {"sha256", "exact_dedup", "shingles", "minhash", "candidates", "verify", "clusters"} <= set(desc)
+    assert {"exact_dedup", "shingles", "minhash", "verify", "clusters"} <= set(desc)
     assert desc["clusters"][0] == 40
     assert "sig:array<bigint>" in desc["minhash"][1]
