@@ -1,0 +1,107 @@
+"""CLI driver for the dedup pipeline — the reference's ``main`` analog
+(``/root/reference/main.cpp:63-361``): parse → ingest → normalize → execute →
+emit, as a spark-submit job.
+
+Usage (cluster):
+    spark-submit --py-files dist/sycl_jaccard_spark.zip jobs/run_pipeline.py \
+        --input my_catalog.db.source_files --output /warehouse/dedup_out \
+        --checkpoint-dir /warehouse/dedup_ckpt --threshold 0.7
+
+Usage (local sandbox):
+    python jobs/run_pipeline.py --input /root/testdata/sf0.001/documents.parquet \
+        --input-kind documents --output /tmp/dedup_out
+
+The reference's env-var knobs map to flags: JACCARD_FORCE_* implementation
+selection → --verify-impl (A7, main.cpp:40-61); output format choice by
+extension → --output is always parquet/Iceberg (S6); device selection argv[3]
+→ --cores (local only).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="MinHash-LSH near-duplicate detection pipeline")
+    p.add_argument("--input", required=True, help="parquet path or catalog table of source files")
+    p.add_argument(
+        "--input-kind",
+        choices=["source_files", "documents"],
+        default="source_files",
+        help="source_files: (repo,path,commit,lang,content); documents: driver testdata shape",
+    )
+    p.add_argument("--output", required=True, help="output dir: clusters/ verified_pairs/ metrics.jsonl")
+    p.add_argument("--checkpoint-dir", default=None, help="stage checkpoint/resume dir")
+    p.add_argument("--shingle-k", type=int, default=5)
+    p.add_argument("--num-perms", type=int, default=128)
+    p.add_argument("--bands", type=int, default=32)
+    p.add_argument("--threshold", type=float, default=0.7, help="verify Jaccard threshold")
+    p.add_argument("--no-simhash", action="store_true")
+    p.add_argument("--substring", action="store_true", help="enable line-gram containment pass")
+    p.add_argument("--verify-impl", choices=["arrays", "exploded"], default="arrays")
+    p.add_argument("--cores", type=int, default=None, help="local[] cores (ignored under spark-submit)")
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv)
+    from pyspark.sql import SparkSession
+
+    from sycl_jaccard_spark.config import PipelineConfig
+    from sycl_jaccard_spark.plans.pipeline import DedupPipeline
+    from sycl_jaccard_spark.session import get_spark
+    from sycl_jaccard_spark.sources.tables import (
+        documents_as_files,
+        read_source_table,
+        with_file_id,
+    )
+
+    active = SparkSession.getActiveSession()
+    spark = active or get_spark("dedup_pipeline", cores=args.cores)
+
+    raw = read_source_table(spark, args.input)
+    files = (
+        documents_as_files(raw)
+        if args.input_kind == "documents"
+        else with_file_id(raw)
+    )
+
+    cfg = PipelineConfig(
+        shingle_k=args.shingle_k,
+        num_perms=args.num_perms,
+        bands=args.bands,
+        rows_per_band=args.num_perms // args.bands,
+        verify_threshold=args.threshold,
+    )
+    pipe = DedupPipeline(
+        spark,
+        cfg,
+        checkpoint_dir=args.checkpoint_dir,
+        enable_simhash=not args.no_simhash,
+        enable_substring=args.substring,
+    )
+    t0 = time.monotonic()
+    result = pipe.run(files)
+    result.clusters.write.mode("overwrite").parquet(os.path.join(args.output, "clusters"))
+    result.verified_pairs.write.mode("overwrite").parquet(
+        os.path.join(args.output, "verified_pairs")
+    )
+    wall = time.monotonic() - t0
+    os.makedirs(args.output, exist_ok=True)
+    pipe.metrics.append({"stage": "TOTAL", "wall_s": round(wall, 3), "rows": -1, "resumed": False})
+    pipe.write_metrics(os.path.join(args.output, "metrics.jsonl"))
+    print(json.dumps({"wall_s": round(wall, 3), "output": args.output}))
+    if active is None:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
