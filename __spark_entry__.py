@@ -254,6 +254,13 @@ def q_quality_stats(spark, sf_dir):
     )
 
 
+def q_token_stats_bpe(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textstats.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
 def q_token_topk(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return (
@@ -314,6 +321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "lang_id": q_lang_id,
         "quality_stats": q_quality_stats,
+        "token_stats_bpe": q_token_stats_bpe,
         "token_topk": q_token_topk,
         "ann_cosine_topk": q_ann_cosine_topk,
         "dedup_pipeline_clusters": q_dedup_pipeline_clusters,
@@ -498,6 +506,10 @@ SELECT doc_id,
          CAST(COALESCE(list_sum(list_transform(tk, t -> len(t))), 0) AS DOUBLE) / CAST(len(tk) AS DOUBLE)
        END AS avg_tok_len
 FROM tok"""
+    sql["token_stats_bpe"] = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '({textstats.BPE_ISH_PATTERN})', 1)) AS BIGINT) AS n_bpe_tokens
+FROM documents"""
     sql["token_topk"] = f"""
 SELECT token, count(*) AS cnt
 FROM (SELECT unnest({_TOKS}) AS token FROM documents)

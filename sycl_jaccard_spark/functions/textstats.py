@@ -32,6 +32,17 @@ def distinct_token_count(text: Column) -> Column:
     return F.size(F.array_distinct(tokens(text))).cast("long")
 
 
+BPE_ISH_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: runs of word chars OR single punctuation
+    marks (the usual pre-tokenization step of BPE tokenizers). Same regex
+    evaluates identically under Java regex and DuckDB RE2 (ASCII classes
+    only, on purpose)."""
+    return F.size(F.regexp_extract_all(text, F.lit(f"({BPE_ISH_PATTERN})"), 1)).cast("long")
+
+
 def quality_stats(text: Column) -> dict[str, Column]:
     """Length / distinctness / mean-token-length stats.
 

@@ -82,19 +82,50 @@ def candidate_pairs(
     banded: DataFrame,
     cfg: PipelineConfig,
     id_col: str = "id",
+    skew_mode: str = "cap",
 ) -> DataFrame:
     """Distinct candidate (a, b) pairs (a < b) from shared LSH buckets.
 
-    Buckets larger than ``cfg.bucket_cap`` are capped deterministically (the
-    ``bucket_cap`` lowest doc ids participate; real boilerplate buckets are
-    handled upstream by exact-dedup + common-shingle filtering, and the cap
-    count is observable via ``capped_docs``). The rank window and the
-    self-join share the (band, band_hash) partitioning, so AQE reuses the
-    exchange.
+    Skew handling for degenerate (boilerplate) buckets — both modes bound
+    the per-bucket self-join quadratically, with observable loss:
+
+    * ``skew_mode="cap"`` (default): buckets larger than ``cfg.bucket_cap``
+      keep only the ``bucket_cap`` lowest ids (WindowGroupLimit pushdown —
+      no full sort); dropped memberships are countable via ``capped_docs``.
+    * ``skew_mode="salt"``: members of oversized buckets are *salted* into
+      ``cfg.salt_buckets`` sub-buckets by id hash; pairs are generated within
+      sub-buckets, so a B-member bucket yields ~B²/(2s) pairs instead of
+      B²/2 while every member still participates (cross-salt pairs for true
+      near-dups are recovered by the other 31 bands / SimHash / substring
+      passes). Normal-size buckets are untouched in both modes.
+
+    The rank window and the self-join share the (band, band_hash)
+    partitioning (exchange reuse); residual imbalance is AQE skew-join's job
+    (enabled in session.py).
     """
     w = Window.partitionBy("band", "band_hash").orderBy(F.col(id_col))
-    ranked = banded.withColumn("rn", F.row_number().over(w))
-    capped = ranked.filter(F.col("rn") <= cfg.bucket_cap).drop("rn")
+    if skew_mode == "cap":
+        ranked = banded.withColumn("rn", F.row_number().over(w))
+        capped = ranked.filter(F.col("rn") <= cfg.bucket_cap).drop("rn")
+    elif skew_mode == "salt":
+        sizes = banded.groupBy("band", "band_hash").agg(F.count("*").alias("bsz"))
+        capped = (
+            banded.join(sizes, ["band", "band_hash"])
+            .withColumn(
+                "band_hash",
+                F.when(
+                    F.col("bsz") > cfg.bucket_cap,
+                    # fold the salt into the bucket key: disjoint sub-buckets
+                    F.xxhash64(
+                        F.col("band_hash"),
+                        F.pmod(F.xxhash64(F.col(id_col)), F.lit(cfg.salt_buckets)),
+                    ),
+                ).otherwise(F.col("band_hash")),
+            )
+            .drop("bsz")
+        )
+    else:
+        raise ValueError(f"unknown skew_mode {skew_mode!r}")
     left = capped.select("band", "band_hash", F.col(id_col).alias("a"))
     right = capped.select("band", "band_hash", F.col(id_col).alias("b"))
     return (

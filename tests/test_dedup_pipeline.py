@@ -55,6 +55,25 @@ def test_lsh_candidates_find_identical_sets(spark):
     assert capped_docs(banded, cfg, "id") == 0
 
 
+def test_lsh_salt_mode_bounds_pairs(spark):
+    """Salting splits an oversized bucket into sub-buckets: every member
+    still participates, pair count shrinks ~s-fold, small buckets intact."""
+    cfg = PipelineConfig(num_perms=32, bands=8, rows_per_band=4, bucket_cap=8, salt_buckets=4)
+    same = [20, 21, 22, 23, 24]
+    rows = [(i, same) for i in range(100)]          # one giant bucket per band
+    rows += [(1000, [7, 8, 9]), (1001, [7, 8, 9])]  # small bucket must survive
+    df = spark.createDataFrame(rows, ["id", "shingle_hashes"])
+    banded = band_hashes(minhash_signatures(df, cfg), cfg, "id")
+    cands = candidate_pairs(banded, cfg, "id", skew_mode="salt")
+    pairs = {(r.a, r.b) for r in cands.collect()}
+    assert (1000, 1001) in pairs
+    giant = [p for p in pairs if p[0] < 1000]
+    # unsalted would be C(100,2) = 4950; 4 salts -> ~4 * C(25,2) = 1200
+    assert 800 < len(giant) < 2500
+    participants = {x for p in giant for x in p}
+    assert len(participants) == 100  # nobody dropped (unlike cap mode)
+
+
 def test_lsh_bucket_cap_bounds_pairs(spark):
     """Skew fixture (FIXTURES.md §4): one degenerate bucket; cap bounds the
     self-join and the drop count is observable."""
