@@ -75,7 +75,14 @@ def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _portable_cfg() -> PipelineConfig:
-    return PipelineConfig(num_perms=N_PERMS, bands=N_BANDS, rows_per_band=N_PERMS // N_BANDS)
+    # bucket_cap is set far beyond any sf's bucket size: the DuckDB oracle for
+    # lsh_candidates self-joins buckets UNcapped, so the Spark side must not
+    # truncate (ADVICE r1: default cap=64 silently diverges once a bucket
+    # exceeds it at larger sf).
+    return PipelineConfig(
+        num_perms=N_PERMS, bands=N_BANDS, rows_per_band=N_PERMS // N_BANDS,
+        bucket_cap=10**9,
+    )
 
 
 # =====================================================================
@@ -211,7 +218,9 @@ def q_doc_pair_jaccard(spark, sf_dir):
 
 def q_minhash_signatures(spark, sf_dir):
     """(doc_id, perm, sig) — portable MinHash, oracle-replayed in SQL."""
-    signed = minhash_signatures(_doc_shingle_hashes(spark, sf_dir), _portable_cfg(), "shingle_hashes")
+    signed = minhash_signatures(
+        _doc_shingle_hashes(spark, sf_dir), _portable_cfg(), "shingle_hashes", materialize=True
+    )
     return signed.select(
         "doc_id", F.posexplode("sig").alias("perm", "sig")
     ).select("doc_id", F.col("perm").cast("long").alias("perm"), "sig")
@@ -412,7 +421,7 @@ FROM e WHERE src <> dst"""
     sql["k3_rowsum_weighted"] = f"""
 WITH e AS ({_LI_EDGES_RAW}),
 pw AS (SELECT p_partkey AS dst, CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS w FROM part)
-SELECT e.src AS vertex, sum(w) AS volume FROM e JOIN pw USING (dst) GROUP BY e.src"""
+SELECT e.src AS vertex, CAST(sum(w) AS BIGINT) AS volume FROM e JOIN pw USING (dst) GROUP BY e.src"""
     sql["k4_k6_edge_jaccard"] = f"""
 WITH {_COPART.strip()}
 SELECT p.a, p.b, p.inter,
@@ -423,12 +432,12 @@ FROM pairs p JOIN deg da ON da.v = p.a JOIN deg db ON db.v = p.b"""
 WITH adj AS (SELECT DISTINCT l_orderkey AS v, l_partkey AS p FROM lineitem WHERE l_orderkey % {PAIR_MOD} = 0),
 pw AS (SELECT p_partkey AS p, CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS w FROM part),
 wadj AS (SELECT v, adj.p, w FROM adj JOIN pw USING (p)),
-vol AS (SELECT v, sum(w) AS vol FROM wadj GROUP BY v),
+vol AS (SELECT v, CAST(sum(w) AS BIGINT) AS vol FROM wadj GROUP BY v),
 cpairs AS (SELECT a.v AS a, b.v AS b FROM adj a JOIN adj b ON a.p = b.p AND a.v < b.v GROUP BY 1, 2),
-wint AS (SELECT a.v AS a, b.v AS b, sum(pw.w) AS wi
+wint AS (SELECT a.v AS a, b.v AS b, CAST(sum(pw.w) AS BIGINT) AS wi
          FROM adj a JOIN adj b ON a.p = b.p AND a.v < b.v JOIN pw ON pw.p = a.p
          GROUP BY 1, 2)
-SELECT c.a, c.b, COALESCE(w.wi, 0) AS wi, va.vol AS vol_a, vb.vol AS vol_b,
+SELECT c.a, c.b, CAST(COALESCE(w.wi, 0) AS BIGINT) AS wi, va.vol AS vol_a, vb.vol AS vol_b,
        CAST(COALESCE(w.wi, 0) AS DOUBLE) / CAST(va.vol + vb.vol - COALESCE(w.wi, 0) AS DOUBLE) AS jaccard
 FROM cpairs c LEFT JOIN wint w ON w.a = c.a AND w.b = c.b
 JOIN vol va ON va.v = c.a JOIN vol vb ON vb.v = c.b"""
@@ -474,10 +483,10 @@ FROM bands x JOIN bands y ON x.band = y.band AND x.band_hash = y.band_hash AND x
     sql["doc_fingerprint"] = f"""
 WITH tok AS (SELECT doc_id, {_TOKS} AS tk FROM documents)
 SELECT doc_id,
-       CASE WHEN len(tk) = 0 THEN 0 ELSE
+       CAST(CASE WHEN len(tk) = 0 THEN 0 ELSE
          list_sum(list_transform(range(1, len(tk) + 1),
            i -> (i * (('0x' || substr(md5(tk[i]), 1, 15))::BIGINT % 4294967296)) % {textstats.MOD_P}))
-         % {textstats.MOD_P} END AS fp
+         % {textstats.MOD_P} END AS BIGINT) AS fp
 FROM tok"""
     # lang_id: stopword votes, argmax in sorted-lang order with strict >
     langs = sorted(textstats.STOPWORDS)

@@ -21,12 +21,19 @@ from sycl_jaccard_spark.sources.tables import TESTDATA_TABLES  # noqa: E402
 
 
 def canon(val):
+    # Type-tagged: the driver's value hash is dtype-sensitive (an int64 5 and
+    # a float64 5.0 hash differently), so 5.0 == 5 must NOT compare equal here
+    # — that leniency hid the r1 DuckDB HUGEINT→float oracle dtype bug.
     if val is None:
         return None
+    if isinstance(val, bool):
+        return ("b", val)
+    if isinstance(val, int):
+        return ("i", val)
     if isinstance(val, float):
         if math.isnan(val):
-            return "nan"
-        return float(val)
+            return ("f", "nan")
+        return ("f", float(val))
     if isinstance(val, (list, tuple)):
         return tuple(canon(v) for v in val)
     return val
