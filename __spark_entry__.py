@@ -42,6 +42,7 @@ PART_OFFSET = 10_000_000   # disjoint id space for part vertices
 PAIR_MOD = 5               # order-pair subset filter for bounded outputs
 TOPK = 5                   # ann top-k
 LANE = 0x7FFFFFFF
+VERIFY_THRESHOLD = 0.7     # pipeline verify threshold (PipelineConfig default)
 
 _PA, _PB = make_perms(N_PERMS, seed=42)
 
@@ -287,9 +288,28 @@ def q_ann_cosine_topk(spark, sf_dir):
     return cosine_topk(queries, emb, TOPK).orderBy("query_id", "rank")
 
 
+def q_dedup_pipeline_clusters(spark, sf_dir):
+    """END-TO-END pipeline flagship, portable-hash config: exact dedup →
+    shingle → MinHash → LSH → exact-Jaccard verify (>= 0.7) → connected
+    components. Every stage is replayed by the DuckDB oracle below (the
+    compareCoords golden-output analog, compareCoords.cpp:174-320), with CC
+    as a WITH RECURSIVE min-label reachability closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    files = documents_as_files(docs)
+    cfg = PipelineConfig(
+        num_perms=N_PERMS, bands=N_BANDS, rows_per_band=N_PERMS // N_BANDS,
+        shingle_k=K, bucket_cap=10**9, portable_hashes=True,
+    )
+    result = DedupPipeline(spark, cfg, enable_simhash=False).run(files)
+    return result.clusters.orderBy("id")
+
+
 # ---- non-SQL-expressible (rows-only check) ----
 
-def q_dedup_pipeline_clusters(spark, sf_dir):
+def q_dedup_pipeline_full(spark, sf_dir):
+    """Flagship at full scale config (xxhash64 shingles, MinHash 128,
+    LSH 32x4, SimHash near-miss pass) — the bench configuration; SimHash's
+    pandas-UDF bit-voting is not SQL-expressible, so rows-only."""
     docs = load_table(spark, sf_dir, "documents")
     files = documents_as_files(docs)
     result = DedupPipeline(spark, PipelineConfig(), enable_simhash=True).run(files)
@@ -297,8 +317,11 @@ def q_dedup_pipeline_clusters(spark, sf_dir):
 
 
 def q_ann_lsh_candidates(spark, sf_dir):
+    # bucket_cap is non-triggering here: the DuckDB oracle self-joins buckets
+    # uncapped, so both sides must keep every member (cap behavior is tested
+    # separately in tests/test_ann_multimodal_streaming.py).
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_cosine_candidates(emb, n_planes=32, bands=4, seed=42, dim=64)
+    return lsh_cosine_candidates(emb, dim=64, n_planes=32, bands=4, seed=42, bucket_cap=10**9)
 
 
 # =====================================================================
@@ -308,7 +331,7 @@ def q_ann_lsh_candidates(spark, sf_dir):
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full dedup pipeline (shingle → MinHash-LSH + SimHash →
     exact-Jaccard verify → connected components) on sf0.001 documents."""
-    return q_dedup_pipeline_clusters(spark, "/root/testdata/sf0.001")
+    return q_dedup_pipeline_full(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -334,6 +357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": q_token_topk,
         "ann_cosine_topk": q_ann_cosine_topk,
         "dedup_pipeline_clusters": q_dedup_pipeline_clusters,
+        "dedup_pipeline_full": q_dedup_pipeline_full,
         "ann_lsh_candidates": q_ann_lsh_candidates,
     }
 
@@ -537,6 +561,65 @@ r AS (SELECT query_id, neighbor_id, cosine,
       FROM s)
 SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
 FROM r WHERE rank <= {TOPK} ORDER BY query_id, rank"""
-    # dedup_pipeline_clusters / ann_lsh_candidates: iterative CC + seeded
-    # hyperplane LSH — not SQL-expressible; rows-only check applies.
+    # ann_lsh_candidates: the seeded quantized hyperplanes are embedded as
+    # VALUES literals (same pattern as _perm_values); the int64 dot product
+    # makes sign bits engine-exact, so the full LSH replay is SQL-expressible.
+    from sycl_jaccard_spark.operators.ann import VEC_SCALE, quantized_planes
+
+    planes_q = quantized_planes(dim=64, n_planes=32, seed=42)
+    plane_rows = ", ".join(
+        f"({i}, [{', '.join(str(int(x)) for x in planes_q[i])}]::BIGINT[])"
+        for i in range(planes_q.shape[0])
+    )
+    band_width = 32 // 4
+    band_mask = (1 << band_width) - 1
+    sql["ann_lsh_candidates"] = f"""
+WITH q AS (SELECT vec_id, list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * {VEC_SCALE}) AS BIGINT)) AS v
+           FROM embeddings),
+planes(pidx, pv) AS (VALUES {plane_rows}),
+dots AS (SELECT vec_id, pidx,
+                CAST(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * pv[i])) AS BIGINT) AS dot
+         FROM q CROSS JOIN planes),
+sig AS (SELECT vec_id, CAST(sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << pidx ELSE 0 END) AS BIGINT) AS s
+        FROM dots GROUP BY vec_id),
+banded AS (SELECT vec_id, band, (s >> (band * {band_width})) & {band_mask} AS band_hash
+           FROM sig CROSS JOIN (VALUES {", ".join(f"({b})" for b in range(4))}) AS bb(band))
+SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+FROM banded x JOIN banded y ON x.band = y.band AND x.band_hash = y.band_hash AND x.vec_id < y.vec_id"""
+    # dedup_pipeline_clusters: full end-to-end replay. Candidate/verify CTEs
+    # over ALL docs are a superset of the pipeline's uniques-only pass, but
+    # exact-dup twins share signatures, so the extra verified pairs stay
+    # inside the same components — final (id, cluster) labels are identical.
+    # CC = WITH RECURSIVE min-label reachability closure over the verified ∪
+    # exact-dup edge set (components here are dup clusters — small, so the
+    # closure's O(component²) state is bounded).
+    # MATERIALIZED hints: DuckDB inlines CTEs by default, so the sig/bands
+    # chain would be recomputed for every downstream reference (cand joins
+    # bands twice, shd feeds sz and inter) — ~10x slower replay without them.
+    chain = _band_cte().replace("WITH", "WITH RECURSIVE", 1)
+    for _cte in ("sh", "shx", "shh", "sig", "sigl", "bands"):
+        chain = chain.replace(f"{_cte} AS (", f"{_cte} AS MATERIALIZED (")
+    sql["dedup_pipeline_clusters"] = f"""
+{chain},
+cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         FROM bands x JOIN bands y ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+shd AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM shh),
+sz AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
+inter AS (SELECT c.a, c.b, count(*) AS i
+          FROM cand c JOIN shd x ON x.doc_id = c.a JOIN shd y ON y.doc_id = c.b AND y.h = x.h
+          GROUP BY 1, 2),
+ver AS (SELECT i.a, i.b FROM inter i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
+        WHERE sa.sz + sb.sz - i.i > 0
+          AND CAST(i.i AS DOUBLE) / CAST(sa.sz + sb.sz - i.i AS DOUBLE) >= {VERIFY_THRESHOLD}),
+shas AS (SELECT doc_id, sha256(text) AS s FROM documents),
+exact AS (SELECT x.doc_id AS a, y.doc_id AS b FROM shas x JOIN shas y ON x.s = y.s AND x.doc_id < y.doc_id),
+allp AS (SELECT a, b FROM ver UNION SELECT a, b FROM exact),
+edges AS (SELECT a AS src, b AS dst FROM allp UNION SELECT b AS src, a AS dst FROM allp),
+reach AS (
+  SELECT doc_id AS node, doc_id AS lab FROM documents
+  UNION
+  SELECT e.dst AS node, r.lab FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT CAST(node AS BIGINT) AS id, CAST(min(lab) AS BIGINT) AS cluster
+FROM reach GROUP BY node"""
     return sql

@@ -101,17 +101,26 @@ def main() -> None:
         # best of 2 per subprocess (outer loop interleaves): this sandbox has noisy-neighbor variance up to 2x; the
         # first run also pays JIT warmup. Best-of repeats measures the
         # engine, not the neighbors.
-        walls = []
+        walls, best_metrics = [], None
         for _ in range(2):
+            pipe = DedupPipeline(spark, PipelineConfig(), enable_simhash=True, count_rows=False)
             t0 = time.monotonic()
-            res = DedupPipeline(
-                spark, PipelineConfig(), enable_simhash=True, count_rows=False
-            ).run(files)
+            res = pipe.run(files)
             res.clusters.count()
             walls.append(time.monotonic() - t0)
+            if walls[-1] == min(walls):
+                best_metrics = pipe.metrics
+            # release run 1's localCheckpoint RDDs before run 2: they pin
+            # executor memory until the JVM ContextCleaner notices the driver
+            # references died, which measurably slows the second repeat
+            res = pipe = None
+            spark._jvm.System.gc()
         wall = min(walls)
         spark.stop()
-        print(json.dumps({"wall_s": wall, "files_per_sec": n / wall, "n_files": n, "runs": walls}))
+        print(json.dumps({
+            "wall_s": wall, "files_per_sec": n / wall, "n_files": n, "runs": walls,
+            "stages": {m["stage"]: m["wall_s"] for m in best_metrics},
+        }))
         return
 
     if "--scaling" in sys.argv:
@@ -185,6 +194,17 @@ def main() -> None:
                 )
                 + f"\nScaling efficiency N->{ratio}N: eff = throughput({n_hi}) / "
                 f"({ratio} x throughput({n_lo})) = **{eff:.3f}** (north-rule target >= 0.8).\n\n"
+                "Per-stage wall seconds (best run per level; candidate generation is "
+                "lazy and lands inside `verify`):\n\n"
+                "| stage | " + " | ".join(f"local[{c}]" for c in report) + " |\n"
+                "|---|" + "---|" * len(report) + "\n"
+                + "".join(
+                    f"| {stage} | "
+                    + " | ".join(f"{report[c]['stages'].get(stage, 0):.2f}" for c in report)
+                    + " |\n"
+                    for stage in report[n_hi]["stages"]
+                )
+                + "\n"
                 "Notes: (1) local-mode threads share one JVM, one shuffle disk and "
                 "the Python UDF worker pool — a conservative lower bound on multi-"
                 "executor scaling; (2) this sandbox's 32 advertised CPUs are over-"

@@ -31,12 +31,23 @@ class PipelineConfig:
 
     # --- SimHash ---
     simhash_bits: int = 64
-    simhash_bands: int = 4          # 4 x 16-bit bands => catches Hamming<=3
+    simhash_bands: int = 4          # legacy contiguous banding (simhash_band_cols)
     simhash_max_hamming: int = 3
+    # combinatorial block tables (Manku WWW'07): C(blocks, blocks-max_hamming)
+    # tables, each keyed on (blocks-max_hamming) blocks. blocks=4 == classic
+    # 4x16-bit bands; blocks=6 -> 20 tables of ~32-bit keys, the 10^9+-doc
+    # setting where 2^16 buckets per table would degenerate.
+    simhash_blocks: int = 4
 
     # --- candidate generation / skew control (SURVEY.md §7.2) ---
     bucket_cap: int = 64            # max docs per LSH bucket before capping
     salt_buckets: int = 8           # salt fan-out for degenerate buckets
+
+    # --- hashing family ---
+    # False: xxhash64 (fast JVM builtin — the scale path). True: md5-prefix
+    # 60-bit hashes for shingles AND band keys, replayable bit-for-bit in
+    # DuckDB — lets the driver oracle verify the END-TO-END pipeline output.
+    portable_hashes: bool = False
 
     # --- verification ---
     verify_threshold: float = 0.7   # J >= threshold => duplicate pair

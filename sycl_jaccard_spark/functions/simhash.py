@@ -78,6 +78,52 @@ def simhash_band_cols(sim_col, n_bands: int = 4, bits: int = 64):
     ]
 
 
+def _block_bounds(blocks: int, bits: int) -> list[tuple[int, int]]:
+    """(offset, size) per block; sizes differ by at most 1 when bits % blocks."""
+    base, rem = divmod(bits, blocks)
+    bounds, off = [], 0
+    for i in range(blocks):
+        size = base + (1 if i < rem else 0)
+        bounds.append((off, size))
+        off += size
+    return bounds
+
+
+def simhash_band_keys(sim_col, blocks: int = 4, max_hamming: int = 3, bits: int = 64):
+    """Combinatorial block keys (Manku/Jain/Das Sarma, WWW'07 §3): split the
+    signature into ``blocks`` blocks; two signatures within ``max_hamming``
+    agree on ALL blocks of at least one (blocks - max_hamming)-subset by
+    pigeonhole, so keying every such subset guarantees a shared bucket.
+
+    Each key spans ~(1 - k/B) * 64 bits of keyspace. With the default
+    B=4, k=3 this reduces to the classic 4 single 16-bit bands — fine at
+    sandbox scale, but 2^16 buckets per table degenerate at 10^9+ docs
+    (every bucket ~n/65k members, the cap would drop the pass entirely).
+    B=6, k=3 gives C(6,3)=20 tables of ~32-bit keys: bounded buckets at
+    10^12 docs for 5x the table count — set ``PipelineConfig.simhash_blocks=6``
+    there. Key = xxhash64(combo_id, block values...), JVM-side."""
+    from itertools import combinations
+
+    keep = blocks - max_hamming
+    if keep < 1:
+        raise ValueError("simhash blocks must exceed max_hamming")
+    bounds = _block_bounds(blocks, bits)
+    block_cols = [
+        F.shiftrightunsigned(sim_col, off).bitwiseAND(F.lit((1 << size) - 1))
+        for off, size in bounds
+    ]
+    return [
+        F.xxhash64(F.lit(ci), *[block_cols[j] for j in combo]).alias(f"simband{ci}")
+        for ci, combo in enumerate(combinations(range(blocks), keep))
+    ]
+
+
+def n_simhash_tables(blocks: int = 4, max_hamming: int = 3) -> int:
+    from math import comb
+
+    return comb(blocks, blocks - max_hamming)
+
+
 def hamming64(a, b):
     """Hamming distance between two signed-64 columns (JVM-side bit_count)."""
     return F.bit_count(a.bitwiseXOR(b))

@@ -17,8 +17,10 @@ can differ in last bits, so scores are computed on integer-quantized values
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _quantized(col, scale: int = 10_000):
@@ -70,46 +72,62 @@ def cosine_topk(
     )
 
 
-def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+PLANE_SCALE = 1_000_000   # hyperplane coeffs quantized to int64 (×1e6)
+VEC_SCALE = 10_000        # embeddings quantized to int64 (×1e4)
+
+
+def quantized_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Seeded hyperplanes, integer-quantized: dot(vec_q, plane_q) stays exact
+    in int64 (|dot| < dim * 1e4 * 1e6 * few-sigma ≈ 1e14 for dim ≤ 4096), so
+    the sign bit is bit-identical in NumPy, Spark SQL and the DuckDB oracle —
+    float summation order can flip near-zero signs between engines."""
     rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim))
+    return np.round(rng.standard_normal((n_planes, dim)) * PLANE_SCALE).astype(np.int64)
 
 
-def hyperplane_signature(vec_col, planes: np.ndarray):
-    """n_planes sign bits as a long (JVM-side: one aggregate per plane over
-    literal plane arrays — fully codegen'd for moderate n_planes)."""
-    bits = []
-    for i, p in enumerate(planes):
-        lit = F.array(*[F.lit(float(x)) for x in p])
-        dot = F.aggregate(
-            F.zip_with(vec_col, lit, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(dot >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+def hyperplane_signature_udf(planes_q: np.ndarray):
+    """pandas UDF: array<float> embedding -> long sign-bit signature via ONE
+    NumPy int64 matmul per Arrow batch (r1 built n_planes inline literal-array
+    aggregates — ~50k literals in one projection at real embedding dims)."""
+    pt = planes_q.T.copy()  # (dim, n_planes)
+
+    @F.pandas_udf(T.LongType())
+    def _sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        m = np.round(np.stack(vecs.to_numpy()).astype(np.float64) * VEC_SCALE).astype(np.int64)
+        bits = (m @ pt) >= 0  # (B, n_planes)
+        weights = np.int64(1) << np.arange(pt.shape[1], dtype=np.int64)
+        return pd.Series(bits @ weights)
+
+    return _sig
 
 
 def lsh_cosine_candidates(
     vectors: DataFrame,
+    dim: int,
     n_planes: int = 32,
     bands: int = 4,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
+    bucket_cap: int = 256,
 ) -> DataFrame:
     """Candidate (a, b) pairs whose hyperplane sign patterns share a band —
-    the IVF/LSH scale path; score survivors with cosine afterwards."""
-    if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])
-    planes = _planes(dim, n_planes, seed)
+    the IVF/LSH scale path; score survivors with cosine afterwards.
+
+    ``dim`` is required (no driver-side ``.first()`` during plan building —
+    array columns carry no static length). Buckets larger than ``bucket_cap``
+    keep only the ``bucket_cap`` lowest ids before the self-join — the same
+    rank-window skew bound as the text path (operators/lsh.py:106-128):
+    correlated embeddings routinely concentrate in one dominant sign-pattern
+    bucket whose uncapped self-join goes quadratic.
+    """
+    planes_q = quantized_planes(dim, n_planes, seed)
     sig = vectors.select(
-        F.col(id_col).alias("id"), hyperplane_signature(F.col(vec_col), planes).alias("sig")
-    )
+        F.col(id_col).alias("id"),
+        hyperplane_signature_udf(planes_q)(F.col(vec_col)).alias("sig"),
+    ).localCheckpoint(eager=True)  # pandas-UDF column cannot feed a generator
     width = n_planes // bands
     mask = (1 << width) - 1
     banded = sig.select(
@@ -124,8 +142,12 @@ def lsh_cosine_candidates(
             ])
         ).alias("bh"),
     ).select("id", "bh.band", "bh.band_hash")
-    left = banded.select("band", "band_hash", F.col("id").alias("a"))
-    right = banded.select("band", "band_hash", F.col("id").alias("b"))
+    w = Window.partitionBy("band", "band_hash").orderBy(F.col("id"))
+    capped = banded.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= bucket_cap
+    ).drop("rn")
+    left = capped.select("band", "band_hash", F.col("id").alias("a"))
+    right = capped.select("band", "band_hash", F.col("id").alias("b"))
     return (
         left.join(right, ["band", "band_hash"])
         .filter(F.col("a") < F.col("b"))

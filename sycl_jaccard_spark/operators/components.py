@@ -34,35 +34,35 @@ _LABEL_SCHEMA = T.StructType(
 
 
 def _driver_union_find(pairs: DataFrame) -> DataFrame:
-    """Exact same labels as the distributed path, via driver union-find."""
+    """Exact same labels as the distributed path, via vectorized min-label
+    propagation on the driver (NumPy scatter-min + pointer doubling — the
+    FastSV/Shiloach-Vishkin shape). One Arrow collect, O(E) work per round,
+    O(log n) rounds; replaces the r1 per-edge Python union-find loop whose
+    serial seconds were the largest Amdahl term in the scaling bench."""
+    import numpy as np
+    import pandas as pd
+
     spark = pairs.sparkSession
     pdf = pairs.select(
         F.col("a").cast("long"), F.col("b").cast("long")
     ).toPandas()
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        parent.setdefault(x, x)
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    for a, b in zip(pdf["a"], pdf["b"]):
-        a, b = int(a), int(b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra
-    import pandas as pd
-
-    out = pd.DataFrame(
-        {"node": list(parent.keys()), "label": [find(n) for n in parent]},
-        dtype="int64",
-    )
+    if len(pdf) == 0:
+        return spark.createDataFrame(pd.DataFrame({"node": [], "label": []}, dtype="int64"), _LABEL_SCHEMA)
+    ab = np.concatenate([pdf["a"].to_numpy(np.int64), pdf["b"].to_numpy(np.int64)])
+    nodes, idx = np.unique(ab, return_inverse=True)
+    u, v = idx[: len(pdf)], idx[len(pdf):]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        before = label
+        edge_min = np.minimum(label[u], label[v])
+        label = label.copy()
+        np.minimum.at(label, u, edge_min)
+        np.minimum.at(label, v, edge_min)
+        label = np.minimum(label, label[label])  # pointer doubling
+        label = np.minimum(label, label[label])
+        if np.array_equal(label, before):
+            break
+    out = pd.DataFrame({"node": nodes, "label": nodes[label]})
     return spark.createDataFrame(out, _LABEL_SCHEMA)  # Arrow path
 
 
@@ -103,7 +103,10 @@ def connected_components(
     """(node, label) for every node appearing in ``pairs`` (a, b)."""
     pairs = pairs.select("a", "b").filter(F.col("a") != F.col("b"))
     if driver_threshold > 0:
-        n_pairs = pairs.limit(driver_threshold + 1).count()
+        # full parallel count, not limit(N+1).count(): GlobalLimit funnels up
+        # to N rows through ONE task — a serial scan that anti-scales. Callers
+        # pass a materialized pair relation, so counting it is one cheap job.
+        n_pairs = pairs.count()
         if n_pairs <= driver_threshold:
             return _driver_union_find(pairs)
 
@@ -130,14 +133,22 @@ def connected_components(
         return (row.n, row.h)
 
     prev_sig = None
+    converged = False
     for it in range(max_iterations):
         edges = _round(edges)
         if (it + 1) % checkpoint_every == 0:
             edges = edges.localCheckpoint(eager=True)
         sig = signature(edges)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # returning silently would hand back wrong (partially merged) labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "star rounds; raise max_iterations (O(log^2 n) expected)"
+        )
 
     # fixpoint is a star forest of (node, root) directed edges
     labels = edges.groupBy("u").agg(F.min("v").alias("label")).select(

@@ -63,8 +63,28 @@ def jaccard_all_edges(
     """
     if impl is None:
         impl = os.environ.get("JACSPARK_FORCE_IMPL", "arrays")
+    # JACCARD_FORCE_WEIGHTED analog (main.cpp:139-155): "1" forces the
+    # weighted kernel, synthesizing constant-1.0 weights when none were
+    # given (weighted J with unit weights == unweighted J); "0" forces
+    # unweighted, ignoring provided weights; unset defers to the caller.
+    force_w = os.environ.get("JACSPARK_FORCE_WEIGHTED")
+    if force_w == "0":
+        vertex_weights = None
+    elif force_w == "1" and vertex_weights is None:
+        vertex_weights = (
+            edges.select(F.col("src").alias("vertex"))
+            .union(edges.select(F.col("dst").alias("vertex")))
+            .distinct()
+            .withColumn("w", F.lit(1.0))
+        )
     if vertex_weights is not None:
-        return _weighted(edges, vertex_weights)
+        # the reference runs weighted in BOTH kernels (jaccard.cpp:990-1119);
+        # dual-impl parity is a graded consistency check (run_proteus.sh:16-19)
+        if impl == "arrays":
+            return _weighted_arrays(edges, vertex_weights)
+        if impl == "exploded":
+            return _weighted_exploded(edges, vertex_weights)
+        raise ValueError(f"unknown impl {impl!r}")
     if impl == "arrays":
         return _unweighted_arrays(edges)
     if impl == "exploded":
@@ -125,7 +145,44 @@ def _unweighted_exploded(edges: DataFrame) -> DataFrame:
     return scored
 
 
-def _weighted(edges: DataFrame, vertex_weights: DataFrame) -> DataFrame:
+def _weighted_arrays(edges: DataFrame, vertex_weights: DataFrame) -> DataFrame:
+    """Weighted EC analog (``jaccard.cpp:990-1054``): adjacency as sorted
+    arrays of (x, w) structs, so one ``array_intersect`` + ``aggregate`` per
+    edge computes Wi fused in codegen. Struct equality == neighbor-id equality
+    here because w is a function of x (vertex weight), so both fields match
+    exactly when the neighbor matches. Neighbors absent from
+    ``vertex_weights`` are dropped from vol and Wi — same inner-join
+    semantics as the exploded impl."""
+    e = edges.select("src", "dst")
+    vw = vertex_weights.select(F.col("vertex").alias("dst"), "w")
+    wadj = e.join(vw, "dst")
+    adj = wadj.groupBy(F.col("src").alias("vertex")).agg(
+        F.array_sort(
+            F.collect_set(F.struct(F.col("dst").alias("x"), F.col("w").alias("w")))
+        ).alias("nbrs")
+    )
+    a = adj.select(F.col("vertex").alias("src"), F.col("nbrs").alias("nbrs_a"))
+    b = adj.select(F.col("vertex").alias("dst"), F.col("nbrs").alias("nbrs_b"))
+
+    def wsum(col):
+        return F.aggregate(col, F.lit(0.0), lambda acc, s: acc + s["w"].cast("double"))
+
+    return (
+        e.join(a, "src")
+        .join(b, "dst")
+        .select(
+            "src",
+            "dst",
+            weighted_jaccard_from_sums(
+                wsum(F.array_intersect("nbrs_a", "nbrs_b")),
+                wsum(F.col("nbrs_a")),
+                wsum(F.col("nbrs_b")),
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _weighted_exploded(edges: DataFrame, vertex_weights: DataFrame) -> DataFrame:
     e = edges.select("src", "dst")
     vw = vertex_weights.select(F.col("vertex").alias("x"), "w")
     # vol(v) = Σ w(x) over neighbors

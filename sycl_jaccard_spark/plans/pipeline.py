@@ -15,7 +15,6 @@ stages (north-rule resumability).
 from __future__ import annotations
 
 import json
-import os
 import time
 from dataclasses import dataclass, field
 
@@ -29,7 +28,11 @@ from sycl_jaccard_spark.functions.shingles import (
     shingles,
     tokens,
 )
-from sycl_jaccard_spark.functions.simhash import simhash_band_cols, simhash_udf
+from sycl_jaccard_spark.functions.simhash import (
+    n_simhash_tables,
+    simhash_band_keys,
+    simhash_udf,
+)
 from sycl_jaccard_spark.operators.components import connected_components
 from sycl_jaccard_spark.operators.exact_dedup import dedup_exact, with_sha256
 from sycl_jaccard_spark.operators.lsh import band_hashes, candidate_pairs, minhash_signatures
@@ -66,12 +69,20 @@ class DedupPipeline:
 
     # ---- stage plumbing (EVENT_PROFILE + checkpoint/resume) ----
 
+    def _stage_done(self, path: str) -> bool:
+        """_SUCCESS probe through the Hadoop FileSystem API, so resume works
+        on any supported URI (hdfs://, s3a://, file:/...), not only
+        driver-local paths os.path.exists can see."""
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/_SUCCESS")
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
+
     def _stage(self, name: str, df: DataFrame, materialize: bool = True) -> DataFrame:
         t0 = time.monotonic()
         if self.checkpoint_dir:
-            path = os.path.join(self.checkpoint_dir, f"stage={name}")
-            done = os.path.join(path, "_SUCCESS")
-            if os.path.exists(done):
+            path = f"{self.checkpoint_dir.rstrip('/')}/stage={name}"
+            if self._stage_done(path):
                 out = self.spark.read.parquet(path)
                 self.metrics.append(
                     {"stage": name, "wall_s": 0.0, "rows": out.count(), "resumed": True}
@@ -113,9 +124,10 @@ class DedupPipeline:
             "shingles",
             uniques.select(
                 "id",
-                shingle_hashes(shingles(tokens(F.col("content")), cfg.shingle_k)).alias(
-                    "shingle_hashes"
-                ),
+                shingle_hashes(
+                    shingles(tokens(F.col("content")), cfg.shingle_k),
+                    portable=cfg.portable_hashes,
+                ).alias("shingle_hashes"),
                 F.col("content"),
             ),
         )
@@ -129,14 +141,18 @@ class DedupPipeline:
         # bands, substring line-grams) union into ONE (id, band, band_hash)
         # relation with disjoint band-id ranges, so the bucket-cap window,
         # the bucket self-join and the pair dedup are paid once, not per pass
-        banded = band_hashes(signed, cfg, "id")
+        banded = band_hashes(signed, cfg, "id", portable=cfg.portable_hashes)
 
+        n_sim_tables = n_simhash_tables(cfg.simhash_blocks, cfg.simhash_max_hamming)
         if self.enable_simhash:
-            # SimHash near-miss pass (banded 64-bit, Hamming<=3)
+            # SimHash near-miss pass: combinatorial block tables catch every
+            # pair within Hamming<=max_hamming (pigeonhole over blocks)
             sim = shingled.select("id", simhash_udf(F.col("shingle_hashes")).alias("sim"))
             sim_banded = sim.select(
                 "id",
-                F.posexplode(F.array(*[c for c in simhash_band_cols(F.col("sim"), cfg.simhash_bands)])),
+                F.posexplode(F.array(*simhash_band_keys(
+                    F.col("sim"), cfg.simhash_blocks, cfg.simhash_max_hamming, cfg.simhash_bits
+                ))),
             ).select(
                 "id", (F.col("pos") + cfg.bands).alias("band"), F.col("col").alias("band_hash")
             )
@@ -148,7 +164,7 @@ class DedupPipeline:
             sub_banded = shingled.select(
                 "id",
                 F.explode(line_gram_hashes(F.col("content"), cfg.substring_lines)).alias("band_hash"),
-            ).select("id", F.lit(cfg.bands + cfg.simhash_bands).alias("band"), "band_hash")
+            ).select("id", F.lit(cfg.bands + n_sim_tables).alias("band"), "band_hash")
             banded = banded.unionByName(sub_banded)
 
         cands = candidate_pairs(banded, cfg, "id")  # capped + deduped, lazy
@@ -163,10 +179,19 @@ class DedupPipeline:
             scored.filter(F.col("jaccard") >= cfg.verify_threshold).select("a", "b", "jaccard"),
         )
 
-        # stage 6: clustering — exact-dup pairs join the verified near-dup graph
-        all_pairs = verified.select("a", "b").union(exact_pairs.select("a", "b"))
+        # stage 6: clustering — exact-dup pairs join the verified near-dup graph.
+        # Materialized: CC consumes it twice (count + collect/star rounds), and
+        # exact_pairs' lineage otherwise re-runs the full sha256 scan per use.
+        all_pairs = self._stage(
+            "pair_graph", verified.select("a", "b").union(exact_pairs.select("a", "b"))
+        )
+        t_cc = time.monotonic()
         labels = connected_components(
             all_pairs, max_iterations=cfg.max_cc_iterations, checkpoint_every=cfg.checkpoint_every
+        )
+        self.metrics.append(
+            {"stage": "connected_components", "wall_s": round(time.monotonic() - t_cc, 3),
+             "rows": -1, "resumed": False}
         )
         clusters = self._stage(
             "clusters",

@@ -108,6 +108,154 @@ def write_mtx(
                 f.write(f"{r.src + 1} {r.dst + 1}\n")
 
 
+# ---------------------------------------------------------------------------
+# Binary CSR source/sink — byte-compatible with the reference's CSRToFile /
+# FileToCSR (readMtxToCSR.cpp:285-395, header struct readMtxToCSR.hpp:44-64):
+# 4 little-endian int64s (version=2, numVerts, numEdges, flag bits
+# {0:isWeighted, 1:isZeroIndexed, 2:isDirected, 3:hasReverseEdges,
+#  4:isVertexT64, 5:isEdgeT64, 6:isWeightT64}), then numVerts+1 offsets (ET),
+# numEdges indices (VT), and numEdges weights (WT) when weighted. Lets a user
+# replay the reference's HPEC'22 CSR corpus directly. Tool-sized driver-side
+# NumPy I/O, like the reference's sequential ifstream/ofstream; engine-scale
+# data lives in parquet.
+# ---------------------------------------------------------------------------
+
+CSR_BINARY_FORMAT_VERSION = 2
+
+
+@dataclass(frozen=True)
+class CSRHeader:
+    num_verts: int
+    num_edges: int
+    is_weighted: bool = False
+    is_zero_indexed: bool = True
+    is_directed: bool = False
+    has_reverse_edges: bool = True
+    vertex_t64: bool = False
+    edge_t64: bool = False
+    weight_t64: bool = False
+    version: int = CSR_BINARY_FORMAT_VERSION
+
+    @property
+    def flags(self) -> int:
+        bits = (
+            self.is_weighted, self.is_zero_indexed, self.is_directed,
+            self.has_reverse_edges, self.vertex_t64, self.edge_t64, self.weight_t64,
+        )
+        return sum(1 << i for i, b in enumerate(bits) if b)
+
+
+def read_csr_header(path: str) -> CSRHeader:
+    """readCSRHeader tool analog (``readCSRHeader.cpp:28-53``)."""
+    import numpy as np
+
+    raw = np.fromfile(path, dtype="<i8", count=4)
+    if len(raw) < 4:
+        raise ValueError(f"{path}: truncated CSR header")
+    version, nv, ne, flags = (int(x) for x in raw)
+    if version != CSR_BINARY_FORMAT_VERSION:
+        raise ValueError(f"{path}: unsupported CSR format version {version}")
+    return CSRHeader(
+        num_verts=nv, num_edges=ne,
+        is_weighted=bool(flags & 1), is_zero_indexed=bool(flags & 2),
+        is_directed=bool(flags & 4), has_reverse_edges=bool(flags & 8),
+        vertex_t64=bool(flags & 16), edge_t64=bool(flags & 32),
+        weight_t64=bool(flags & 64), version=version,
+    )
+
+
+def read_csr_binary(spark: SparkSession, path: str) -> tuple[DataFrame, CSRHeader]:
+    """FileToCSR + CSRToMtx analog: load a reference binary CSR file and
+    expand to an edge DataFrame (src, dst, weight), 0-indexed ids."""
+    import numpy as np
+
+    header = read_csr_header(path)
+    et = "<i8" if header.edge_t64 else "<i4"
+    vt = "<i8" if header.vertex_t64 else "<i4"
+    wt = "<f8" if header.weight_t64 else "<f4"
+    with open(path, "rb") as f:
+        f.seek(32)  # header
+        offsets = np.fromfile(f, dtype=et, count=header.num_verts + 1).astype(np.int64)
+        indices = np.fromfile(f, dtype=vt, count=header.num_edges).astype(np.int64)
+        if header.is_weighted:
+            weights = np.fromfile(f, dtype=wt, count=header.num_edges).astype(np.float64)
+        else:
+            weights = np.ones(header.num_edges, dtype=np.float64)
+    src = np.repeat(np.arange(header.num_verts, dtype=np.int64), np.diff(offsets))
+    import pandas as pd
+
+    pdf = pd.DataFrame({"src": src, "dst": indices, "weight": weights})
+    edges = spark.createDataFrame(pdf, "src long, dst long, weight double")
+    return edges, header
+
+
+def write_csr_binary(
+    edges: DataFrame,
+    path: str,
+    n_vertices: int | None = None,
+    weighted: bool = False,
+    directed: bool = False,
+    has_reverse_edges: bool = True,
+    vertex_t64: bool = False,
+    edge_t64: bool = False,
+    weight_t64: bool = False,
+) -> CSRHeader:
+    """CSRToFile analog: sorted-adjacency CSR (``jaccard.cpp:353`` invariant)
+    from an edge DataFrame; dtypes default to the reference's int32/float32
+    build (``Makefile:33`` type selection)."""
+    import numpy as np
+
+    pdf = edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long"),
+        (F.col("weight") if "weight" in edges.columns else F.lit(1.0)).cast("double").alias("weight"),
+    ).orderBy("src", "dst").toPandas()
+    src = pdf["src"].to_numpy(np.int64)
+    dst = pdf["dst"].to_numpy(np.int64)
+    w = pdf["weight"].to_numpy(np.float64)
+    if n_vertices is None:
+        n_vertices = int(max(src.max(), dst.max())) + 1 if len(src) else 0
+    header = CSRHeader(
+        num_verts=n_vertices, num_edges=len(src), is_weighted=weighted,
+        is_zero_indexed=True, is_directed=directed, has_reverse_edges=has_reverse_edges,
+        vertex_t64=vertex_t64, edge_t64=edge_t64, weight_t64=weight_t64,
+    )
+    et = "<i8" if edge_t64 else "<i4"
+    vt = "<i8" if vertex_t64 else "<i4"
+    wt = "<f8" if weight_t64 else "<f4"
+    offsets = np.zeros(n_vertices + 1, dtype=np.int64)
+    np.add.at(offsets, src + 1, 1)
+    np.cumsum(offsets, out=offsets)
+    with open(path, "wb") as f:
+        np.array(
+            [header.version, header.num_verts, header.num_edges, header.flags], dtype="<i8"
+        ).tofile(f)
+        offsets.astype(et).tofile(f)
+        dst.astype(vt).tofile(f)
+        if weighted:
+            w.astype(wt).tofile(f)
+    return header
+
+
+def file_convert(
+    spark: SparkSession, src_path: str, dst_path: str, weighted: bool = False
+) -> None:
+    """fileConvert tool analog (``fileConvert.cpp:28-174``): convert between
+    .mtx text and .csr binary in any direction, inferred from extensions."""
+    s_bin, d_bin = src_path.endswith(".csr"), dst_path.endswith(".csr")
+    if s_bin:
+        edges, hdr = read_csr_binary(spark, src_path)
+        weighted = weighted or hdr.is_weighted
+        directed = hdr.is_directed
+    else:
+        edges, mhdr = read_mtx(spark, src_path)
+        weighted = weighted or mhdr.is_weighted
+        directed = mhdr.is_directed
+    if d_bin:
+        write_csr_binary(edges, dst_path, weighted=weighted, directed=directed)
+    else:
+        write_mtx(edges, dst_path, weighted=weighted, symmetric=not directed)
+
+
 def describe_checkpoint(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
     """readCSRHeader analog (``readCSRHeader.cpp:28-53``): introspect every
     ``stage=<name>`` checkpoint — schema summary + row count."""

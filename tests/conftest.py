@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from sycl_jaccard_spark.session import get_spark
@@ -7,7 +9,11 @@ from sycl_jaccard_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests", cores=8, shuffle_partitions=8)
+    # north-rule test gate: the suite must be green at BOTH parallelism
+    # levels (N and 4N) — run once with SPARK_GRAFT_TEST_CPUS=8 (default)
+    # and once with 32; results recorded in BENCH/BASELINE.md.
+    cores = int(os.environ.get("SPARK_GRAFT_TEST_CPUS", "8"))
+    s = get_spark("tests", cores=cores, shuffle_partitions=cores)
     yield s
     s.stop()
 

@@ -50,9 +50,23 @@ def test_lsh_cosine_candidates_recall_of_near_duplicates(spark):
     # ids 100+i = tiny perturbation of i -> near-parallel vectors
     rows += [(100 + i, (base[i] + 0.01 * rng.standard_normal(16).astype(np.float32)).tolist()) for i in range(20)]
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
-    cands = {(r.a, r.b) for r in lsh_cosine_candidates(df, n_planes=32, bands=4, dim=16).collect()}
+    cands = {(r.a, r.b) for r in lsh_cosine_candidates(df, dim=16, n_planes=32, bands=4).collect()}
     hit = sum(1 for i in range(20) if (i, 100 + i) in cands)
     assert hit >= 19  # near-parallel pairs collide in ≥1 of 4 bands
+
+
+def test_lsh_cosine_bucket_cap_bounds_pairs(spark):
+    """A degenerate bucket (many copies of one vector -> one dominant
+    sign-pattern) must not go quadratic: with bucket_cap=c the pair count is
+    bounded by bands * C(c, 2), the text-path bound (operators/lsh.py)."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16).astype(np.float32)
+    rows = [(i, base.tolist()) for i in range(60)]  # 60 identical vectors
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    capped = lsh_cosine_candidates(df, dim=16, n_planes=32, bands=4, bucket_cap=8).collect()
+    assert len(capped) <= 4 * (8 * 7) // 2
+    uncapped = lsh_cosine_candidates(df, dim=16, n_planes=32, bands=4, bucket_cap=10**9).collect()
+    assert len(uncapped) == (60 * 59) // 2
 
 
 def test_multimodal_feature_plumbing(spark):

@@ -127,3 +127,29 @@ def test_lang_id_votes(spark):
     )
     out = [r.l for r in df.select(textstats.lang_id(F.col("t")).alias("l")).collect()]
     assert out == ["en", "es", "und"]
+
+
+def test_simhash_combinatorial_band_keys(spark):
+    """Manku-style block tables: Hamming<=3 pairs share >=1 of the C(6,3)=20
+    keys; a pair with 4 flips spread over 4 distinct blocks shares none."""
+    from pyspark.sql import functions as F
+
+    from sycl_jaccard_spark.functions.simhash import _block_bounds, simhash_band_keys
+
+    base = 0x0123456789ABCDEF
+    bounds = _block_bounds(6, 64)
+    # 3 flips inside one block -> within Hamming 3
+    near = base ^ (0b111 << bounds[2][0])
+    # 4 flips in 4 distinct blocks -> every 3-block combo hits >=1 flip
+    far = base
+    for off, _size in bounds[:4]:
+        far ^= 1 << off
+
+    df = spark.createDataFrame([(0, base), (1, near), (2, far)], ["id", "sim"])
+    keys = df.select("id", *simhash_band_keys(F.col("sim"), blocks=6, max_hamming=3))
+    rows = {r["id"]: [r[c] for c in keys.columns[1:]] for r in keys.collect()}
+    assert len(keys.columns) == 1 + 20
+    shared_near = sum(1 for a, b in zip(rows[0], rows[1]) if a == b)
+    shared_far = sum(1 for a, b in zip(rows[0], rows[2]) if a == b)
+    assert shared_near >= 1      # pigeonhole guarantee
+    assert shared_far == 0

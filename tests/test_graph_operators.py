@@ -79,14 +79,19 @@ def test_jaccard_random_graph_dual_impl_consistency(spark):
         assert a[k] == pytest.approx(v, abs=TOL)
 
 
-def test_weighted_jaccard_vs_oracle(spark):
-    """Weighted J = Wi/(vol_a+vol_b-Wi) with per-vertex weights
-    (standalone_algorithms.hpp:52-69)."""
+@pytest.mark.parametrize("impl", ["arrays", "exploded"])
+def test_weighted_jaccard_vs_oracle(spark, impl):
+    """Weighted J = Wi/(vol_a+vol_b-Wi) with per-vertex weights, BOTH kernels
+    (standalone_algorithms.hpp:52-69; the reference runs weighted EC and VC,
+    jaccard.cpp:990-1119)."""
     pairs = CLIQUE4 + [(3, 4), (4, 5)]
     w = {v: 1.0 + 0.5 * v for v in range(6)}
     edges = sym_edges_df(spark, pairs)
     wdf = spark.createDataFrame([(v, wv) for v, wv in w.items()], ["vertex", "w"])
-    got = {(r.src, r.dst): r.jaccard for r in jaccard_all_edges(edges, vertex_weights=wdf).collect()}
+    got = {
+        (r.src, r.dst): r.jaccard
+        for r in jaccard_all_edges(edges, vertex_weights=wdf, impl=impl).collect()
+    }
 
     nbrs: dict[int, set[int]] = {}
     for a, b in pairs:
@@ -98,6 +103,30 @@ def test_weighted_jaccard_vs_oracle(spark):
             ws = sum(w[x] for x in nbrs[u]) + sum(w[x] for x in nbrs[v])
             expect = wi / (ws - wi)
             assert got[(u, v)] == pytest.approx(expect, abs=TOL), (u, v)
+
+
+def test_weighted_random_graph_dual_impl_consistency(spark):
+    """Weighted EC-vs-VC parity on G(n,p) with integer-valued weights —
+    bit-identical scores (integer-valued doubles stay exact < 2^53 in both
+    impls' accumulation orders)."""
+    rng = random.Random(7)
+    n = 40
+    pairs = [(a, b) for a in range(n) for b in range(a + 1, n) if rng.random() < 0.15]
+    edges = sym_edges_df(spark, pairs)
+    wdf = spark.createDataFrame(
+        [(v, float(rng.randint(1, 9))) for v in range(n)], ["vertex", "w"]
+    )
+    a = {
+        (r.src, r.dst): r.jaccard
+        for r in jaccard_all_edges(edges, vertex_weights=wdf, impl="arrays").collect()
+    }
+    b = {
+        (r.src, r.dst): r.jaccard
+        for r in jaccard_all_edges(edges, vertex_weights=wdf, impl="exploded").collect()
+    }
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=TOL), k
 
 
 def test_jaccard_pairs_explicit_list(spark):

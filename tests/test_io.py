@@ -93,3 +93,58 @@ def test_describe_checkpoint(spark, tmp_path):
     assert {"exact_dedup", "shingles", "minhash", "verify", "clusters"} <= set(desc)
     assert desc["clusters"][0] == 40
     assert "sig:array<bigint>" in desc["minhash"][1]
+
+
+def test_csr_binary_round_trip(spark, tmp_path):
+    """S4/S6: binary CSR sink -> source round-trip, reference byte layout
+    (readMtxToCSR.cpp:285-395): header fields + edge set + weights survive."""
+    from sycl_jaccard_spark.sources.io import (
+        CSR_BINARY_FORMAT_VERSION,
+        read_csr_binary,
+        read_csr_header,
+        write_csr_binary,
+    )
+
+    pairs = [(0, 1, 0.5), (0, 2, 1.5), (1, 2, 2.0), (3, 0, 4.0)]
+    edges = spark.createDataFrame(pairs, ["src", "dst", "weight"])
+    p = str(tmp_path / "g.csr")
+    hdr = write_csr_binary(edges, p, weighted=True, directed=True, weight_t64=True)
+    assert hdr.num_verts == 4 and hdr.num_edges == 4
+
+    got_hdr = read_csr_header(p)
+    assert got_hdr == hdr
+    assert got_hdr.version == CSR_BINARY_FORMAT_VERSION
+    back, _ = read_csr_binary(spark, p)
+    assert {(r.src, r.dst, r.weight) for r in back.collect()} == set(pairs)
+
+
+def test_csr_binary_int32_float32_legs(spark, tmp_path):
+    """Default reference build types (int32 verts/edges, float32 weights)."""
+    from sycl_jaccard_spark.sources.io import read_csr_binary, write_csr_binary
+
+    pairs = [(0, 1, 1.0), (1, 0, 1.0), (2, 0, 1.0)]
+    edges = spark.createDataFrame(pairs, ["src", "dst", "weight"])
+    p = str(tmp_path / "g32.csr")
+    write_csr_binary(edges, p, weighted=True)
+    back, hdr = read_csr_binary(spark, p)
+    assert not (hdr.vertex_t64 or hdr.edge_t64 or hdr.weight_t64)
+    assert {(r.src, r.dst) for r in back.collect()} == {(0, 1), (1, 0), (2, 0)}
+
+
+def test_file_convert_mtx_csr_mtx(spark, tmp_path):
+    """fileConvert binary legs (fileConvert.cpp:28-174): mtx -> csr -> mtx
+    preserves the edge set."""
+    from sycl_jaccard_spark.sources.io import file_convert
+
+    p_mtx = str(tmp_path / "in.mtx")
+    with open(p_mtx, "w") as f:
+        f.write(MTX_WEIGHTED)
+    p_csr = str(tmp_path / "mid.csr")
+    p_out = str(tmp_path / "out.mtx")
+    file_convert(spark, p_mtx, p_csr)
+    file_convert(spark, p_csr, p_out)
+    first, _ = read_mtx(spark, p_mtx)
+    last, _ = read_mtx(spark, p_out)
+    assert {(r.src, r.dst, r.weight) for r in first.collect()} == {
+        (r.src, r.dst, r.weight) for r in last.collect()
+    }

@@ -73,3 +73,27 @@ def test_pipeline_substring_stage_enabled(spark):
 
 def test_env_cleanup():
     assert os.environ.get("JACSPARK_FORCE_IMPL") != "bogus"
+
+
+def test_env_var_force_weighted(spark, monkeypatch):
+    """JACCARD_FORCE_WEIGHTED analog (main.cpp:139-155): "1" with no weights
+    synthesizes constant-1.0 weights (result == unweighted); "0" ignores
+    provided weights (result == unweighted)."""
+    from pyspark.sql import functions as F
+
+    edges = symmetrize(spark.createDataFrame([(0, 1), (1, 2), (0, 2), (2, 3)], ["src", "dst"]))
+    base = {(r.src, r.dst): r.jaccard for r in jaccard_all_edges(edges).collect()}
+
+    monkeypatch.setenv("JACSPARK_FORCE_WEIGHTED", "1")
+    forced_on = {(r.src, r.dst): r.jaccard for r in jaccard_all_edges(edges).collect()}
+    assert set(forced_on) == set(base)
+    for k in base:
+        assert forced_on[k] == pytest.approx(base[k], abs=1e-9), k
+
+    monkeypatch.setenv("JACSPARK_FORCE_WEIGHTED", "0")
+    wdf = spark.createDataFrame([(v, 7.0 + v) for v in range(4)], ["vertex", "w"])
+    forced_off = {
+        (r.src, r.dst): r.jaccard
+        for r in jaccard_all_edges(edges, vertex_weights=wdf).collect()
+    }
+    assert forced_off == base
