@@ -25,7 +25,12 @@ from sycl_jaccard_spark.config import PipelineConfig
 from sycl_jaccard_spark.functions.minhash import MERSENNE, make_perms
 from sycl_jaccard_spark.functions.shingles import md5_long, shingle_hashes, shingles, tokens
 from sycl_jaccard_spark.functions import textstats
-from sycl_jaccard_spark.operators.ann import cosine_topk, lsh_cosine_candidates
+from sycl_jaccard_spark.operators.ann import (
+    cosine_topk,
+    embedding_near_dups,
+    ivf_candidates,
+    lsh_cosine_candidates,
+)
 from sycl_jaccard_spark.operators.graph_jaccard import jaccard_all_edges
 from sycl_jaccard_spark.operators.lsh import band_hashes, candidate_pairs, minhash_signatures
 from sycl_jaccard_spark.operators.normalize import canonical_pairs, invert_direction, symmetrize
@@ -43,6 +48,7 @@ PAIR_MOD = 5               # order-pair subset filter for bounded outputs
 TOPK = 5                   # ann top-k
 LANE = 0x7FFFFFFF
 VERIFY_THRESHOLD = 0.7     # pipeline verify threshold (PipelineConfig default)
+EMB_THRESHOLD = 0.35       # emb near-dup cosine cutoff (testdata is near-orthogonal)
 
 _PA, _PB = make_perms(N_PERMS, seed=42)
 
@@ -324,6 +330,25 @@ def q_ann_lsh_candidates(spark, sf_dir):
     return lsh_cosine_candidates(emb, dim=64, n_planes=32, bands=4, seed=42, bucket_cap=10**9)
 
 
+def q_ann_ivf_candidates(spark, sf_dir):
+    # uncapped for oracle parity (cap behavior covered by the skew test)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_candidates(emb, dim=64, n_centroids=16, nprobe=2, seed=42, bucket_cap=10**9)
+
+
+def q_emb_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: IVF candidates -> exact quantized
+    cosine filter (the dense-vector sibling of MinHash->exact-Jaccard).
+    Threshold 0.35: the driver's embeddings are near-orthogonal randoms
+    (pairwise max ~0.51), so a production 0.9 would select nothing — the
+    query exercises the full candidate->verify->filter path instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dups(
+        emb, dim=64, threshold=EMB_THRESHOLD, method="ivf",
+        n_centroids=16, nprobe=2, seed=42, bucket_cap=10**9,
+    )
+
+
 # =====================================================================
 # driver contract
 # =====================================================================
@@ -359,6 +384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pipeline_clusters": q_dedup_pipeline_clusters,
         "dedup_pipeline_full": q_dedup_pipeline_full,
         "ann_lsh_candidates": q_ann_lsh_candidates,
+        "ann_ivf_candidates": q_ann_ivf_candidates,
+        "emb_near_dups": q_emb_near_dups,
     }
 
 
@@ -586,6 +613,48 @@ banded AS (SELECT vec_id, band, (s >> (band * {band_width})) & {band_mask} AS ba
            FROM sig CROSS JOIN (VALUES {", ".join(f"({b})" for b in range(4))}) AS bb(band))
 SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
 FROM banded x JOIN banded y ON x.band = y.band AND x.band_hash = y.band_hash AND x.vec_id < y.vec_id"""
+    # ann_ivf_candidates: coarse-quantizer assignment replayed with the seeded
+    # centroids as VALUES literals; the integer score -2*v.c + |c|^2 ranks
+    # identically to squared L2 and is engine-exact.
+    from sycl_jaccard_spark.operators.ann import quantized_centroids
+
+    cents = quantized_centroids(dim=64, n_centroids=16, seed=42)
+    c2 = (cents.astype(object) * cents.astype(object)).sum(axis=1)  # exact py-int
+    cent_rows = ", ".join(
+        f"({i}, [{', '.join(str(int(x)) for x in cents[i])}]::BIGINT[], {int(c2[i])})"
+        for i in range(cents.shape[0])
+    )
+    sql["ann_ivf_candidates"] = f"""
+WITH q AS (SELECT vec_id, list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * {VEC_SCALE}) AS BIGINT)) AS v
+           FROM embeddings),
+cent(cid, cv, c2) AS (VALUES {cent_rows}),
+scored AS (SELECT vec_id, cid,
+                  -2 * CAST(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * cv[i])) AS BIGINT) + c2 AS score
+           FROM q CROSS JOIN cent),
+assign AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rn
+             FROM scored) WHERE rn <= 2)
+SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+FROM assign x JOIN assign y ON x.cid = y.cid AND x.vec_id < y.vec_id"""
+    # emb_near_dups: IVF candidate chain + exact quantized cosine >= 0.9
+    sql["emb_near_dups"] = f"""
+WITH q AS (SELECT vec_id, list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * {VEC_SCALE}) AS BIGINT)) AS v
+           FROM embeddings),
+cent(cid, cv, c2) AS (VALUES {cent_rows}),
+scored AS (SELECT vec_id, cid,
+                  -2 * CAST(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * cv[i])) AS BIGINT) + c2 AS score
+           FROM q CROSS JOIN cent),
+assign AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rn
+             FROM scored) WHERE rn <= 2),
+cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         FROM assign x JOIN assign y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+cs AS (SELECT c.a, c.b,
+              CAST(list_sum(list_transform(range(1, len(qa.v) + 1), i -> qa.v[i] * qb.v[i])) AS DOUBLE)
+              / (sqrt(CAST(list_sum(list_transform(qa.v, x -> x * x)) AS DOUBLE))
+                 * sqrt(CAST(list_sum(list_transform(qb.v, x -> x * x)) AS DOUBLE))) AS cosine
+       FROM cand c JOIN q qa ON qa.vec_id = c.a JOIN q qb ON qb.vec_id = c.b)
+SELECT a, b, cosine FROM cs WHERE cosine >= {EMB_THRESHOLD}"""
     # dedup_pipeline_clusters: full end-to-end replay. Candidate/verify CTEs
     # over ALL docs are a superset of the pipeline's uniques-only pass, but
     # exact-dup twins share signatures, so the extra verified pairs stay

@@ -43,6 +43,15 @@ def parse_args(argv=None):
     p.add_argument("--num-perms", type=int, default=128)
     p.add_argument("--bands", type=int, default=32)
     p.add_argument("--threshold", type=float, default=0.7, help="verify Jaccard threshold")
+    p.add_argument("--bucket-cap", type=int, default=64, help="max docs per LSH bucket")
+    p.add_argument(
+        "--simhash-blocks", type=int, default=4,
+        help="combinatorial SimHash blocks (4=classic 16-bit bands; 6=20 ~32-bit tables for 1e9+ docs)",
+    )
+    p.add_argument(
+        "--portable-hashes", action="store_true",
+        help="md5-prefix hashes replayable in DuckDB (slower; for oracle-diff runs)",
+    )
     p.add_argument("--no-simhash", action="store_true")
     p.add_argument("--substring", action="store_true", help="enable line-gram containment pass")
     p.add_argument("--verify-impl", choices=["arrays", "exploded"], default="arrays")
@@ -79,6 +88,9 @@ def main(argv=None) -> int:
         bands=args.bands,
         rows_per_band=args.num_perms // args.bands,
         verify_threshold=args.threshold,
+        bucket_cap=args.bucket_cap,
+        simhash_blocks=args.simhash_blocks,
+        portable_hashes=args.portable_hashes,
     )
     pipe = DedupPipeline(
         spark,

@@ -154,3 +154,130 @@ def lsh_cosine_candidates(
         .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
+
+
+def quantized_centroids(dim: int, n_centroids: int, seed: int) -> np.ndarray:
+    """Seeded coarse-quantizer centroids, int64-quantized like the vectors.
+
+    Deterministic random centroids stand in for a trained k-means codebook
+    (the IVF pattern, e.g. FAISS IndexIVF): the *structure* — coarse assign,
+    nprobe probing, within-list candidate join — is identical, and a trained
+    codebook can be dropped in as the literal array without touching the
+    plan. Random centroids keep the operator seeded + oracle-replayable.
+
+    Rows are L2-normalized BEFORE quantization: with raw gaussian centroids
+    in high dim the |c|^2 spread (~sqrt(2d)·scale²) dominates the dot term,
+    so every vector would pick the same smallest-norm centroids and the
+    index degenerates to one list. Equal norms make assignment directional
+    (spherical Voronoi), the standard shape for cosine-metric IVF."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_centroids, dim))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return np.round(c * PLANE_SCALE).astype(np.int64)
+
+
+def ivf_assign_udf(centroids_q: np.ndarray, nprobe: int):
+    """pandas UDF: embedding -> array<int> of the ``nprobe`` nearest centroid
+    ids. Ranking key is the exact integer score -2*v.c + |c|^2 (adding the
+    per-row constant |v|^2 gives squared L2, which cannot change the order),
+    ties broken by centroid id — bit-identical to the SQL replay."""
+    ct = centroids_q.T.copy()                      # (dim, K)
+    c2 = (centroids_q * centroids_q).sum(axis=1)   # (K,)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
+        m = np.round(np.stack(vecs.to_numpy()).astype(np.float64) * VEC_SCALE).astype(np.int64)
+        scores = -2 * (m @ ct) + c2[None, :]
+        order = np.argsort(scores, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return _assign
+
+
+def ivf_candidates(
+    vectors: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_cap: int = 4096,
+) -> DataFrame:
+    """IVF-style candidate pairs: vectors sharing a probed inverted list.
+
+    The scale path next to :func:`lsh_cosine_candidates` — K lists partition
+    the corpus so the self-join is bounded by the largest list (capped), and
+    ``nprobe > 1`` recovers neighbors that straddle a Voronoi boundary. One
+    shuffle to the list key, rank-window cap, self-join, pair dedup — the
+    same shape (and skew discipline) as the text LSH path."""
+    assign = vectors.select(
+        F.col(id_col).alias("id"),
+        ivf_assign_udf(quantized_centroids(dim, n_centroids, seed), nprobe)(
+            F.col(vec_col)
+        ).alias("cids"),
+    ).localCheckpoint(eager=True)  # pandas-UDF column cannot feed a generator
+    listed = assign.select("id", F.explode("cids").alias("cid"))
+    w = Window.partitionBy("cid").orderBy(F.col("id"))
+    capped = listed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= bucket_cap
+    ).drop("rn")
+    left = capped.select("cid", F.col("id").alias("a"))
+    right = capped.select("cid", F.col("id").alias("b"))
+    return (
+        left.join(right, "cid")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def cosine_pairs(
+    vectors: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact quantized cosine for an explicit candidate-pair list — the
+    embedding-space mirror of ``jaccard_pairs`` (candidate→verify shape):
+    LSH/IVF emit (a, b); this scores them with the engine-exact integer-
+    quantized cosine. Returns (a, b, cosine)."""
+    a = vectors.select(F.col(id_col).alias("a"), _quantized(F.col(vec_col)).alias("va"))
+    b = vectors.select(F.col(id_col).alias("b"), _quantized(F.col(vec_col)).alias("vb"))
+    return (
+        pairs.select("a", "b")
+        .join(a, "a")
+        .join(b, "b")
+        .select(
+            "a",
+            "b",
+            (
+                _dot(F.col("va"), F.col("vb")).cast("double")
+                / (F.sqrt(_norm2(F.col("va")).cast("double")) * F.sqrt(_norm2(F.col("vb")).cast("double")))
+            ).alias("cosine"),
+        )
+    )
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    method: str = "ivf",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidate generation (IVF lists
+    or hyperplane LSH) then exact cosine verification >= threshold — the
+    dense-vector sibling of the MinHash→exact-Jaccard text pipeline."""
+    if method == "ivf":
+        cands = ivf_candidates(vectors, dim, id_col=id_col, vec_col=vec_col, **kwargs)
+    elif method == "lsh":
+        cands = lsh_cosine_candidates(vectors, dim, id_col=id_col, vec_col=vec_col, **kwargs)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    scored = cosine_pairs(vectors, cands, id_col=id_col, vec_col=vec_col)
+    return scored.filter(F.col("cosine") >= threshold)

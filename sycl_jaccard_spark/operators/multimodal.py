@@ -89,3 +89,56 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0).cast("long"), F.col("duration_ms"), F.lit(every_ms).cast("long"))
         ).alias("frame_ts"),
     )
+
+
+def resize_plan(media: DataFrame, max_w: int = 256, max_h: int = 256) -> DataFrame:
+    """Aspect-preserving fit-within-box resize targets, computed JVM-side
+    (codegen'd): adds (target_w, target_h, scale). Never upscales."""
+    scale = F.least(
+        F.lit(float(max_w)) / F.col("width"),
+        F.lit(float(max_h)) / F.col("height"),
+        F.lit(1.0),
+    )
+    return media.withColumn("scale", scale).withColumn(
+        "target_w", F.floor(F.col("width") * F.col("scale")).cast("int")
+    ).withColumn("target_h", F.floor(F.col("height") * F.col("scale")).cast("int"))
+
+
+def resize_images(
+    media: DataFrame,
+    max_w: int = 256,
+    max_h: int = 256,
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Image resize via mapInPandas over Arrow batches. Target geometry is
+    real (resize_plan); the pixel resample is STUBBED like decode — the fake
+    emits a payload-hash-seeded byte string of plausible size so schema,
+    batching and partitioning are testable; swap in PIL on a real cluster."""
+    planned = resize_plan(media.filter(F.col("kind") == "image"), max_w, max_h)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError(
+                    "image resample requires an imaging library not present in "
+                    "this environment; use deterministic_fake=True for plumbing tests"
+                )
+            out_payloads = []
+            for p, tw, th in zip(pdf["payload"], pdf["target_w"], pdf["target_h"]):
+                raw = p if p is not None else b""
+                seed = int.from_bytes(raw[:8].ljust(8, b"\0"), "little") & 0x7FFFFFFF
+                n = max(int(tw) * int(th) // 8, 1)
+                out_payloads.append(np.random.default_rng(seed).bytes(n))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "mime": pdf["mime"],
+                    "width": pdf["target_w"],
+                    "height": pdf["target_h"],
+                    "duration_ms": pdf["duration_ms"],
+                    "payload": out_payloads,
+                }
+            )
+
+    return planned.repartition("media_id").mapInPandas(run, MEDIA_SCHEMA)

@@ -117,3 +117,51 @@ def test_streaming_incremental_signatures(spark, tmp_path):
 
     expect = list(minhash_batch(pd.Series([row.shingle_hashes]), a, b)[0])
     assert row.sig == expect
+
+
+def test_ivf_candidates_recall_and_cap(spark):
+    """IVF inverted lists: near-identical vectors land in the same coarse
+    cell (recall), and the per-list cap bounds the self-join."""
+    from sycl_jaccard_spark.operators.ann import ivf_candidates
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((15, 16)).astype(np.float32)
+    rows = [(i, base[i].tolist()) for i in range(15)]
+    rows += [
+        (100 + i, (base[i] + 0.01 * rng.standard_normal(16).astype(np.float32)).tolist())
+        for i in range(15)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cands = {
+        (r.a, r.b)
+        for r in ivf_candidates(df, dim=16, n_centroids=8, nprobe=2, bucket_cap=10**9).collect()
+    }
+    hit = sum(1 for i in range(15) if (i, 100 + i) in cands)
+    assert hit == 15  # perturbed twins share the nearest cell
+
+    capped = ivf_candidates(df, dim=16, n_centroids=2, nprobe=1, bucket_cap=4).collect()
+    assert len(capped) <= 2 * (4 * 3) // 2  # <= n_lists * C(cap, 2)
+
+
+def test_multimodal_resize_plumbing(spark):
+    """resize_plan computes aspect-preserving fit-within targets JVM-side;
+    resize_images keeps the media schema with updated dims; real resample is
+    an explicit stub."""
+    from sycl_jaccard_spark.operators.multimodal import resize_images, resize_plan
+
+    rows = [
+        (1, "image", "image/png", 640, 480, None, b"\x89PNGfakebytes"),
+        (2, "image", "image/png", 100, 50, None, b"\x89PNGtiny"),
+        (3, "video", "video/mp4", 320, 240, 3000, b"\x00\x00mp4fake"),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    plan = {r.media_id: (r.target_w, r.target_h) for r in resize_plan(media, 256, 256).collect()}
+    assert plan[1] == (256, 192)   # 640x480, scale = min(256/640, 256/480, 1) = 0.4
+    assert plan[2] == (100, 50)    # never upscale
+    out = resize_images(media, 256, 256, deterministic_fake=True).collect()
+    assert {r.media_id for r in out} == {1, 2}  # images only
+    got = {r.media_id: (r.width, r.height) for r in out}
+    assert got[1] == (256, 192) and got[2] == (100, 50)
+    assert all(isinstance(r.payload, (bytes, bytearray)) and len(r.payload) > 0 for r in out)
+    with pytest.raises(Exception):
+        resize_images(media, deterministic_fake=False).collect()
