@@ -7,6 +7,14 @@ ANSI-SQL oracle where the semantics are SQL-expressible. Column names are
 aligned on both sides; doubles are only ever produced by a single division /
 sqrt of exact integers so both engines agree bit-for-bit.
 
+24 of 25 queries are hash-checked, including the END-TO-END pipeline
+(``dedup_pipeline_clusters``: portable hashes + WITH RECURSIVE connected
+components) and the ANN family (hyperplane LSH, IVF coarse quantizer, and
+cosine near-dup verify — all on integer-quantized arithmetic, with seeded
+planes/centroids embedded as SQL VALUES literals). The one rows-only entry
+(``dedup_pipeline_full``) exists because SimHash bit-voting over xxhash64
+shingles is not SQL-expressible; its portable twin covers the same plan.
+
 Graph encoding used throughout: lineitem is a bipartite order->part edge set
 (src = l_orderkey, dst = l_partkey + 10_000_000 where disjoint id spaces are
 needed); co-part order pairs replay the reference's jaccard_list semantics

@@ -114,23 +114,31 @@ class DedupPipeline:
         cfg = self.cfg
         files = files.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
 
-        # stage 1: exact dedup by sha256 (reps flow on; dup pairs are free edges)
+        # stage 1: exact dedup by sha256 (reps flow on; dup pairs are free
+        # edges). `uniques` has exactly one consumer (the shingle stage), so
+        # in-memory runs keep it LAZY — an eager localCheckpoint would copy
+        # the full corpus content for nothing. Durable runs still write the
+        # stage: it carries the per-row sha256 integrity record (north-rule
+        # invariant) and the resume point before shingling.
         hashed = with_sha256(files)
         uniques, exact_pairs = dedup_exact(hashed, "id", "content")
-        uniques = self._stage("exact_dedup", uniques)
+        if self.checkpoint_dir:
+            uniques = self._stage("exact_dedup", uniques)
 
-        # stage 2: shingle sets (JVM-side; 64-bit hashes for exact verify)
-        shingled = self._stage(
-            "shingles",
-            uniques.select(
-                "id",
-                shingle_hashes(
-                    shingles(tokens(F.col("content")), cfg.shingle_k),
-                    portable=cfg.portable_hashes,
-                ).alias("shingle_hashes"),
-                F.col("content"),
-            ),
-        )
+        # stage 2: shingle sets (JVM-side; 64-bit hashes for exact verify).
+        # `content` is carried through the checkpoint ONLY when the substring
+        # pass needs it: at 100 TB the contents dominate checkpoint bytes and
+        # executor memory, and minhash/simhash/verify read only the hashes.
+        shingle_cols = [
+            F.col("id"),
+            shingle_hashes(
+                shingles(tokens(F.col("content")), cfg.shingle_k),
+                portable=cfg.portable_hashes,
+            ).alias("shingle_hashes"),
+        ]
+        if self.enable_substring:
+            shingle_cols.append(F.col("content"))
+        shingled = self._stage("shingles", uniques.select(*shingle_cols))
 
         # stage 3: MinHash signatures (Arrow pandas UDF)
         signed = self._stage(

@@ -17,15 +17,19 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or get) a SparkSession with AQE + Arrow enabled.
 
     ``cores=None`` -> ``local[$SPARK_GRAFT_CPUS or *]``. On a cluster, callers
     pass master via spark-submit and this function only applies SQL confs.
+    ``master`` overrides entirely (e.g. ``local-cluster[8,1,8192]`` — real
+    separate executor JVMs, the in-box analog of N executors).
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
-    master = f"local[{cores}]" if cores else "local[*]"
+    if master is None:
+        master = f"local[{cores}]" if cores else "local[*]"
     if shuffle_partitions is None:
         shuffle_partitions = cores or 32
 
@@ -33,7 +37,7 @@ def get_spark(
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", os.environ.get("SPARK_GRAFT_AQE", "true"))
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

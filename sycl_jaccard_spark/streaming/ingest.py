@@ -47,6 +47,9 @@ def incremental_signatures(files: DataFrame, cfg: PipelineConfig | None = None) 
     shingled = base.select(
         "id",
         "sha256",
-        shingle_hashes(shingles(tokens(F.col("content")), cfg.shingle_k)).alias("shingle_hashes"),
+        shingle_hashes(
+            shingles(tokens(F.col("content")), cfg.shingle_k),
+            portable=cfg.portable_hashes,
+        ).alias("shingle_hashes"),
     )
     return minhash_signatures(shingled, cfg)
