@@ -7,13 +7,15 @@ ANSI-SQL oracle where the semantics are SQL-expressible. Column names are
 aligned on both sides; doubles are only ever produced by a single division /
 sqrt of exact integers so both engines agree bit-for-bit.
 
-24 of 25 queries are hash-checked, including the END-TO-END pipeline
-(``dedup_pipeline_clusters``: portable hashes + WITH RECURSIVE connected
-components) and the ANN family (hyperplane LSH, IVF coarse quantizer, and
-cosine near-dup verify — all on integer-quantized arithmetic, with seeded
-planes/centroids embedded as SQL VALUES literals). The one rows-only entry
-(``dedup_pipeline_full``) exists because SimHash bit-voting over xxhash64
-shingles is not SQL-expressible; its portable twin covers the same plan.
+ALL 25 queries are hash-checked, including the END-TO-END pipeline twice
+(``dedup_pipeline_clusters``: MinHash-LSH only; ``dedup_pipeline_full``:
+plus the SimHash near-miss pass — its bit-voting and combinatorial block
+tables replayed in plain SQL — both on portable hashes with WITH RECURSIVE
+connected components) and the ANN family (hyperplane LSH, IVF coarse
+quantizer, and cosine near-dup verify — all on integer-quantized arithmetic,
+with seeded planes/centroids embedded as SQL VALUES literals). The
+production xxhash64/128-perm pipeline config is exercised by ``entry()``,
+bench.py, and the recall tests.
 
 Graph encoding used throughout: lineitem is a bipartite order->part edge set
 (src = l_orderkey, dst = l_partkey + 10_000_000 where disjoint id spaces are
@@ -42,7 +44,7 @@ from sycl_jaccard_spark.operators.ann import (
 from sycl_jaccard_spark.operators.graph_jaccard import jaccard_all_edges
 from sycl_jaccard_spark.operators.lsh import band_hashes, candidate_pairs, minhash_signatures
 from sycl_jaccard_spark.operators.normalize import canonical_pairs, invert_direction, symmetrize
-from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs
+from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs, jaccard_pairs_weighted
 from sycl_jaccard_spark.plans.pipeline import DedupPipeline
 from sycl_jaccard_spark.sources.tables import documents_as_files, load_table
 
@@ -160,35 +162,17 @@ def q_k4_k6_edge_jaccard(spark, sf_dir):
 
 def q_k5_weighted_pairs(spark, sf_dir):
     """Weighted pair Jaccard: Wi/(vol_a+vol_b-Wi) with integer part weights
-    (K5 weighted + K6, standalone_algorithms.hpp:52-69)."""
+    (K5 weighted + K6, standalone_algorithms.hpp:52-69), through the library
+    operator ``jaccard_pairs_weighted``."""
     adj = _li_edges(spark, sf_dir, offset=False).filter(F.col("src") % PAIR_MOD == 0)
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("dst"),
         F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long").alias("w"),
     )
-    wadj = adj.join(part, "dst")
-    vol = wadj.groupBy("src").agg(F.sum("w").alias("vol"))
-    pairs = _copart_pairs(spark, sf_dir)
-    ea = wadj.select(F.col("src").alias("a"), "dst", F.col("w").alias("wa"))
-    eb = wadj.select(F.col("src").alias("b"), "dst")
-    wi = (
-        pairs.join(ea, "a").join(eb, ["b", "dst"])
-        .groupBy("a", "b").agg(F.sum("wa").alias("wi"))
+    wadj = adj.join(part, "dst").select(
+        F.col("src").alias("id"), F.col("dst").alias("elem"), "w"
     )
-    va = vol.select(F.col("src").alias("a"), F.col("vol").alias("vol_a"))
-    vb = vol.select(F.col("src").alias("b"), F.col("vol").alias("vol_b"))
-    return (
-        pairs.join(wi, ["a", "b"], "left").join(va, "a").join(vb, "b")
-        .select(
-            "a", "b",
-            F.coalesce("wi", F.lit(0)).cast("long").alias("wi"),
-            "vol_a", "vol_b",
-            (
-                F.coalesce("wi", F.lit(0)).cast("double")
-                / (F.col("vol_a") + F.col("vol_b") - F.coalesce("wi", F.lit(0))).cast("double")
-            ).alias("jaccard"),
-        )
-    )
+    return jaccard_pairs_weighted(wadj, _copart_pairs(spark, sf_dir))
 
 
 def q_k9_threshold_count(spark, sf_dir):
@@ -318,15 +302,23 @@ def q_dedup_pipeline_clusters(spark, sf_dir):
     return result.clusters.orderBy("id")
 
 
-# ---- non-SQL-expressible (rows-only check) ----
-
 def q_dedup_pipeline_full(spark, sf_dir):
-    """Flagship at full scale config (xxhash64 shingles, MinHash 128,
-    LSH 32x4, SimHash near-miss pass) — the bench configuration; SimHash's
-    pandas-UDF bit-voting is not SQL-expressible, so rows-only."""
+    """Flagship with the FULL feature set — SimHash near-miss pass enabled on
+    top of MinHash-LSH — on the portable hash family, so the ENTIRE pipeline
+    (SimHash bit-voting + combinatorial block tables included) is replayed by
+    the DuckDB oracle: bit b of a doc's SimHash is set iff
+    ``2 * sum((h >> b) & 1) > n`` over its shingle hashes (plain SQL), and the
+    block-table buckets join on the block values directly (Spark's
+    xxhash64(combo, blocks...) key is equal iff the block values are equal).
+    The production xxhash64/128-perm twin of this exact plan is exercised by
+    ``entry()``, bench.py, and the recall/consistency tests."""
     docs = load_table(spark, sf_dir, "documents")
     files = documents_as_files(docs)
-    result = DedupPipeline(spark, PipelineConfig(), enable_simhash=True).run(files)
+    cfg = PipelineConfig(
+        num_perms=N_PERMS, bands=N_BANDS, rows_per_band=N_PERMS // N_BANDS,
+        shingle_k=K, bucket_cap=10**9, portable_hashes=True,
+    )
+    result = DedupPipeline(spark, cfg, enable_simhash=True).run(files)
     return result.clusters.orderBy("id")
 
 
@@ -363,8 +355,14 @@ def q_emb_near_dups(spark, sf_dir):
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full dedup pipeline (shingle → MinHash-LSH + SimHash →
-    exact-Jaccard verify → connected components) on sf0.001 documents."""
-    return q_dedup_pipeline_full(spark, "/root/testdata/sf0.001")
+    exact-Jaccard verify → connected components) on sf0.001 documents, at the
+    PRODUCTION configuration (xxhash64 shingles, MinHash 128, LSH 32x4) — the
+    same config bench.py measures."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    result = DedupPipeline(spark, PipelineConfig(), enable_simhash=True).run(
+        documents_as_files(docs)
+    )
+    return result.clusters.orderBy("id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -663,24 +661,78 @@ cs AS (SELECT c.a, c.b,
                  * sqrt(CAST(list_sum(list_transform(qb.v, x -> x * x)) AS DOUBLE))) AS cosine
        FROM cand c JOIN q qa ON qa.vec_id = c.a JOIN q qb ON qb.vec_id = c.b)
 SELECT a, b, cosine FROM cs WHERE cosine >= {EMB_THRESHOLD}"""
-    # dedup_pipeline_clusters: full end-to-end replay. Candidate/verify CTEs
-    # over ALL docs are a superset of the pipeline's uniques-only pass, but
-    # exact-dup twins share signatures, so the extra verified pairs stay
-    # inside the same components — final (id, cluster) labels are identical.
-    # CC = WITH RECURSIVE min-label reachability closure over the verified ∪
-    # exact-dup edge set (components here are dup clusters — small, so the
+    # dedup_pipeline_clusters / dedup_pipeline_full: end-to-end replays.
+    # Candidate/verify CTEs over ALL docs are a superset of the pipeline's
+    # uniques-only pass, but exact-dup twins share signatures, so the extra
+    # verified pairs stay inside the same components — final (id, cluster)
+    # labels are identical. CC = WITH RECURSIVE min-label reachability closure
+    # over the verified ∪ exact-dup edge set (dup clusters are small, so the
     # closure's O(component²) state is bounded).
-    # MATERIALIZED hints: DuckDB inlines CTEs by default, so the sig/bands
-    # chain would be recomputed for every downstream reference (cand joins
-    # bands twice, shd feeds sz and inter) — ~10x slower replay without them.
+    sql["dedup_pipeline_clusters"] = _cluster_replay_sql(with_simhash=False)
+    sql["dedup_pipeline_full"] = _cluster_replay_sql(with_simhash=True)
+    return sql
+
+
+def _simhash_ctes() -> str:
+    """SimHash pass in plain SQL, bit-for-bit against functions/simhash.py:
+
+    * bit b of a doc's SimHash is set iff ``2 * sum((h >> b) & 1) > n`` over
+      its distinct shingle hashes (the ±1 bit-vote rule, votes = 2*set - n);
+      portable hashes are 60-bit md5 prefixes, so bits 60-63 have zero set
+      counts and provably vote 0 — ``range(60)`` covers every live bit.
+    * the combinatorial block tables (Manku WWW'07) bucket docs on the raw
+      block values: Spark keys buckets with xxhash64(combo_id, blocks...),
+      which is equal iff the block values are equal, so the SQL replay joins
+      on the '_'-joined block values directly — identical pair sets.
+    """
+    from itertools import combinations
+
+    from sycl_jaccard_spark.functions.simhash import _block_bounds
+
+    cfg = PipelineConfig()  # block geometry knobs: defaults match _full cfg
+    bounds = _block_bounds(cfg.simhash_blocks, cfg.simhash_bits)
+    keep = cfg.simhash_blocks - cfg.simhash_max_hamming
+    combos = list(combinations(range(cfg.simhash_blocks), keep))
+    simb_selects = []
+    for ci, combo in enumerate(combos):
+        parts = " || '_' || ".join(
+            f"CAST((s >> {bounds[j][0]}) & {(1 << bounds[j][1]) - 1} AS VARCHAR)" for j in combo
+        )
+        simb_selects.append(f"SELECT doc_id, {ci} AS cb, {parts} AS bk FROM simsig")
+    return f"""
+simbits AS (
+  SELECT doc_id, b, CASE WHEN 2 * sum((h >> b) & 1) > count(*)
+                         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END AS bitv
+  FROM shd CROSS JOIN range(60) t(b)
+  GROUP BY doc_id, b
+),
+simsig AS MATERIALIZED (SELECT doc_id, CAST(sum(bitv) AS BIGINT) AS s FROM simbits GROUP BY doc_id),
+simb AS ({" UNION ALL ".join(simb_selects)}),
+simcand AS (SELECT x.doc_id AS a, y.doc_id AS b
+            FROM simb x JOIN simb y ON x.cb = y.cb AND x.bk = y.bk AND x.doc_id < y.doc_id)"""
+
+
+def _cluster_replay_sql(with_simhash: bool) -> str:
+    """Full-pipeline DuckDB replay (the compareCoords golden-output analog,
+    compareCoords.cpp:174-320). MATERIALIZED hints: DuckDB inlines CTEs by
+    default, so the sig/bands chain would be recomputed for every downstream
+    reference (cand joins bands twice, shd feeds sz/inter/simbits) — ~10x
+    slower replay without them."""
     chain = _band_cte().replace("WITH", "WITH RECURSIVE", 1)
     for _cte in ("sh", "shx", "shh", "sig", "sigl", "bands"):
         chain = chain.replace(f"{_cte} AS (", f"{_cte} AS MATERIALIZED (")
-    sql["dedup_pipeline_clusters"] = f"""
+    lsh_cand = """SELECT x.doc_id AS a, y.doc_id AS b
+FROM bands x JOIN bands y ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id"""
+    if with_simhash:
+        sim_ctes = "," + _simhash_ctes()
+        cand = f"SELECT DISTINCT a, b FROM (({lsh_cand}) UNION ALL (SELECT a, b FROM simcand))"
+    else:
+        sim_ctes = ""
+        cand = f"SELECT DISTINCT a, b FROM ({lsh_cand})"
+    return f"""
 {chain},
-cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         FROM bands x JOIN bands y ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
-shd AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM shh),
+shd AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM shh){sim_ctes},
+cand AS MATERIALIZED ({cand}),
 sz AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY doc_id),
 inter AS (SELECT c.a, c.b, count(*) AS i
           FROM cand c JOIN shd x ON x.doc_id = c.a JOIN shd y ON y.doc_id = c.b AND y.h = x.h
@@ -699,4 +751,3 @@ reach AS (
 )
 SELECT CAST(node AS BIGINT) AS id, CAST(min(lab) AS BIGINT) AS cluster
 FROM reach GROUP BY node"""
-    return sql

@@ -41,7 +41,16 @@ class PipelineConfig:
 
     # --- candidate generation / skew control (SURVEY.md §7.2) ---
     bucket_cap: int = 64            # max docs per LSH bucket before capping
-    salt_buckets: int = 8           # salt fan-out for degenerate buckets
+    salt_buckets: int = 8           # fixed salt fan-out (skew_mode="salt")
+    # "cap" (default): rank-window cap, WindowGroupLimit pushdown, drops
+    # observable. "salt": fixed-fanout salting, all members kept. "auto":
+    # size-graded — untouched <= cap, dynamic salt (linear pair cost, zero
+    # membership loss) up to salt_threshold, cap beyond (pathological
+    # boilerplate). Default stays "cap": cheapest plan, and the 31 other
+    # bands + SimHash recover capped pairs (recall >= 0.99 holds on the skew
+    # corpora); switch to "auto" when single-band recall matters.
+    skew_mode: str = "cap"
+    salt_threshold: int = 100_000   # auto mode: salt band upper bound
 
     # --- hashing family ---
     # False: xxhash64 (fast JVM builtin — the scale path). True: md5-prefix
@@ -61,6 +70,11 @@ class PipelineConfig:
     substring_lines: int = 4        # w-line gram width (content-anchored)
     substring_len: int = 40         # char-gram length (offset-sensitive variant)
     substring_stride: int = 17      # char-gram sampling stride
+    # when the substring pass is on, verify ALSO accepts containment pairs:
+    # inter / min(|A|, |B|) >= threshold (a file embedded in a larger file has
+    # low symmetric Jaccard but ~1.0 containment — the case the suffix-array
+    # pass exists to catch; J-only verify would reject every candidate it adds)
+    containment_threshold: float = 0.9
 
     # --- execution ---
     shuffle_partitions: int = 32

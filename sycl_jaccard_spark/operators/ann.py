@@ -76,6 +76,15 @@ PLANE_SCALE = 1_000_000   # hyperplane coeffs quantized to int64 (×1e6)
 VEC_SCALE = 10_000        # embeddings quantized to int64 (×1e4)
 
 
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """Round-half-away-from-zero to int64. np.round is banker's (half-to-even)
+    while Spark's F.round and DuckDB's round() are half-away — a component
+    landing exactly on .5 after scaling would quantize differently across
+    engines and could flip an LSH sign bit / IVF assignment. All three engines
+    share this one rule."""
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
 def quantized_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     """Seeded hyperplanes, integer-quantized: dot(vec_q, plane_q) stays exact
     in int64 (|dot| < dim * 1e4 * 1e6 * few-sigma ≈ 1e14 for dim ≤ 4096), so
@@ -95,7 +104,7 @@ def hyperplane_signature_udf(planes_q: np.ndarray):
     def _sig(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype="int64")
-        m = np.round(np.stack(vecs.to_numpy()).astype(np.float64) * VEC_SCALE).astype(np.int64)
+        m = _round_half_away(np.stack(vecs.to_numpy()).astype(np.float64) * VEC_SCALE)
         bits = (m @ pt) >= 0  # (B, n_planes)
         weights = np.int64(1) << np.arange(pt.shape[1], dtype=np.int64)
         return pd.Series(bits @ weights)
@@ -123,25 +132,7 @@ def lsh_cosine_candidates(
     correlated embeddings routinely concentrate in one dominant sign-pattern
     bucket whose uncapped self-join goes quadratic.
     """
-    planes_q = quantized_planes(dim, n_planes, seed)
-    sig = vectors.select(
-        F.col(id_col).alias("id"),
-        hyperplane_signature_udf(planes_q)(F.col(vec_col)).alias("sig"),
-    ).localCheckpoint(eager=True)  # pandas-UDF column cannot feed a generator
-    width = n_planes // bands
-    mask = (1 << width) - 1
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.shiftrightunsigned("sig", b * width).bitwiseAND(F.lit(mask)).alias("band_hash"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bh"),
-    ).select("id", "bh.band", "bh.band_hash")
+    banded = _hyperplane_banded(vectors, dim, n_planes, bands, seed, id_col, vec_col)
     w = Window.partitionBy("band", "band_hash").orderBy(F.col("id"))
     capped = banded.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= bucket_cap
@@ -153,6 +144,55 @@ def lsh_cosine_candidates(
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .dropDuplicates(["a", "b"])
+    )
+
+
+def _hyperplane_banded(
+    vectors: DataFrame, dim: int, n_planes: int, bands: int, seed: int,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """(id, band, band_hash) sign-pattern band membership (shared by the
+    candidate join and the drop counter)."""
+    planes_q = quantized_planes(dim, n_planes, seed)
+    sig = vectors.select(
+        F.col(id_col).alias("id"),
+        hyperplane_signature_udf(planes_q)(F.col(vec_col)).alias("sig"),
+    ).localCheckpoint(eager=True)  # pandas-UDF column cannot feed a generator
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned("sig", b * width).bitwiseAND(F.lit(mask)).alias("band_hash"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bh"),
+    ).select("id", "bh.band", "bh.band_hash")
+
+
+def lsh_capped_members(
+    vectors: DataFrame,
+    dim: int,
+    n_planes: int = 32,
+    bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_cap: int = 256,
+) -> int:
+    """How many (vector, bucket) memberships ``lsh_cosine_candidates``' cap
+    dropped — the embedding path's "no silent caps" counter (the text path's
+    ``operators.lsh.capped_docs`` applied to hyperplane buckets)."""
+    banded = _hyperplane_banded(vectors, dim, n_planes, bands, seed, id_col, vec_col)
+    w = Window.partitionBy("band", "band_hash").orderBy(F.col("id"))
+    return (
+        banded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > bucket_cap)
+        .count()
     )
 
 
@@ -188,7 +228,7 @@ def ivf_assign_udf(centroids_q: np.ndarray, nprobe: int):
     def _assign(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype="object")
-        m = np.round(np.stack(vecs.to_numpy()).astype(np.float64) * VEC_SCALE).astype(np.int64)
+        m = _round_half_away(np.stack(vecs.to_numpy()).astype(np.float64) * VEC_SCALE)
         scores = -2 * (m @ ct) + c2[None, :]
         order = np.argsort(scores, axis=1, kind="stable")[:, :nprobe]
         return pd.Series([row.astype("int32").tolist() for row in order])
@@ -213,13 +253,7 @@ def ivf_candidates(
     ``nprobe > 1`` recovers neighbors that straddle a Voronoi boundary. One
     shuffle to the list key, rank-window cap, self-join, pair dedup — the
     same shape (and skew discipline) as the text LSH path."""
-    assign = vectors.select(
-        F.col(id_col).alias("id"),
-        ivf_assign_udf(quantized_centroids(dim, n_centroids, seed), nprobe)(
-            F.col(vec_col)
-        ).alias("cids"),
-    ).localCheckpoint(eager=True)  # pandas-UDF column cannot feed a generator
-    listed = assign.select("id", F.explode("cids").alias("cid"))
+    listed = _ivf_listed(vectors, dim, n_centroids, nprobe, seed, id_col, vec_col)
     w = Window.partitionBy("cid").orderBy(F.col("id"))
     capped = listed.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= bucket_cap
@@ -231,6 +265,42 @@ def ivf_candidates(
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .dropDuplicates(["a", "b"])
+    )
+
+
+def _ivf_listed(
+    vectors: DataFrame, dim: int, n_centroids: int, nprobe: int, seed: int,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """(id, cid) probed inverted-list membership (shared by the candidate
+    join and the drop counter)."""
+    assign = vectors.select(
+        F.col(id_col).alias("id"),
+        ivf_assign_udf(quantized_centroids(dim, n_centroids, seed), nprobe)(
+            F.col(vec_col)
+        ).alias("cids"),
+    ).localCheckpoint(eager=True)  # pandas-UDF column cannot feed a generator
+    return assign.select("id", F.explode("cids").alias("cid"))
+
+
+def ivf_capped_members(
+    vectors: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_cap: int = 4096,
+) -> int:
+    """How many (vector, list) memberships ``ivf_candidates``' cap dropped —
+    no silent caps on the IVF path either."""
+    listed = _ivf_listed(vectors, dim, n_centroids, nprobe, seed, id_col, vec_col)
+    w = Window.partitionBy("cid").orderBy(F.col("id"))
+    return (
+        listed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > bucket_cap)
+        .count()
     )
 
 

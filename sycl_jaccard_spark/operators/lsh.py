@@ -98,6 +98,16 @@ def candidate_pairs(
       B²/2 while every member still participates (cross-salt pairs for true
       near-dups are recovered by the other 31 bands / SimHash / substring
       passes). Normal-size buckets are untouched in both modes.
+    * ``skew_mode="auto"``: size-graded policy — buckets up to ``bucket_cap``
+      untouched; the boilerplate band (``bucket_cap`` < B ≤
+      ``cfg.salt_threshold``) is salted with DYNAMIC fan-out s = ⌈B /
+      bucket_cap⌉ so sub-buckets stay ~bucket_cap and pair cost is LINEAR in
+      B (~B·bucket_cap/2) with every member retained; pathological buckets
+      (B > salt_threshold — e.g. an empty-file shingle at 10^12 docs) are
+      capped to the ``bucket_cap`` lowest ids (drops observable via
+      ``capped_docs``). Costs one extra count-window over the same partition
+      key (no extra shuffle; the cap-only mode's WindowGroupLimit pushdown is
+      traded for full-membership recall on mid-size buckets).
 
     The rank window and the self-join share the (band, band_hash)
     partitioning (exchange reuse); residual imbalance is AQE skew-join's job
@@ -107,6 +117,37 @@ def candidate_pairs(
     if skew_mode == "cap":
         ranked = banded.withColumn("rn", F.row_number().over(w))
         capped = ranked.filter(F.col("rn") <= cfg.bucket_cap).drop("rn")
+    elif skew_mode == "auto":
+        wsz = Window.partitionBy("band", "band_hash")
+        graded = (
+            banded.withColumn("rn", F.row_number().over(w))
+            .withColumn("bsz", F.count(F.lit(1)).over(wsz))
+        )
+        capped = (
+            graded.filter(
+                (F.col("bsz") <= cfg.salt_threshold) | (F.col("rn") <= cfg.bucket_cap)
+            )
+            .withColumn(
+                "band_hash",
+                F.when(
+                    (F.col("bsz") > cfg.bucket_cap) & (F.col("bsz") <= cfg.salt_threshold),
+                    # dynamic salt: sub-buckets of ~bucket_cap members. The
+                    # salt hash includes the BAND so each band partitions the
+                    # bucket differently — per-band sub-cliques then overlap
+                    # across bands and connected components reunites the full
+                    # bucket (a band-independent salt would cut identical
+                    # buckets into the same disjoint cliques in every band).
+                    F.xxhash64(
+                        F.col("band_hash"),
+                        F.pmod(
+                            F.xxhash64(F.col("band"), F.col(id_col)),
+                            F.ceil(F.col("bsz") / cfg.bucket_cap).cast("long"),
+                        ),
+                    ),
+                ).otherwise(F.col("band_hash")),
+            )
+            .drop("rn", "bsz")
+        )
     elif skew_mode == "salt":
         sizes = banded.groupBy("band", "band_hash").agg(F.count("*").alias("bsz"))
         capped = (

@@ -87,3 +87,59 @@ def jaccard_pairs(
             )
         )
     raise ValueError(f"unknown impl {impl!r}")
+
+
+def jaccard_pairs_weighted(
+    memberships: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    elem_col: str = "elem",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Weighted ``jaccard_list`` (A5 weighted — ``standalone_algorithms.hpp:
+    109-124``, ``jaccard.cpp:254-256`` volume accumulation): score explicit
+    (a, b) pairs with ``Jw = W∩ / (vol_a + vol_b − W∩)`` where ``vol(v) =
+    Σ w(e)`` over v's distinct elements and ``W∩`` sums the weights of shared
+    elements.
+
+    ``memberships`` is the exploded weighted membership relation
+    (id, elem, w); ``w`` is a per-ELEMENT weight (the same for every owner of
+    the element — the reference's vertex-weight model, where ``v[j]`` weights
+    neighbor vertex j). Returns (a, b, wi, vol_a, vol_b, jaccard).
+
+    Shape mirrors the unweighted ``impl="exploded"`` path: W∩ via a hash
+    probe per shared element (expand with a's elements, inner-join on
+    (b, elem)), never |A|×|B|; volumes via one groupBy — all JVM-side.
+    """
+    m = memberships.select(
+        F.col(id_col).alias("_id"), F.col(elem_col).alias("elem"), F.col(weight_col).alias("w")
+    )
+    vol = m.groupBy("_id").agg(F.sum("w").alias("vol"))
+    pa = pairs.select("a", "b")
+    ea = m.select(F.col("_id").alias("a"), "elem", F.col("w").alias("wa"))
+    eb = m.select(F.col("_id").alias("b"), "elem")
+    wi = (
+        pa.join(ea, "a")
+        .join(eb, ["b", "elem"])
+        .groupBy("a", "b")
+        .agg(F.sum("wa").alias("wi"))
+    )
+    va = vol.select(F.col("_id").alias("a"), F.col("vol").alias("vol_a"))
+    vb = vol.select(F.col("_id").alias("b"), F.col("vol").alias("vol_b"))
+    zero = F.lit(0).cast("long")
+    return (
+        pa.join(wi, ["a", "b"], "left")
+        .join(va, "a")
+        .join(vb, "b")
+        .select(
+            "a",
+            "b",
+            F.coalesce("wi", zero).cast("long").alias("wi"),
+            F.col("vol_a").cast("long").alias("vol_a"),
+            F.col("vol_b").cast("long").alias("vol_b"),
+            (
+                F.coalesce("wi", zero).cast("double")
+                / (F.col("vol_a") + F.col("vol_b") - F.coalesce("wi", zero)).cast("double")
+            ).alias("jaccard"),
+        )
+    )

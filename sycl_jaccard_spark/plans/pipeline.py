@@ -31,8 +31,8 @@ from sycl_jaccard_spark.functions.shingles import (
 from sycl_jaccard_spark.functions.simhash import (
     n_simhash_tables,
     simhash_band_keys,
-    simhash_udf,
 )
+from sycl_jaccard_spark.functions.minhash import minhash_simhash_udf
 from sycl_jaccard_spark.operators.components import connected_components
 from sycl_jaccard_spark.operators.exact_dedup import dedup_exact, with_sha256
 from sycl_jaccard_spark.operators.lsh import band_hashes, candidate_pairs, minhash_signatures
@@ -66,8 +66,41 @@ class DedupPipeline:
         self.enable_substring = enable_substring
         self.count_rows = count_rows  # False: skip per-stage count jobs (bench mode)
         self.metrics: list[dict] = []
+        self._resume_ok = True  # cleared when the stored checkpoint config mismatches
 
     # ---- stage plumbing (EVENT_PROFILE + checkpoint/resume) ----
+
+    def _config_fingerprint(self) -> str:
+        from dataclasses import asdict
+
+        return json.dumps(
+            {
+                "cfg": asdict(self.cfg),
+                "enable_simhash": self.enable_simhash,
+                "enable_substring": self.enable_substring,
+            },
+            sort_keys=True,
+        )
+
+    def _check_checkpoint_config(self) -> None:
+        """Stage schemas depend on the config (e.g. the shingles stage carries
+        `content` only when the substring pass is on, the minhash stage carries
+        `sim` only with SimHash). Resuming a checkpoint written under a
+        different config would fail later with a missing-column error — so the
+        fingerprint is recorded alongside the stages and a mismatch invalidates
+        the whole checkpoint (stages are rewritten, not resumed)."""
+        if not self.checkpoint_dir:
+            return
+        path = f"{self.checkpoint_dir.rstrip('/')}/pipeline_config"
+        fp = self._config_fingerprint()
+        if self._stage_done(path):
+            stored = self.spark.read.text(path).first()
+            if stored is not None and stored.value == fp:
+                return
+            self._resume_ok = False  # config changed: ignore stale stages
+        self.spark.createDataFrame([(fp,)], "value string").coalesce(1).write.mode(
+            "overwrite"
+        ).text(path)
 
     def _stage_done(self, path: str) -> bool:
         """_SUCCESS probe through the Hadoop FileSystem API, so resume works
@@ -82,7 +115,7 @@ class DedupPipeline:
         t0 = time.monotonic()
         if self.checkpoint_dir:
             path = f"{self.checkpoint_dir.rstrip('/')}/stage={name}"
-            if self._stage_done(path):
+            if self._resume_ok and self._stage_done(path):
                 out = self.spark.read.parquet(path)
                 self.metrics.append(
                     {"stage": name, "wall_s": 0.0, "rows": out.count(), "resumed": True}
@@ -112,6 +145,7 @@ class DedupPipeline:
         — every materialization is a full job of scheduling latency that
         parallelism cannot amortize."""
         cfg = self.cfg
+        self._check_checkpoint_config()
         files = files.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
 
         # stage 1: exact dedup by sha256 (reps flow on; dup pairs are free
@@ -140,10 +174,25 @@ class DedupPipeline:
             shingle_cols.append(F.col("content"))
         shingled = self._stage("shingles", uniques.select(*shingle_cols))
 
-        # stage 3: MinHash signatures (Arrow pandas UDF)
-        signed = self._stage(
-            "minhash", minhash_signatures(shingled.select("id", "shingle_hashes"), cfg)
-        )
+        # stage 3: MinHash signatures (Arrow pandas UDF). With SimHash on, the
+        # two reductions over the same shingle arrays are FUSED into one UDF —
+        # one Arrow round-trip, one Python-worker pass (the measured sub-linear
+        # stage at higher parallelism). Only (id, sig[, sim]) is materialized:
+        # the shingle arrays already live in the shingles stage and dominate
+        # the checkpoint bytes if carried through.
+        sig_input = shingled.select("id", "shingle_hashes")
+        if self.enable_simhash:
+            fused = minhash_simhash_udf(cfg.num_perms, cfg.seed)
+            signed = self._stage(
+                "minhash",
+                sig_input.select("id", fused(F.col("shingle_hashes")).alias("ms")).select(
+                    "id", F.col("ms.sig").alias("sig"), F.col("ms.sim").alias("sim")
+                ),
+            )
+        else:
+            signed = self._stage(
+                "minhash", minhash_signatures(sig_input, cfg).select("id", "sig")
+            )
 
         # stage 4: candidate generation — ALL passes (LSH bands, SimHash
         # bands, substring line-grams) union into ONE (id, band, band_hash)
@@ -154,9 +203,11 @@ class DedupPipeline:
         n_sim_tables = n_simhash_tables(cfg.simhash_blocks, cfg.simhash_max_hamming)
         if self.enable_simhash:
             # SimHash near-miss pass: combinatorial block tables catch every
-            # pair within Hamming<=max_hamming (pigeonhole over blocks)
-            sim = shingled.select("id", simhash_udf(F.col("shingle_hashes")).alias("sim"))
-            sim_banded = sim.select(
+            # pair within Hamming<=max_hamming (pigeonhole over blocks).
+            # `signed` is materialized by its stage, so the posexplode below
+            # never sees an inlined pandas-UDF column (the r1 INTERNAL_ERROR
+            # shape — Catalyst cannot host Python UDFs inside a generator).
+            sim_banded = signed.select(
                 "id",
                 F.posexplode(F.array(*simhash_band_keys(
                     F.col("sim"), cfg.simhash_blocks, cfg.simhash_max_hamming, cfg.simhash_bits
@@ -175,16 +226,25 @@ class DedupPipeline:
             ).select("id", F.lit(cfg.bands + n_sim_tables).alias("band"), "band_hash")
             banded = banded.unionByName(sub_banded)
 
-        cands = candidate_pairs(banded, cfg, "id")  # capped + deduped, lazy
+        cands = candidate_pairs(banded, cfg, "id", skew_mode=cfg.skew_mode)  # bounded + deduped, lazy
 
-        # stage 5: exact-Jaccard verification (sygraph::jaccard_list semantics)
+        # stage 5: exact-Jaccard verification (sygraph::jaccard_list semantics).
+        # With the substring pass on, containment pairs (a file embedded in a
+        # larger one — low symmetric J, ~1.0 inter/min) are ALSO accepted:
+        # they are exactly what that pass generates, and J-only verify would
+        # reject every one of them.
         scored = jaccard_pairs(
             shingled.select("id", F.col("shingle_hashes").alias("set")), cands,
             id_col="id", set_col="set", impl="arrays",
         )
+        accept = F.col("jaccard") >= cfg.verify_threshold
+        if self.enable_substring:
+            containment = F.col("inter").cast("double") / F.least(
+                "size_a", "size_b"
+            ).cast("double")
+            accept = accept | (containment >= cfg.containment_threshold)
         verified = self._stage(
-            "verify",
-            scored.filter(F.col("jaccard") >= cfg.verify_threshold).select("a", "b", "jaccard"),
+            "verify", scored.filter(accept).select("a", "b", "jaccard")
         )
 
         # stage 6: clustering — exact-dup pairs join the verified near-dup graph.

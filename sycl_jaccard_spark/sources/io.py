@@ -44,6 +44,15 @@ def read_mtx(spark: SparkSession, path: str) -> tuple[DataFrame, MtxHeader]:
     (``readMtxToCSR.cpp:78-81``); duplicate coordinates are dropped (std::set
     semantics).
     """
+    import glob as _glob
+    import os as _os
+
+    # single-file-only guard: the dims-line detection below relies on
+    # monotonically_increasing_id ordering, which tracks line order only
+    # within ONE text file — a multi-file glob would make "min id = dims
+    # line" undefined (and an .mtx is a single sequential artifact anyway).
+    if _os.path.isdir(path) or len(_glob.glob(path)) > 1:
+        raise ValueError(f"read_mtx expects exactly one .mtx file, got {path!r}")
     head = spark.read.text(path).limit(1).collect()[0].value.strip()
     parts = head.split()
     if len(parts) < 5 or not head.startswith("%%MatrixMarket"):
@@ -214,6 +223,13 @@ def write_csr_binary(
     w = pdf["weight"].to_numpy(np.float64)
     if n_vertices is None:
         n_vertices = int(max(src.max(), dst.max())) + 1 if len(src) else 0
+    # dtype range guard: ids / edge counts beyond int32 would silently wrap
+    # into a structurally valid but corrupt CSR file — auto-promote to the
+    # 64-bit legs (the reference's VERTEX_T64/EDGE_T64 build flags) instead.
+    if not vertex_t64 and len(dst) and int(dst.max()) > np.iinfo(np.int32).max:
+        vertex_t64 = True
+    if not edge_t64 and len(src) > np.iinfo(np.int32).max:
+        edge_t64 = True
     header = CSRHeader(
         num_verts=n_vertices, num_edges=len(src), is_weighted=weighted,
         is_zero_indexed=True, is_directed=directed, has_reverse_edges=has_reverse_edges,

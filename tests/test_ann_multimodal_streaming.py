@@ -67,6 +67,62 @@ def test_lsh_cosine_bucket_cap_bounds_pairs(spark):
     assert len(capped) <= 4 * (8 * 7) // 2
     uncapped = lsh_cosine_candidates(df, dim=16, n_planes=32, bands=4, bucket_cap=10**9).collect()
     assert len(uncapped) == (60 * 59) // 2
+    # no silent caps: the drop counter reports exactly what the cap removed
+    from sycl_jaccard_spark.operators.ann import lsh_capped_members
+
+    assert lsh_capped_members(df, dim=16, n_planes=32, bands=4, bucket_cap=8) == 4 * (60 - 8)
+    assert lsh_capped_members(df, dim=16, n_planes=32, bands=4, bucket_cap=10**9) == 0
+
+
+def test_ivf_capped_members_counter(spark):
+    """IVF path drop counter: 30 identical vectors land in the same nprobe
+    lists; cap c drops (30 - c) memberships per probed list."""
+    from sycl_jaccard_spark.operators.ann import ivf_capped_members
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(16).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, base.tolist()) for i in range(30)], ["vec_id", "embedding"]
+    )
+    assert (
+        ivf_capped_members(df, dim=16, n_centroids=8, nprobe=2, bucket_cap=10)
+        == 2 * (30 - 10)
+    )
+    assert ivf_capped_members(df, dim=16, n_centroids=8, nprobe=2, bucket_cap=10**9) == 0
+
+
+def test_ann_at_realistic_dim_768(spark):
+    """The matmul pandas UDF exists for real embedding dims (768-1536): at
+    dim=768 the hyperplane path must keep near-parallel recall and the IVF +
+    exact-cosine near-dup chain must find exactly the planted twins (plan
+    sanity for the r1 literal-explosion fix — no 768-literal projections)."""
+    from sycl_jaccard_spark.operators.ann import embedding_near_dups
+
+    rng = np.random.default_rng(21)
+    n, dim = 60, 768
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    rows = [(i, base[i].tolist()) for i in range(n)]
+    # planted near-dups: 1000+i ~ i (cosine ~0.99995); random 768-dim pairs
+    # concentrate near 0, so threshold 0.9 isolates exactly the twins
+    rows += [
+        (1000 + i, (base[i] + 0.01 * rng.standard_normal(dim).astype(np.float32)).tolist())
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cands = {
+        (r.a, r.b)
+        for r in lsh_cosine_candidates(df, dim=dim, n_planes=32, bands=4).collect()
+    }
+    lsh_hits = sum(1 for i in range(10) if (i, 1000 + i) in cands)
+    assert lsh_hits >= 9
+    dups = {
+        (r.a, r.b): r.cosine
+        for r in embedding_near_dups(
+            df, dim=dim, threshold=0.9, method="ivf", n_centroids=8, nprobe=3
+        ).collect()
+    }
+    assert set(dups) == {(i, 1000 + i) for i in range(10)}
+    assert all(c > 0.99 for c in dups.values())
 
 
 def test_multimodal_feature_plumbing(spark):

@@ -74,6 +74,78 @@ def test_lsh_salt_mode_bounds_pairs(spark):
     assert len(participants) == 100  # nobody dropped (unlike cap mode)
 
 
+def test_lsh_auto_mode_grades_by_bucket_size(spark):
+    """Auto skew mode: small buckets untouched; mid-size (boilerplate) buckets
+    dynamically salted — EVERY member keeps participating and the pair graph
+    stays connected (cap mode would drop docs 9..99 from all bands entirely);
+    pathological buckets (> salt_threshold) fall back to the cap."""
+    from sycl_jaccard_spark.operators.components import connected_components
+
+    cfg = PipelineConfig(
+        num_perms=32, bands=8, rows_per_band=4, bucket_cap=8, salt_threshold=500
+    )
+    same = [20, 21, 22, 23, 24]
+    rows = [(i, same) for i in range(100)]          # one 100-member bucket per band
+    rows += [(1000, [7, 8, 9]), (1001, [7, 8, 9])]  # small bucket must survive
+    df = spark.createDataFrame(rows, ["id", "shingle_hashes"])
+    banded = band_hashes(minhash_signatures(df, cfg), cfg, "id")
+
+    # cap mode measurably loses members: only the 8 lowest ids ever pair up
+    cap_pairs = {
+        (r.a, r.b)
+        for r in candidate_pairs(banded, cfg, "id", skew_mode="cap").collect()
+    }
+    cap_participants = {x for p in cap_pairs if p[0] < 1000 for x in p}
+    assert cap_participants == set(range(8))
+
+    auto_pairs = {
+        (r.a, r.b)
+        for r in candidate_pairs(banded, cfg, "id", skew_mode="auto").collect()
+    }
+    assert (1000, 1001) in auto_pairs
+    giant = [p for p in auto_pairs if p[0] < 1000]
+    participants = {x for p in giant for x in p}
+    assert len(participants) == 100          # nobody dropped
+    assert len(giant) < 4950 / 2             # pair cost well below quadratic
+    # the salted sub-cliques overlap across bands: CC reunites the bucket
+    edges = spark.createDataFrame(sorted(giant), ["a", "b"])
+    labels = connected_components(edges)
+    assert labels.select("label").distinct().count() == 1
+
+    # pathological leg: salt_threshold below the bucket size -> cap behavior
+    cfg_patho = PipelineConfig(
+        num_perms=32, bands=8, rows_per_band=4, bucket_cap=8, salt_threshold=50
+    )
+    patho_pairs = {
+        (r.a, r.b)
+        for r in candidate_pairs(banded, cfg_patho, "id", skew_mode="auto").collect()
+    }
+    patho_participants = {x for p in patho_pairs if p[0] < 1000 for x in p}
+    assert patho_participants == set(range(8))
+
+
+def test_pipeline_checkpoint_config_mismatch_invalidates(spark, tmp_path):
+    """A checkpoint written under one config must not be resumed under
+    another (stage schemas differ — e.g. the shingles stage carries `content`
+    only when the substring pass is on): the recorded config fingerprint
+    invalidates stale stages instead of resuming into a missing-column
+    error."""
+    files, _ = synth_source_files(spark, CorpusSpec(n_files=40, n_clusters=5))
+    files = with_file_id(files)
+    ckpt = str(tmp_path / "ckpt")
+    p1 = DedupPipeline(spark, checkpoint_dir=ckpt, enable_substring=False)
+    p1.run(files)
+    # same config resumes; changed config rewrites (and must not crash)
+    p2 = DedupPipeline(spark, checkpoint_dir=ckpt, enable_substring=True)
+    r2 = p2.run(files)
+    assert not any(m["resumed"] for m in p2.metrics)
+    assert r2.clusters.count() == 40
+    # and the rewritten checkpoint resumes under the new config
+    p3 = DedupPipeline(spark, checkpoint_dir=ckpt, enable_substring=True)
+    p3.run(files)
+    assert any(m["resumed"] for m in p3.metrics)
+
+
 def test_lsh_bucket_cap_bounds_pairs(spark):
     """Skew fixture (FIXTURES.md §4): one degenerate bucket; cap bounds the
     self-join and the drop count is observable."""

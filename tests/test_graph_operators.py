@@ -153,6 +153,40 @@ def test_jaccard_pairs_explicit_list(spark):
             assert got[k] == pytest.approx(expect[k], abs=TOL), (impl, k)
 
 
+def test_jaccard_pairs_weighted_explicit_list(spark):
+    """Weighted jaccard_list (standalone_algorithms.hpp:109-124): explicit
+    pairs over weighted memberships, Jw = W∩ / (vol_a + vol_b − W∩), checked
+    against a pure-Python oracle (per-element weights)."""
+    from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs_weighted
+
+    w_of = {1: 10, 2: 7, 3: 5, 4: 2, 5: 9, 100: 3}
+    members = {1: [1, 2, 3, 4], 2: [3, 4, 5], 3: [1, 2, 3, 4], 4: [100]}
+    cand = [(1, 2), (1, 3), (1, 4), (2, 3)]
+    rows = [(i, e, w_of[e]) for i, es in members.items() for e in es]
+    m_df = spark.createDataFrame(rows, ["id", "elem", "w"])
+    pairs_df = spark.createDataFrame(cand, ["a", "b"])
+    got = {
+        (r.a, r.b): (r.wi, r.vol_a, r.vol_b, r.jaccard)
+        for r in jaccard_pairs_weighted(m_df, pairs_df).collect()
+    }
+    assert set(got) == set(cand)
+    for a, b in cand:
+        wi = sum(w_of[e] for e in set(members[a]) & set(members[b]))
+        va = sum(w_of[e] for e in members[a])
+        vb = sum(w_of[e] for e in members[b])
+        exp_j = wi / (va + vb - wi)
+        assert got[(a, b)][0] == wi and got[(a, b)][1] == va and got[(a, b)][2] == vb
+        assert got[(a, b)][3] == pytest.approx(exp_j, abs=TOL), (a, b)
+    # constant weight 1 degenerates to the unweighted operator
+    ones = m_df.withColumn("w", F.lit(1).cast("long"))
+    uw_items = spark.createDataFrame(
+        [(i, es) for i, es in members.items()], ["id", "set"]
+    )
+    uw = {(r.a, r.b): r.jaccard for r in jaccard_pairs(uw_items, pairs_df).collect()}
+    wd = {(r.a, r.b): r.jaccard for r in jaccard_pairs_weighted(ones, pairs_df).collect()}
+    assert uw == wd
+
+
 def test_normalize_ops(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 1), (1, 1), (3, 4), (3, 4), (4, 3), (5, 6)], ["src", "dst"]

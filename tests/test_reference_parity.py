@@ -71,6 +71,35 @@ def test_pipeline_substring_stage_enabled(spark):
     assert res.clusters.count() == 60
 
 
+def test_pipeline_substring_recovers_containment_end_to_end(spark):
+    """Shifted containment THROUGH the flagship: a file fully embedded at an
+    odd offset inside a larger file has token-shingle J ~0.45 (< 0.7), so the
+    LSH+SimHash pipeline keeps them apart — the substring pass generates the
+    candidate from shared w-line grams and the containment acceptance rule
+    (inter/min >= 0.9) clusters them, without perturbing unrelated files."""
+    body = "\n".join(f"val{i} = compute({i}) + {i * 3}" for i in range(40))
+    noise = "\n".join(f"unrelated{i} -> {i * 11}" for i in range(80))
+    rows = [(0, body), (1, noise + "\n" + body)]
+    rows += [(10 + i, f"def only_{i}(): return {i * 13}\n" * 6) for i in range(5)]
+    files = spark.createDataFrame(rows, ["id", "content"])
+
+    off = DedupPipeline(spark, enable_simhash=True, enable_substring=False).run(files)
+    lab_off = {r.id: r.cluster for r in off.clusters.collect()}
+    assert lab_off[0] != lab_off[1]  # the miss the pass exists to fix
+
+    pipe = DedupPipeline(spark, enable_simhash=True, enable_substring=True)
+    on = pipe.run(files)
+    lab_on = {r.id: r.cluster for r in on.clusters.collect()}
+    assert lab_on[0] == lab_on[1]
+    # unrelated files stay singletons
+    assert len({lab_on[10 + i] for i in range(5)}) == 5
+    # the recovered pair is a containment acceptance (J below the threshold)
+    vp = {(r.a, r.b): r.jaccard for r in on.verified_pairs.collect()}
+    assert (0, 1) in vp and vp[(0, 1)] < 0.7
+    # and the pass's cost is visible in the stage metrics (verify stage ran)
+    assert any(m["stage"] == "verify" for m in pipe.metrics)
+
+
 def test_env_cleanup():
     assert os.environ.get("JACSPARK_FORCE_IMPL") != "bogus"
 
