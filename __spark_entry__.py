@@ -7,7 +7,7 @@ ANSI-SQL oracle where the semantics are SQL-expressible. Column names are
 aligned on both sides; doubles are only ever produced by a single division /
 sqrt of exact integers so both engines agree bit-for-bit.
 
-ALL 25 queries are hash-checked, including the END-TO-END pipeline twice
+ALL 26 queries are hash-checked, including the END-TO-END pipeline twice
 (``dedup_pipeline_clusters``: MinHash-LSH only; ``dedup_pipeline_full``:
 plus the SimHash near-miss pass — its bit-voting and combinatorial block
 tables replayed in plain SQL — both on portable hashes with WITH RECURSIVE
@@ -215,6 +215,32 @@ def q_doc_pair_jaccard(spark, sf_dir):
     return jaccard_pairs(items, pairs).select("a", "b", "inter", "size_a", "size_b", "jaccard")
 
 
+def q_doc_pair_containment(spark, sf_dir):
+    """Containment score C = inter/min(|A|,|B|) over the same rare-shingle
+    candidate set as doc_pair_jaccard — the substring pass's acceptance rule
+    (a doc embedded in a larger doc scores ~1.0 here with low symmetric J)."""
+    from sycl_jaccard_spark.functions.jaccard import containment_from_counts
+
+    sh = _doc_shingles(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
+    rare = sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= DF_CAP)
+    sh_r = sh.join(rare.select("s"), "s")
+    pairs = (
+        sh_r.select(F.col("doc_id").alias("a"), "s")
+        .join(sh_r.select(F.col("doc_id").alias("b"), "s"), "s")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    items = _doc_shingles(spark, sf_dir).select(F.col("doc_id").alias("id"), F.col("sh").alias("set"))
+    scored = jaccard_pairs(items, pairs)
+    return scored.select(
+        "a", "b",
+        containment_from_counts(F.col("inter"), F.col("size_a"), F.col("size_b")).alias(
+            "containment"
+        ),
+    )
+
+
 def q_minhash_signatures(spark, sf_dir):
     """(doc_id, perm, sig) — portable MinHash, oracle-replayed in SQL."""
     signed = minhash_signatures(
@@ -378,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "doc_shingle_stats": q_doc_shingle_stats,
         "doc_pair_jaccard": q_doc_pair_jaccard,
+        "doc_pair_containment": q_doc_pair_containment,
         "minhash_signatures": q_minhash_signatures,
         "lsh_band_hashes": q_lsh_band_hashes,
         "lsh_candidates": q_lsh_candidates,
@@ -525,6 +552,21 @@ inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
 SELECT c.a, c.b, COALESCE(i.inter, 0) AS inter,
        CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
        CAST(COALESCE(i.inter, 0) AS DOUBLE) / CAST(sa.sz + sb.sz - COALESCE(i.inter, 0) AS DOUBLE) AS jaccard
+FROM cand c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+JOIN sz sa ON sa.doc_id = c.a JOIN sz sb ON sb.doc_id = c.b"""
+    sql["doc_pair_containment"] = f"""
+WITH {_SH.strip()},
+shx AS (SELECT doc_id, unnest(s) AS s1 FROM sh),
+rare AS (SELECT s1 FROM shx GROUP BY s1 HAVING count(*) <= {DF_CAP}),
+shr AS (SELECT doc_id, s1 FROM shx JOIN rare USING (s1)),
+cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         FROM shr a JOIN shr b ON a.s1 = b.s1 AND a.doc_id < b.doc_id),
+sz AS (SELECT doc_id, len(s) AS sz FROM sh),
+inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+          FROM cand JOIN shx x ON x.doc_id = cand.a JOIN shx y ON y.doc_id = cand.b AND y.s1 = x.s1
+          GROUP BY 1, 2)
+SELECT c.a, c.b,
+       CAST(COALESCE(i.inter, 0) AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) AS containment
 FROM cand c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
 JOIN sz sa ON sa.doc_id = c.a JOIN sz sb ON sb.doc_id = c.b"""
     sql["minhash_signatures"] = f"""

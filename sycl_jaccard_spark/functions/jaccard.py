@@ -30,3 +30,11 @@ def weighted_jaccard_from_sums(wi: Column, vol_a: Column, vol_b: Column) -> Colu
     """Weighted J = Wi / (vol_a + vol_b - Wi)  (``jaccard.cpp:614-618``)."""
     wu = (vol_a + vol_b - wi).cast("double")
     return F.when(wu > 0, wi.cast("double") / wu)
+
+
+def containment_from_counts(inter: Column, size_a: Column, size_b: Column) -> Column:
+    """Containment score C = |A∩B| / min(|A|, |B|): ~1.0 when one set embeds
+    the other even if the symmetric Jaccard is low — the acceptance rule of
+    the substring (suffix-array analog) pass. 0-denominator -> null."""
+    lo = F.least(size_a, size_b).cast("double")
+    return F.when(lo > 0, inter.cast("double") / lo)

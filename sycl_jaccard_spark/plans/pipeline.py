@@ -239,9 +239,11 @@ class DedupPipeline:
         )
         accept = F.col("jaccard") >= cfg.verify_threshold
         if self.enable_substring:
-            containment = F.col("inter").cast("double") / F.least(
-                "size_a", "size_b"
-            ).cast("double")
+            from sycl_jaccard_spark.functions.jaccard import containment_from_counts
+
+            containment = containment_from_counts(
+                F.col("inter"), F.col("size_a"), F.col("size_b")
+            )
             accept = accept | (containment >= cfg.containment_threshold)
         verified = self._stage(
             "verify", scored.filter(accept).select("a", "b", "jaccard")
