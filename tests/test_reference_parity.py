@@ -71,6 +71,17 @@ def test_pipeline_substring_stage_enabled(spark):
     assert res.clusters.count() == 60
 
 
+def test_simhash_pipeline_survives_driver_aggregate(spark):
+    """Regression for the r1 INTERNAL_ERROR shape: a pandas-UDF column feeding
+    a generator after Catalyst collapses projections (the driver wraps every
+    query in an aggregate, which triggered it). The fused minhash stage is
+    materialized before the SimHash posexplode, so this must run clean."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.q_dedup_pipeline_full(spark, "/root/testdata/sf0.001")
+    assert df.agg(F.count(F.lit(1))).collect()[0][0] == 500
+
+
 def test_pipeline_substring_recovers_containment_end_to_end(spark):
     """Shifted containment THROUGH the flagship: a file fully embedded at an
     odd offset inside a larger file has token-shingle J ~0.45 (< 0.7), so the
