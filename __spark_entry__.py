@@ -56,6 +56,8 @@ N_BANDS = 4                # portable LSH bands (rows_per_band = 4)
 PART_OFFSET = 10_000_000   # disjoint id space for part vertices
 PAIR_MOD = 5               # order-pair subset filter for bounded outputs
 TOPK = 5                   # ann top-k
+IVF_TRAIN_K = 8            # trained-codebook clusters (ann_ivf_train)
+IVF_TRAIN_ITERS = 2        # Lloyd iterations (unrolled in the oracle SQL)
 LANE = 0x7FFFFFFF
 VERIFY_THRESHOLD = 0.7     # pipeline verify threshold (PipelineConfig default)
 EMB_THRESHOLD = 0.35       # emb near-dup cosine cutoff (testdata is near-orthogonal)
@@ -362,6 +364,27 @@ def q_ann_ivf_candidates(spark, sf_dir):
     return ivf_candidates(emb, dim=64, n_centroids=16, nprobe=2, seed=42, bucket_cap=10**9)
 
 
+def q_ann_ivf_train(spark, sf_dir):
+    """Distributed Lloyd k-means codebook training (operators/ann.py:
+    train_ivf_centroids) — the trained coarse quantizer that replaces the
+    seeded random stand-in via ``ivf_candidates(centroids_q=...)``. Exact
+    int64 arithmetic end-to-end (quantized vectors, integer argmin, half-
+    away-from-zero integer means), so DuckDB replays the full unrolled
+    training bit-for-bit. Returns the codebook as (cid, pos, val) rows."""
+    from sycl_jaccard_spark.operators.ann import train_ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(
+        emb, dim=64, n_centroids=IVF_TRAIN_K, n_iters=IVF_TRAIN_ITERS, seed=42
+    )
+    rows = [
+        (int(cid), int(pos), int(val))
+        for cid in range(cents.shape[0])
+        for pos, val in enumerate(cents[cid])
+    ]
+    return spark.createDataFrame(rows, "cid INT, pos INT, val BIGINT")
+
+
 def q_emb_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs: IVF candidates -> exact quantized
     cosine filter (the dense-vector sibling of MinHash->exact-Jaccard).
@@ -418,6 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pipeline_full": q_dedup_pipeline_full,
         "ann_lsh_candidates": q_ann_lsh_candidates,
         "ann_ivf_candidates": q_ann_ivf_candidates,
+        "ann_ivf_train": q_ann_ivf_train,
         "emb_near_dups": q_emb_near_dups,
     }
 
@@ -703,6 +727,44 @@ cs AS (SELECT c.a, c.b,
                  * sqrt(CAST(list_sum(list_transform(qb.v, x -> x * x)) AS DOUBLE))) AS cosine
        FROM cand c JOIN q qa ON qa.vec_id = c.a JOIN q qb ON qb.vec_id = c.b)
 SELECT a, b, cosine FROM cs WHERE cosine >= {EMB_THRESHOLD}"""
+    # ann_ivf_train: the FULL Lloyd k-means training loop unrolled — init
+    # codebook as VALUES, per-iteration CTEs (integer argmin assignment,
+    # exact half-away-from-zero integer mean, empty clusters keep their
+    # centroid), bit-for-bit against operators/ann.py:train_ivf_centroids.
+    from sycl_jaccard_spark.operators.ann import init_centroids
+
+    ic = init_centroids(dim=64, n_centroids=IVF_TRAIN_K, seed=42)
+    c0_rows = ", ".join(
+        f"({cid}, {pos}, {int(v)})"
+        for cid in range(IVF_TRAIN_K)
+        for pos, v in enumerate(ic[cid])
+    )
+    train_iters = []
+    for i in range(IVF_TRAIN_ITERS):
+        train_iters.append(f""",
+s{i} AS MATERIALIZED (
+  SELECT e.vec_id, c.cid, SUM(c.val * c.val - 2 * e.val * c.val) AS score
+  FROM ex e JOIN c{i} c ON e.pos = c.pos GROUP BY e.vec_id, c.cid),
+a{i} AS MATERIALIZED (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY score, cid) AS rn
+    FROM s{i}) WHERE rn = 1),
+u{i} AS MATERIALIZED (
+  SELECT a.cid, e.pos, SUM(e.val) AS s, COUNT(*) AS n
+  FROM a{i} a JOIN ex e ON a.vec_id = e.vec_id GROUP BY a.cid, e.pos),
+c{i + 1} AS MATERIALIZED (
+  SELECT c.cid, c.pos,
+         COALESCE(CASE WHEN u.s >= 0 THEN (2 * u.s + u.n) // (2 * u.n)
+                       ELSE -((2 * (-u.s) + u.n) // (2 * u.n)) END,
+                  CAST(c.val AS BIGINT)) AS val
+  FROM c{i} c LEFT JOIN u{i} u ON c.cid = u.cid AND c.pos = u.pos)""")
+    sql["ann_ivf_train"] = f"""
+WITH vq AS (SELECT vec_id, list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * {VEC_SCALE}) AS BIGINT)) AS v
+            FROM embeddings),
+ex AS MATERIALIZED (SELECT vec_id, unnest(v) AS val, unnest(range(len(v))) AS pos FROM vq),
+c0(cid, pos, val) AS (VALUES {c0_rows}){"".join(train_iters)}
+SELECT CAST(cid AS INTEGER) AS cid, CAST(pos AS INTEGER) AS pos, CAST(val AS BIGINT) AS val
+FROM c{IVF_TRAIN_ITERS} ORDER BY cid, pos"""
     # dedup_pipeline_clusters / dedup_pipeline_full: end-to-end replays.
     # Candidate/verify CTEs over ALL docs are a superset of the pipeline's
     # uniques-only pass, but exact-dup twins share signatures, so the extra

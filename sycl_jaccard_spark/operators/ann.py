@@ -216,6 +216,93 @@ def quantized_centroids(dim: int, n_centroids: int, seed: int) -> np.ndarray:
     return np.round(c * PLANE_SCALE).astype(np.int64)
 
 
+def _half_away_div(s: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """Exact integer mean with half-away-from-zero rounding: sign(s) *
+    ((2|s| + n) // (2n)). Pure int64 — bit-identical between the NumPy driver
+    update and the DuckDB replay's `//` (both floor non-negative operands)."""
+    s = s.astype(np.int64)
+    n = n.astype(np.int64)
+    return np.sign(s) * ((2 * np.abs(s) + n) // (2 * n))
+
+
+def init_centroids(dim: int, n_centroids: int, seed: int) -> np.ndarray:
+    """Seeded unit-norm init codebook in the VECTOR quantization space
+    (×VEC_SCALE, not PLANE_SCALE): Lloyd updates replace centroids with means
+    of assigned quantized vectors, so init and updates must share one scale
+    for the -2·v·c + |c|² argmin to stay a squared-L2 ranking."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_centroids, dim))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return np.round(c * VEC_SCALE).astype(np.int64)
+
+
+def _assign_cid_udf(centroids_q: np.ndarray):
+    """pandas UDF: quantized vector array<long> -> nearest centroid id.
+    Score -2·v·c + |c|² (int-exact in float64: |score| < dim·1e8 « 2^53);
+    np.argmin returns the FIRST minimum, so ties break to the lowest cid —
+    the same rule as the SQL replay's ORDER BY score, cid."""
+    ct = centroids_q.T.astype(np.float64).copy()              # (dim, K)
+    c2 = (centroids_q * centroids_q).sum(axis=1).astype(np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(vqs: pd.Series) -> pd.Series:
+        if len(vqs) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.stack(vqs.to_numpy()).astype(np.float64)
+        scores = -2.0 * (m @ ct) + c2[None, :]
+        return pd.Series(np.argmin(scores, axis=1).astype("int32"))
+
+    return _assign
+
+
+def train_ivf_centroids(
+    vectors: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    n_iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Distributed Lloyd k-means over the quantized embedding space — the
+    trained codebook that drops into :func:`ivf_candidates` via
+    ``centroids_q=`` (replacing the seeded random stand-in).
+
+    Fully deterministic and engine-exact: vectors and centroids live in int64
+    at VEC_SCALE; assignment is the exact integer argmin (ties → lowest cid);
+    the mean is the exact half-away-from-zero integer division; empty
+    clusters keep their previous centroid. A DuckDB oracle replays the whole
+    unrolled training bit-for-bit (``oracle_sql()['ann_ivf_train']``).
+
+    Scale shape: one Arrow-batched matmul pass assigns (no shuffle), then
+    posexplode→groupBy(cid, pos) rides Spark's map-side partial aggregation —
+    each task emits ≤ K·dim partials, the driver collects K·dim sums
+    (codebook-sized, ~16·768 rows at production dims) per iteration. Train on
+    a ``.sample()`` of the corpus for 10^12-row tables, standard IVF practice."""
+    cents = init_centroids(dim, n_centroids, seed)
+    vq = vectors.select(
+        F.col(id_col).alias("id"), _quantized(F.col(vec_col)).alias("vq")
+    ).localCheckpoint(eager=True)  # reused every iteration — cut lineage once
+    for _ in range(n_iters):
+        assigned = vq.select("vq", _assign_cid_udf(cents)(F.col("vq")).alias("cid"))
+        rows = (
+            assigned.select("cid", F.posexplode("vq").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        sums = np.zeros((n_centroids, dim), dtype=np.int64)
+        counts = np.zeros(n_centroids, dtype=np.int64)
+        for r in rows:
+            sums[r["cid"], r["pos"]] = r["s"]
+            counts[r["cid"]] = r["n"]
+        new = cents.copy()
+        nonempty = counts > 0
+        new[nonempty] = _half_away_div(sums[nonempty], counts[nonempty, None])
+        cents = new
+    return cents
+
+
 def ivf_assign_udf(centroids_q: np.ndarray, nprobe: int):
     """pandas UDF: embedding -> array<int> of the ``nprobe`` nearest centroid
     ids. Ranking key is the exact integer score -2*v.c + |c|^2 (adding the
@@ -245,6 +332,7 @@ def ivf_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_cap: int = 4096,
+    centroids_q: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF-style candidate pairs: vectors sharing a probed inverted list.
 
@@ -252,8 +340,13 @@ def ivf_candidates(
     the corpus so the self-join is bounded by the largest list (capped), and
     ``nprobe > 1`` recovers neighbors that straddle a Voronoi boundary. One
     shuffle to the list key, rank-window cap, self-join, pair dedup — the
-    same shape (and skew discipline) as the text LSH path."""
-    listed = _ivf_listed(vectors, dim, n_centroids, nprobe, seed, id_col, vec_col)
+    same shape (and skew discipline) as the text LSH path.
+
+    ``centroids_q``: a trained codebook from :func:`train_ivf_centroids`
+    (int64, VEC_SCALE space); defaults to the seeded random quantizer."""
+    listed = _ivf_listed(
+        vectors, dim, n_centroids, nprobe, seed, id_col, vec_col, centroids_q
+    )
     w = Window.partitionBy("cid").orderBy(F.col("id"))
     capped = listed.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= bucket_cap
@@ -270,13 +363,16 @@ def ivf_candidates(
 
 def _ivf_listed(
     vectors: DataFrame, dim: int, n_centroids: int, nprobe: int, seed: int,
-    id_col: str, vec_col: str,
+    id_col: str, vec_col: str, centroids_q: np.ndarray | None = None,
 ) -> DataFrame:
     """(id, cid) probed inverted-list membership (shared by the candidate
     join and the drop counter)."""
+    cents = centroids_q if centroids_q is not None else quantized_centroids(
+        dim, n_centroids, seed
+    )
     assign = vectors.select(
         F.col(id_col).alias("id"),
-        ivf_assign_udf(quantized_centroids(dim, n_centroids, seed), nprobe)(
+        ivf_assign_udf(cents, nprobe)(
             F.col(vec_col)
         ).alias("cids"),
     ).localCheckpoint(eager=True)  # pandas-UDF column cannot feed a generator
@@ -292,10 +388,13 @@ def ivf_capped_members(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_cap: int = 4096,
+    centroids_q: np.ndarray | None = None,
 ) -> int:
     """How many (vector, list) memberships ``ivf_candidates``' cap dropped —
     no silent caps on the IVF path either."""
-    listed = _ivf_listed(vectors, dim, n_centroids, nprobe, seed, id_col, vec_col)
+    listed = _ivf_listed(
+        vectors, dim, n_centroids, nprobe, seed, id_col, vec_col, centroids_q
+    )
     w = Window.partitionBy("cid").orderBy(F.col("id"))
     return (
         listed.withColumn("rn", F.row_number().over(w))

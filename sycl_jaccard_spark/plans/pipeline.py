@@ -111,7 +111,26 @@ class DedupPipeline:
         fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
         return bool(fs.exists(hpath))
 
-    def _stage(self, name: str, df: DataFrame, materialize: bool = True) -> DataFrame:
+    def _write_lineage(self, path: str, record: dict) -> None:
+        """Per-partition lineage record, written INSIDE the stage directory as
+        ``_lineage.json`` — the underscore prefix makes parquet readers skip
+        it, and the Hadoop FS API keeps it working on hdfs:// and s3a://."""
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(f"{path}/_lineage.json")
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        stream = fs.create(hpath, True)
+        try:
+            stream.write(bytearray(json.dumps(record, sort_keys=True).encode()))
+        finally:
+            stream.close()
+
+    def _stage(
+        self,
+        name: str,
+        df: DataFrame,
+        materialize: bool = True,
+        upstream: tuple[str, ...] = (),
+    ) -> DataFrame:
         t0 = time.monotonic()
         if self.checkpoint_dir:
             path = f"{self.checkpoint_dir.rstrip('/')}/stage={name}"
@@ -123,7 +142,35 @@ class DedupPipeline:
                 return out
             df.write.mode("overwrite").parquet(path)
             out = self.spark.read.parquet(path)
-            rows = out.count()
+            # per-partition row histogram of the DURABLE stage (north-rule
+            # lineage + metrics): one cheap agg job whose sum doubles as the
+            # stage row count; max/mean is the skew observability signal a
+            # 1000-executor operator needs before the next shuffle.
+            hist = {
+                int(r["pid"]): int(r["n"])
+                for r in out.groupBy(F.spark_partition_id().alias("pid"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            rows = sum(hist.values())
+            n_parts = len(hist)
+            self._write_lineage(
+                path,
+                {
+                    "stage": name,
+                    "upstream": list(upstream),
+                    "rows": rows,
+                    "n_partitions": n_parts,
+                    "partition_rows": hist,
+                    "max_partition_rows": max(hist.values(), default=0),
+                    "skew_ratio": round(
+                        max(hist.values(), default=0) / (rows / n_parts), 3
+                    )
+                    if rows
+                    else 1.0,
+                    "config": json.loads(self._config_fingerprint()),
+                },
+            )
         elif materialize:
             out = df.localCheckpoint(eager=True)
             rows = out.count() if self.count_rows else -1
@@ -157,7 +204,7 @@ class DedupPipeline:
         hashed = with_sha256(files)
         uniques, exact_pairs = dedup_exact(hashed, "id", "content")
         if self.checkpoint_dir:
-            uniques = self._stage("exact_dedup", uniques)
+            uniques = self._stage("exact_dedup", uniques, upstream=("ingest",))
 
         # stage 2: shingle sets (JVM-side; 64-bit hashes for exact verify).
         # `content` is carried through the checkpoint ONLY when the substring
@@ -172,7 +219,7 @@ class DedupPipeline:
         ]
         if self.enable_substring:
             shingle_cols.append(F.col("content"))
-        shingled = self._stage("shingles", uniques.select(*shingle_cols))
+        shingled = self._stage("shingles", uniques.select(*shingle_cols), upstream=("exact_dedup",))
 
         # stage 3: MinHash signatures (Arrow pandas UDF). With SimHash on, the
         # two reductions over the same shingle arrays are FUSED into one UDF —
@@ -188,10 +235,12 @@ class DedupPipeline:
                 sig_input.select("id", fused(F.col("shingle_hashes")).alias("ms")).select(
                     "id", F.col("ms.sig").alias("sig"), F.col("ms.sim").alias("sim")
                 ),
+                upstream=("shingles",),
             )
         else:
             signed = self._stage(
-                "minhash", minhash_signatures(sig_input, cfg).select("id", "sig")
+                "minhash", minhash_signatures(sig_input, cfg).select("id", "sig"),
+                upstream=("shingles",),
             )
 
         # stage 4: candidate generation — ALL passes (LSH bands, SimHash
@@ -246,14 +295,16 @@ class DedupPipeline:
             )
             accept = accept | (containment >= cfg.containment_threshold)
         verified = self._stage(
-            "verify", scored.filter(accept).select("a", "b", "jaccard")
+            "verify", scored.filter(accept).select("a", "b", "jaccard"),
+            upstream=("shingles", "minhash"),
         )
 
         # stage 6: clustering — exact-dup pairs join the verified near-dup graph.
         # Materialized: CC consumes it twice (count + collect/star rounds), and
         # exact_pairs' lineage otherwise re-runs the full sha256 scan per use.
         all_pairs = self._stage(
-            "pair_graph", verified.select("a", "b").union(exact_pairs.select("a", "b"))
+            "pair_graph", verified.select("a", "b").union(exact_pairs.select("a", "b")),
+            upstream=("verify", "exact_dedup"),
         )
         t_cc = time.monotonic()
         labels = connected_components(
@@ -268,6 +319,7 @@ class DedupPipeline:
             files.select("id").join(labels, files.id == labels.node, "left").select(
                 "id", F.coalesce("label", F.col("id")).alias("cluster")
             ),
+            upstream=("pair_graph",),
         )
 
         all_verified = verified.unionByName(

@@ -221,3 +221,48 @@ def test_multimodal_resize_plumbing(spark):
     assert all(isinstance(r.payload, (bytes, bytearray)) and len(r.payload) > 0 for r in out)
     with pytest.raises(Exception):
         resize_images(media, deterministic_fake=False).collect()
+
+
+def test_train_ivf_centroids_improves_codebook(spark):
+    """Lloyd training: (1) the k-means objective (total squared distance to
+    the assigned centroid, exact int space) is no worse than at init; (2) the
+    trained codebook drops into ivf_candidates and still recalls planted
+    near-identical twins; (3) determinism — two runs are bit-identical."""
+    from sycl_jaccard_spark.operators.ann import (
+        init_centroids,
+        ivf_candidates,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(13)
+    centers = rng.standard_normal((4, 16)) * 2.0
+    pts = np.concatenate(
+        [centers[i] + 0.1 * rng.standard_normal((12, 16)) for i in range(4)]
+    ).astype(np.float32)
+    rows = [(i, pts[i].tolist()) for i in range(len(pts))]
+    rows += [
+        (100 + i, (pts[i] + 0.001 * rng.standard_normal(16).astype(np.float32)).tolist())
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    trained = train_ivf_centroids(df, dim=16, n_centroids=4, n_iters=3, seed=7)
+    again = train_ivf_centroids(df, dim=16, n_centroids=4, n_iters=3, seed=7)
+    assert np.array_equal(trained, again)
+
+    vq = np.round(pts.astype(np.float64) * 10000)
+
+    def objective(cents):
+        d2 = ((vq[:, None, :] - cents[None, :, :].astype(np.float64)) ** 2).sum(axis=2)
+        return d2.min(axis=1).sum()
+
+    assert objective(trained) <= objective(init_centroids(16, 4, 7))
+
+    cands = {
+        (r.a, r.b)
+        for r in ivf_candidates(
+            df, dim=16, nprobe=1, bucket_cap=10**9, centroids_q=trained
+        ).collect()
+    }
+    hit = sum(1 for i in range(10) if (i, 100 + i) in cands)
+    assert hit == 10  # twins share the trained cell even at nprobe=1

@@ -258,3 +258,37 @@ def test_pipeline_checkpoint_resume(spark, tmp_path):
     orig = files.withColumn("sha", F.sha2("content", 256)).select("id", "sha")
     joined = sha_ck.join(orig, "id")
     assert joined.filter(F.col("sha256") != F.col("sha")).count() == 0
+
+
+def test_pipeline_checkpoint_lineage_records(spark, tmp_path):
+    """Every durable stage writes a _lineage.json (per-partition row
+    histogram + upstream edges + config), the north rule's 'per-partition
+    lineage and metrics'. The histogram must sum to the stage row count,
+    the upstream graph must chain back to ingest, and parquet readers must
+    not see the record (underscore-prefixed)."""
+    import json as _json
+
+    files, _ = synth_source_files(spark, CorpusSpec(n_files=60, n_clusters=8))
+    files = with_file_id(files)
+    ckpt = str(tmp_path / "ckpt")
+    p = DedupPipeline(spark, checkpoint_dir=ckpt)
+    p.run(files)
+
+    recs = {}
+    for m in p.metrics:
+        name = m["stage"]
+        path = tmp_path / "ckpt" / f"stage={name}" / "_lineage.json"
+        if name == "connected_components":
+            continue  # driver-side stage, no parquet checkpoint
+        assert path.exists(), f"missing lineage for {name}"
+        rec = _json.loads(path.read_text())
+        assert sum(rec["partition_rows"].values()) == rec["rows"] == m["rows"]
+        assert rec["n_partitions"] >= 1 or rec["rows"] == 0
+        assert rec["config"]["enable_simhash"] is True
+        recs[name] = rec
+
+    assert recs["shingles"]["upstream"] == ["exact_dedup"]
+    assert recs["verify"]["upstream"] == ["shingles", "minhash"]
+    assert recs["clusters"]["upstream"] == ["pair_graph"]
+    # parquet read of the stage dir is unaffected by the extra file
+    assert spark.read.parquet(f"{ckpt}/stage=clusters").count() == 60
