@@ -49,3 +49,58 @@ def test_run_pipeline_cli(spark, tmp_path):
     a = {(r.id, r.cluster) for r in clusters.collect()}
     b = {(r.id, r.cluster) for r in c2.collect()}
     assert a == b
+
+
+def test_spark_submit_pyfiles_artifact(tmp_path):
+    """The north-rule run mode, end-to-end: build dist/sycl_jaccard_spark.zip
+    (scripts/make_pyfiles.py), copy ONLY the job script into a bare temp dir,
+    and run real `spark-submit --py-files <zip>` from there — the package can
+    then resolve exclusively through the shipped artifact, exactly as on a
+    multi-executor cluster. Subprocess-isolated so the session fixture's JVM
+    is untouched."""
+    import shutil
+    import subprocess
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    zip_path = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "make_pyfiles.py")],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    assert os.path.exists(zip_path)
+
+    workdir = tmp_path / "submit_cwd"
+    workdir.mkdir()
+    shutil.copy(os.path.join(repo, "jobs", "run_pipeline.py"), workdir / "run_pipeline.py")
+    out = str(tmp_path / "out")
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    proc = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[2]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--py-files", zip_path,
+            str(workdir / "run_pipeline.py"),
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--input-kind", "documents",
+            "--output", out,
+            "--num-perms", "32",
+            "--bands", "8",
+            "--cores", "2",
+        ],
+        cwd=str(workdir),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    metrics = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
+    assert any(m["stage"] == "TOTAL" for m in metrics)
+    # result parquet exists and is non-trivial (full validation lives in
+    # test_run_pipeline_cli; this test is about the packaging path)
+    import glob
+
+    assert glob.glob(os.path.join(out, "clusters", "*.parquet"))
