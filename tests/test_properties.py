@@ -1,0 +1,97 @@
+"""Property-based tests (Hypothesis) for the pure NumPy kernels — the
+engine's arithmetic core, checked against straight-line Python-int oracles
+over randomized inputs. Spark-free, so hundreds of examples run in seconds.
+
+The reference pins kernel arithmetic with golden files + compareCoords
+tolerance sweeps (`/root/reference/compareCoords.cpp`); randomized oracles
+are the same idea with the input space widened.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sycl_jaccard_spark.functions.minhash import LANE_MASK, MERSENNE, make_perms, minhash_batch
+from sycl_jaccard_spark.functions.simhash import simhash_batch
+from sycl_jaccard_spark.operators.ann import _half_away_div
+
+# int64-representable shingle hashes, including negatives (xxhash64 family)
+hash_val = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+doc = st.lists(hash_val, min_size=0, max_size=30)
+docs = st.lists(doc, min_size=1, max_size=8)
+
+
+@settings(max_examples=150, deadline=None)
+@given(docs=docs, seed=st.integers(0, 2**31 - 1))
+def test_minhash_batch_matches_python_int_oracle(docs, seed):
+    """Each signature slot is exactly min((a·(x & LANE_MASK) + b) mod P) in
+    unbounded Python-int arithmetic — the ÷-free shift/mask Mersenne fold and
+    the reduceat segmentation must be invisible."""
+    a, b = make_perms(4, seed)
+    got = minhash_batch(pd.Series(docs), a, b)
+    for d, sig in zip(docs, got):
+        for j in range(4):
+            if d:
+                want = min((int(a[j]) * (x & LANE_MASK) + int(b[j])) % MERSENNE for x in d)
+            else:
+                want = MERSENNE  # empty docs sign as the identity of min
+            assert sig[j] == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(docs=docs)
+def test_simhash_batch_matches_bit_vote_oracle(docs):
+    """Bit b of the signature is set iff strictly more than half the
+    elements have bit b set (votes 2·set − n > 0), computed per-element in
+    Python ints; element ORDER must not matter (it's a vote)."""
+    got = simhash_batch(pd.Series(docs))
+    shuffled = simhash_batch(pd.Series([list(reversed(d)) for d in docs]))
+    for d, sig, sig_r in zip(docs, got, shuffled):
+        assert sig == sig_r  # order invariance
+        want = 0
+        n = len(d)
+        for bit in range(64):
+            set_cnt = sum((x >> bit) & 1 for x in np.asarray(d, dtype=np.int64).astype(np.uint64).tolist())
+            if 2 * set_cnt - n > 0:
+                want |= 1 << bit
+        # reinterpret as signed int64 like the kernel's LongType output
+        want = np.int64(np.uint64(want))
+        assert sig == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(docs=docs)
+def test_minhash_duplicate_elements_are_invisible(docs):
+    """MinHash is a SET signature: repeating elements must not change it."""
+    a, b = make_perms(4, seed=7)
+    got = minhash_batch(pd.Series(docs), a, b)
+    doubled = minhash_batch(pd.Series([d + d for d in docs]), a, b)
+    for s1, s2 in zip(got, doubled):
+        assert s1 == s2
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    s=st.integers(min_value=-(2**40), max_value=2**40),
+    n=st.integers(min_value=1, max_value=2**20),
+)
+def test_half_away_div_matches_decimal_oracle(s, n):
+    """sign(s)·((2|s|+n) // (2n)) must equal round-half-away-from-zero of
+    the exact rational s/n (the k-means centroid update rule shared with the
+    DuckDB replay)."""
+    from fractions import Fraction
+
+    got = int(_half_away_div(np.array([s]), np.array([n]))[0])
+    q = Fraction(s, n)
+    floor_q = q.numerator // q.denominator
+    frac = q - floor_q
+    if frac > Fraction(1, 2):
+        want = floor_q + 1
+    elif frac < Fraction(1, 2):
+        want = floor_q
+    else:  # exactly .5 -> away from zero
+        want = floor_q + 1 if q >= 0 else floor_q
+    assert got == want, (s, n, got, want)
