@@ -7,7 +7,14 @@ from sycl_jaccard_spark.operators.normalize import (
 )
 from sycl_jaccard_spark.operators.rowsum import degrees, volumes
 from sycl_jaccard_spark.operators.graph_jaccard import jaccard_all_edges
-from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs
+from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs, jaccard_pairs_weighted
+from sycl_jaccard_spark.operators.ann import (
+    cosine_topk,
+    embedding_near_dups,
+    ivf_candidates,
+    lsh_cosine_candidates,
+    train_ivf_centroids,
+)
 
 __all__ = [
     "invert_direction",
@@ -19,4 +26,10 @@ __all__ = [
     "volumes",
     "jaccard_all_edges",
     "jaccard_pairs",
+    "jaccard_pairs_weighted",
+    "cosine_topk",
+    "embedding_near_dups",
+    "ivf_candidates",
+    "lsh_cosine_candidates",
+    "train_ivf_centroids",
 ]
