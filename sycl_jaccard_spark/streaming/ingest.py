@@ -38,6 +38,32 @@ def incremental_exact_dedup(files: DataFrame) -> DataFrame:
     )
 
 
+def watermarked_exact_dedup(
+    files: DataFrame,
+    delay: str = "10 minutes",
+    time_col: str | None = None,
+) -> DataFrame:
+    """Streaming exact-dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keyed on sha256.
+
+    The stateless path (:func:`incremental_exact_dedup`) defers dedup to a
+    batch hash-group because corpus-lifetime streaming dedup needs unbounded
+    state. This variant covers the middle ground — duplicate arrivals that
+    cluster in time (ingest retries, re-pushed commits, crawler revisits):
+    state holds only the hashes seen within the watermark ``delay``, so it is
+    bounded by ingest rate × delay regardless of corpus size. Full-corpus
+    dedup still happens downstream in batch.
+
+    ``time_col``: event-time column to watermark; defaults to an arrival
+    timestamp stamped here (processing time).
+    """
+    hashed = incremental_exact_dedup(files)
+    if time_col is None:
+        time_col = "arrival_ts"
+        hashed = hashed.withColumn(time_col, F.current_timestamp())
+    return hashed.withWatermark(time_col, delay).dropDuplicatesWithinWatermark(["sha256"])
+
+
 def incremental_signatures(files: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
     """Stateless map-only stream: file -> (id, sha256, shingle_hashes, sig).
     Safe at any scale (no streaming state); signatures land in parquet

@@ -266,3 +266,36 @@ def test_train_ivf_centroids_improves_codebook(spark):
     }
     hit = sum(1 for i in range(10) if (i, 100 + i) in cands)
     assert hit == 10  # twins share the trained cell even at nprobe=1
+
+
+def test_streaming_watermarked_exact_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark on sha256: duplicate contents arriving
+    within the watermark window collapse to one row, distinct contents all
+    pass, and the query maintains bounded keyed state (the middle ground
+    between the stateless map-only stream and full batch dedup)."""
+    from sycl_jaccard_spark.streaming.ingest import watermarked_exact_dedup
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [
+        ("r1", f"f{i}.py", "c1", "py", f"unique content {i}") for i in range(10)
+    ] + [
+        ("r2", f"g{i}.py", "c2", "py", f"unique content {i}") for i in range(4)
+    ]  # 4 exact dups of the first corpus
+    spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    ).write.parquet(src)
+
+    stream = watermarked_exact_dedup(read_file_stream(spark, src), delay="1 hour")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 10  # one survivor per distinct content
+    assert got.select("sha256").distinct().count() == 10
