@@ -7,7 +7,7 @@ ANSI-SQL oracle where the semantics are SQL-expressible. Column names are
 aligned on both sides; doubles are only ever produced by a single division /
 sqrt of exact integers so both engines agree bit-for-bit.
 
-ALL 26 queries are hash-checked, including the END-TO-END pipeline twice
+ALL 27 queries are hash-checked, including the END-TO-END pipeline twice
 (``dedup_pipeline_clusters``: MinHash-LSH only; ``dedup_pipeline_full``:
 plus the SimHash near-miss pass — its bit-voting and combinatorial block
 tables replayed in plain SQL — both on portable hashes with WITH RECURSIVE
@@ -200,9 +200,11 @@ def q_doc_shingle_stats(spark, sf_dir):
     )
 
 
-def q_doc_pair_jaccard(spark, sf_dir):
-    """Exact shingle Jaccard for doc pairs sharing a (df<=DF_CAP) shingle —
-    the verify stage over an inverted-index candidate set."""
+def _rare_shingle_scored(spark, sf_dir):
+    """Shared candidate-gen + verify for the doc-pair queries: pairs sharing
+    a rare (df<=DF_CAP) shingle via the inverted index, scored with exact
+    shingle-set counts. Both q_doc_pair_jaccard and q_doc_pair_containment
+    must stay on THIS one candidate set (their oracles assume it)."""
     sh = _doc_shingles(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
     rare = sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= DF_CAP)
     sh_r = sh.join(rare.select("s"), "s")
@@ -214,7 +216,15 @@ def q_doc_pair_jaccard(spark, sf_dir):
         .dropDuplicates(["a", "b"])
     )
     items = _doc_shingles(spark, sf_dir).select(F.col("doc_id").alias("id"), F.col("sh").alias("set"))
-    return jaccard_pairs(items, pairs).select("a", "b", "inter", "size_a", "size_b", "jaccard")
+    return jaccard_pairs(items, pairs)
+
+
+def q_doc_pair_jaccard(spark, sf_dir):
+    """Exact shingle Jaccard for doc pairs sharing a (df<=DF_CAP) shingle —
+    the verify stage over an inverted-index candidate set."""
+    return _rare_shingle_scored(spark, sf_dir).select(
+        "a", "b", "inter", "size_a", "size_b", "jaccard"
+    )
 
 
 def q_doc_pair_containment(spark, sf_dir):
@@ -223,19 +233,7 @@ def q_doc_pair_containment(spark, sf_dir):
     (a doc embedded in a larger doc scores ~1.0 here with low symmetric J)."""
     from sycl_jaccard_spark.functions.jaccard import containment_from_counts
 
-    sh = _doc_shingles(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
-    rare = sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= DF_CAP)
-    sh_r = sh.join(rare.select("s"), "s")
-    pairs = (
-        sh_r.select(F.col("doc_id").alias("a"), "s")
-        .join(sh_r.select(F.col("doc_id").alias("b"), "s"), "s")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .dropDuplicates(["a", "b"])
-    )
-    items = _doc_shingles(spark, sf_dir).select(F.col("doc_id").alias("id"), F.col("sh").alias("set"))
-    scored = jaccard_pairs(items, pairs)
-    return scored.select(
+    return _rare_shingle_scored(spark, sf_dir).select(
         "a", "b",
         containment_from_counts(F.col("inter"), F.col("size_a"), F.col("size_b")).alias(
             "containment"

@@ -75,6 +75,12 @@ class PipelineConfig:
     # low symmetric Jaccard but ~1.0 containment — the case the suffix-array
     # pass exists to catch; J-only verify would reject every candidate it adds)
     containment_threshold: float = 0.9
+    # containment floor: accept inter/min only when the SMALLER side has at
+    # least this many shingles. Without it a tiny stub (license header, empty
+    # __init__) is contained at ~1.0 in MANY unrelated files and connected
+    # components transitively glues them all into one giant cluster — the
+    # small-hub failure mode of containment scoring.
+    containment_min_size: int = 50
 
     # --- execution ---
     shuffle_partitions: int = 32

@@ -183,11 +183,17 @@ def lsh_capped_members(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_cap: int = 256,
+    banded: DataFrame | None = None,
 ) -> int:
     """How many (vector, bucket) memberships ``lsh_cosine_candidates``' cap
     dropped — the embedding path's "no silent caps" counter (the text path's
-    ``operators.lsh.capped_docs`` applied to hyperplane buckets)."""
-    banded = _hyperplane_banded(vectors, dim, n_planes, bands, seed, id_col, vec_col)
+    ``operators.lsh.capped_docs`` applied to hyperplane buckets).
+
+    Pass ``banded`` (from :func:`hyperplane_banded`) to share the signature
+    pass with the candidate join — the pandas-UDF matmul over the corpus is
+    the expensive part, and recomputing it just to count drops doubles it."""
+    if banded is None:
+        banded = _hyperplane_banded(vectors, dim, n_planes, bands, seed, id_col, vec_col)
     w = Window.partitionBy("band", "band_hash").orderBy(F.col("id"))
     return (
         banded.withColumn("rn", F.row_number().over(w))
@@ -379,6 +385,16 @@ def _ivf_listed(
     return assign.select("id", F.explode("cids").alias("cid"))
 
 
+# public aliases — callers share these intermediates between the candidate
+# join and the drop counters (one pandas-UDF pass instead of two)
+def hyperplane_banded(*args, **kwargs) -> DataFrame:
+    return _hyperplane_banded(*args, **kwargs)
+
+
+def ivf_listed(*args, **kwargs) -> DataFrame:
+    return _ivf_listed(*args, **kwargs)
+
+
 def ivf_capped_members(
     vectors: DataFrame,
     dim: int,
@@ -389,12 +405,16 @@ def ivf_capped_members(
     vec_col: str = "embedding",
     bucket_cap: int = 4096,
     centroids_q: np.ndarray | None = None,
+    listed: DataFrame | None = None,
 ) -> int:
     """How many (vector, list) memberships ``ivf_candidates``' cap dropped —
-    no silent caps on the IVF path either."""
-    listed = _ivf_listed(
-        vectors, dim, n_centroids, nprobe, seed, id_col, vec_col, centroids_q
-    )
+    no silent caps on the IVF path either. Pass ``listed`` (from
+    :func:`ivf_listed`) to reuse the assignment pass instead of paying the
+    pandas-UDF matmul a second time."""
+    if listed is None:
+        listed = _ivf_listed(
+            vectors, dim, n_centroids, nprobe, seed, id_col, vec_col, centroids_q
+        )
     w = Window.partitionBy("cid").orderBy(F.col("id"))
     return (
         listed.withColumn("rn", F.row_number().over(w))

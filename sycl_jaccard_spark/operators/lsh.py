@@ -177,9 +177,32 @@ def candidate_pairs(
     )
 
 
-def capped_docs(banded: DataFrame, cfg: PipelineConfig, id_col: str = "id") -> int:
-    """How many (doc, bucket) memberships the cap dropped — no silent caps."""
+def capped_docs(
+    banded: DataFrame,
+    cfg: PipelineConfig,
+    id_col: str = "id",
+    skew_mode: str | None = None,
+) -> int:
+    """How many (doc, bucket) memberships ``candidate_pairs`` actually
+    dropped under the given skew mode — no silent caps, and no PHANTOM ones:
+
+    * ``cap``: members ranked past ``bucket_cap`` in any bucket;
+    * ``salt``: zero — salting retains every member;
+    * ``auto``: only members of pathological buckets (> ``salt_threshold``)
+      past the cap; the salted mid-size band retains everyone.
+
+    ``skew_mode`` defaults to ``cfg.skew_mode`` so the counter and the
+    candidate join always grade buckets by the same policy."""
+    mode = skew_mode if skew_mode is not None else getattr(cfg, "skew_mode", "cap")
+    if mode == "salt":
+        return 0
     w = Window.partitionBy("band", "band_hash").orderBy(F.col(id_col))
-    return banded.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") > cfg.bucket_cap
-    ).count()
+    ranked = banded.withColumn("rn", F.row_number().over(w))
+    dropped = ranked.filter(F.col("rn") > cfg.bucket_cap)
+    if mode == "auto":
+        wsz = Window.partitionBy("band", "band_hash")
+        dropped = (
+            ranked.withColumn("bsz", F.count(F.lit(1)).over(wsz))
+            .filter((F.col("bsz") > cfg.salt_threshold) & (F.col("rn") > cfg.bucket_cap))
+        )
+    return dropped.count()

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from sycl_jaccard_spark.functions.jaccard import (
     jaccard_from_counts,
     jaccard_of_arrays,
+    weighted_jaccard_from_sums,
 )
 
 
@@ -103,9 +104,11 @@ def jaccard_pairs_weighted(
     elements.
 
     ``memberships`` is the exploded weighted membership relation
-    (id, elem, w); ``w`` is a per-ELEMENT weight (the same for every owner of
-    the element — the reference's vertex-weight model, where ``v[j]`` weights
-    neighbor vertex j). Returns (a, b, wi, vol_a, vol_b, jaccard).
+    (id, elem, w) with DISTINCT (id, elem) rows — duplicates would be summed
+    into both vol and W∩ (`.dropDuplicates([id, elem])` first if unsure);
+    ``w`` is a per-ELEMENT weight (the same for every owner of the element —
+    the reference's vertex-weight model, where ``v[j]`` weights neighbor
+    vertex j). Returns (a, b, wi, vol_a, vol_b, jaccard).
 
     Shape mirrors the unweighted ``impl="exploded"`` path: W∩ via a hash
     probe per shared element (expand with a's elements, inner-join on
@@ -137,9 +140,8 @@ def jaccard_pairs_weighted(
             F.coalesce("wi", zero).cast("long").alias("wi"),
             F.col("vol_a").cast("long").alias("vol_a"),
             F.col("vol_b").cast("long").alias("vol_b"),
-            (
-                F.coalesce("wi", zero).cast("double")
-                / (F.col("vol_a") + F.col("vol_b") - F.coalesce("wi", zero)).cast("double")
+            weighted_jaccard_from_sums(
+                F.coalesce("wi", zero), F.col("vol_a"), F.col("vol_b")
             ).alias("jaccard"),
         )
     )

@@ -86,18 +86,37 @@ class DedupPipeline:
         """Stage schemas depend on the config (e.g. the shingles stage carries
         `content` only when the substring pass is on, the minhash stage carries
         `sim` only with SimHash). Resuming a checkpoint written under a
-        different config would fail later with a missing-column error — so the
-        fingerprint is recorded alongside the stages and a mismatch invalidates
-        the whole checkpoint (stages are rewritten, not resumed)."""
+        different config would fail later with a missing-column error — or,
+        worse, silently produce wrong clusters from same-schema stages (e.g. a
+        num_perms change). Two rules close every such window:
+
+        * stale stages are DELETED (not merely ignored) before the new
+          fingerprint is written — otherwise a crash after rewriting some
+          stages leaves old-config parquet that the NEXT run (now fingerprint-
+          matching) would resume;
+        * stage data with NO fingerprint (a pre-fingerprint checkpoint, or a
+          crash before the fingerprint write) is treated as a mismatch."""
         if not self.checkpoint_dir:
             return
-        path = f"{self.checkpoint_dir.rstrip('/')}/pipeline_config"
+        root = self.checkpoint_dir.rstrip("/")
+        path = f"{root}/pipeline_config"
         fp = self._config_fingerprint()
         if self._stage_done(path):
             stored = self.spark.read.text(path).first()
             if stored is not None and stored.value == fp:
                 return
-            self._resume_ok = False  # config changed: ignore stale stages
+            self._resume_ok = False
+        # mismatch, or no fingerprint: purge any stage dirs so a partial
+        # rewrite can never interleave configs, then stamp the new config
+        jvm = self.spark._jvm
+        rootp = jvm.org.apache.hadoop.fs.Path(root)
+        fs = rootp.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if fs.exists(rootp):
+            for status in fs.listStatus(rootp):
+                name = status.getPath().getName()
+                if name.startswith("stage="):
+                    self._resume_ok = False  # unfingerprinted stage data found
+                    fs.delete(status.getPath(), True)
         self.spark.createDataFrame([(fp,)], "value string").coalesce(1).write.mode(
             "overwrite"
         ).text(path)
@@ -293,7 +312,13 @@ class DedupPipeline:
             containment = containment_from_counts(
                 F.col("inter"), F.col("size_a"), F.col("size_b")
             )
-            accept = accept | (containment >= cfg.containment_threshold)
+            # min-size floor: a tiny stub is contained ~1.0 in MANY unrelated
+            # files, and CC would transitively glue them into one giant
+            # cluster — containment only counts for non-trivial small sides
+            accept = accept | (
+                (containment >= cfg.containment_threshold)
+                & (F.least("size_a", "size_b") >= cfg.containment_min_size)
+            )
         verified = self._stage(
             "verify", scored.filter(accept).select("a", "b", "jaccard"),
             upstream=("shingles", "minhash"),

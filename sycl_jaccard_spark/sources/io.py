@@ -51,6 +51,12 @@ def read_mtx(spark: SparkSession, path: str) -> tuple[DataFrame, MtxHeader]:
     # monotonically_increasing_id ordering, which tracks line order only
     # within ONE text file — a multi-file glob would make "min id = dims
     # line" undefined (and an .mtx is a single sequential artifact anyway).
+    # Glob METACHARACTERS are rejected outright: spark.read.text expands
+    # Hadoop globs ({a,b}, *, ?, [..]) that Python's glob.glob would miss on
+    # remote URIs (s3a://, hdfs://), so "expands to >1 file" cannot be
+    # checked portably — require one literal path instead.
+    if any(c in path for c in "*?[]{}"):
+        raise ValueError(f"read_mtx expects one literal .mtx path, not a glob: {path!r}")
     if _os.path.isdir(path) or len(_glob.glob(path)) > 1:
         raise ValueError(f"read_mtx expects exactly one .mtx file, got {path!r}")
     head = spark.read.text(path).limit(1).collect()[0].value.strip()

@@ -292,3 +292,77 @@ def test_pipeline_checkpoint_lineage_records(spark, tmp_path):
     assert recs["clusters"]["upstream"] == ["pair_graph"]
     # parquet read of the stage dir is unaffected by the extra file
     assert spark.read.parquet(f"{ckpt}/stage=clusters").count() == 60
+
+
+def test_pipeline_unfingerprinted_checkpoint_invalidated(spark, tmp_path):
+    """Stage data with NO pipeline_config record (pre-fingerprint layout, or
+    a crash before the fingerprint write) must be treated as a config
+    mismatch: stages are purged and rewritten, never resumed."""
+    import shutil
+
+    files, _ = synth_source_files(spark, CorpusSpec(n_files=50, n_clusters=6))
+    files = with_file_id(files)
+    ckpt = str(tmp_path / "ckpt")
+    p1 = DedupPipeline(spark, checkpoint_dir=ckpt)
+    c1 = {(r.id, r.cluster) for r in p1.run(files).clusters.collect()}
+    shutil.rmtree(str(tmp_path / "ckpt" / "pipeline_config"))
+
+    p2 = DedupPipeline(spark, checkpoint_dir=ckpt)
+    c2 = {(r.id, r.cluster) for r in p2.run(files).clusters.collect()}
+    assert c1 == c2
+    assert not any(m["resumed"] for m in p2.metrics)  # nothing resumed
+
+
+def test_pipeline_config_mismatch_purges_stale_stages(spark, tmp_path):
+    """A config change must DELETE the old stages, not merely ignore them:
+    if a rewrite crashes mid-run, the next run (whose fingerprint now
+    matches) would otherwise resume old-config parquet with silently wrong
+    signatures."""
+    files, _ = synth_source_files(spark, CorpusSpec(n_files=50, n_clusters=6))
+    files = with_file_id(files)
+    ckpt = str(tmp_path / "ckpt")
+    DedupPipeline(spark, PipelineConfig(num_perms=64, bands=16), checkpoint_dir=ckpt).run(files)
+    assert (tmp_path / "ckpt" / "stage=minhash" / "_SUCCESS").exists()
+
+    # config B: invalidation happens at _check_checkpoint_config time —
+    # BEFORE any stage rewrite — so no stale stage dir survives the purge
+    p = DedupPipeline(spark, PipelineConfig(num_perms=32, bands=8), checkpoint_dir=ckpt)
+    p._check_checkpoint_config()
+    assert not (tmp_path / "ckpt" / "stage=minhash").exists()
+    assert not p._resume_ok
+
+
+def test_containment_floor_blocks_tiny_hub_merge(spark):
+    """A tiny stub contained ~1.0 in two UNRELATED large files must not
+    transitively merge them: containment acceptance requires the smaller
+    side to have >= containment_min_size shingles."""
+    big_a = "\n".join(f"alpha{i} = compute_a({i}) + {i * 3}" for i in range(120))
+    big_b = "\n".join(f"beta{i} -> transform_b({i}) * {i * 7}" for i in range(120))
+    stub = "\n".join(f"alpha{i} = compute_a({i}) + {i * 3}" for i in range(4))
+    rows = [(0, big_a), (1, big_b + "\n" + stub)]
+    # the stub is literally contained in file 1 and shares its lines with
+    # file 0's prefix -> containment vs BOTH, but only ~18 shingles
+    rows += [(2, stub)]
+    files = spark.createDataFrame(rows, ["id", "content"])
+    res = DedupPipeline(
+        spark, PipelineConfig(bucket_cap=10**9), enable_simhash=True, enable_substring=True
+    ).run(files)
+    lab = {r.id: r.cluster for r in res.clusters.collect()}
+    assert lab[0] != lab[1], "tiny hub must not glue unrelated files"
+
+
+def test_capped_docs_is_skew_mode_aware(spark):
+    """The drop counter grades buckets by the SAME policy as candidate_pairs:
+    salt/auto retain members the cap-only counter would report as dropped."""
+    from sycl_jaccard_spark.operators.lsh import capped_docs
+
+    # one 12-member bucket, cap 4, salt_threshold 100
+    banded = spark.createDataFrame(
+        [(i, 0, 7) for i in range(12)], "id long, band int, band_hash long"
+    )
+    cfg = PipelineConfig(bucket_cap=4, salt_threshold=100)
+    assert capped_docs(banded, cfg, skew_mode="cap") == 8
+    assert capped_docs(banded, cfg, skew_mode="salt") == 0
+    assert capped_docs(banded, cfg, skew_mode="auto") == 0  # salted band: kept
+    tiny = PipelineConfig(bucket_cap=4, salt_threshold=8)
+    assert capped_docs(banded, tiny, skew_mode="auto") == 8  # pathological: capped
