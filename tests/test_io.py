@@ -148,3 +148,25 @@ def test_file_convert_mtx_csr_mtx(spark, tmp_path):
     assert {(r.src, r.dst, r.weight) for r in first.collect()} == {
         (r.src, r.dst, r.weight) for r in last.collect()
     }
+
+
+def test_read_source_table_dispatch(spark, tmp_path):
+    """The source layer's three branches: parquet path, catalog table name
+    (driven via the session catalog — a temp view resolves through the same
+    spark.read.table call an Iceberg name would), and the diagnostic error
+    for an unresolvable name."""
+    import pytest as _pytest
+
+    from sycl_jaccard_spark.sources.tables import read_source_table
+
+    p = str(tmp_path / "files.parquet")
+    spark.createDataFrame([(1, "a")], "id long, content string").write.parquet(p)
+    assert read_source_table(spark, p).count() == 1
+
+    spark.createDataFrame([(2, "b")], "id long, content string").createOrReplaceTempView(
+        "src_files_view"
+    )
+    assert read_source_table(spark, "src_files_view").count() == 1
+
+    with _pytest.raises(ValueError, match="no table catalog"):
+        read_source_table(spark, "iceberg_cat.db.missing_table")
