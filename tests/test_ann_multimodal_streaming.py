@@ -299,3 +299,46 @@ def test_streaming_watermarked_exact_dedup(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 10  # one survivor per distinct content
     assert got.select("sha256").distinct().count() == 10
+
+
+def test_streaming_dedup_state_spans_microbatches(spark, tmp_path):
+    """The state store must carry sha256 keys ACROSS microbatches:
+    maxFilesPerTrigger=1 forces each parquet file into its own batch, so the
+    duplicate in file 2 is dropped only if batch 1's state survived."""
+    from sycl_jaccard_spark.streaming.ingest import watermarked_exact_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "repo string, path string, commit string, lang string, content string"
+    spark.createDataFrame(
+        [("r1", "a.py", "c1", "py", "the original content")], schema
+    ).coalesce(1).write.parquet(str(src / "batch1.parquet"))
+    spark.createDataFrame(
+        [
+            ("r2", "b.py", "c2", "py", "the original content"),  # dup of batch 1
+            ("r2", "c.py", "c2", "py", "fresh content"),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "batch2.parquet"))
+
+    stream = watermarked_exact_dedup(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+            str(src) + "/*.parquet"
+        ),
+        delay="1 hour",
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batches = [p["batchId"] for p in q.recentProgress if p["numInputRows"] > 0]
+    got = spark.read.parquet(out)
+    assert len(batches) >= 2, f"expected multiple microbatches, saw {batches}"
+    assert got.count() == 2  # duplicate-across-batches dropped by state
+    assert got.select("sha256").distinct().count() == 2
