@@ -1,12 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via ``mapInPandas`` in Arrow batches.
 
-The decode step is STUBBED (no image/audio libs in this container): the
-default ``decoder`` raises ``NotImplementedError`` unless
-``deterministic_fake=True``, which produces seeded fake features so the
-Spark-side plumbing — schema, partitioning, UDF signature, batch shape —
-is real and testable. Swap ``_fake_decode`` for a PIL/librosa call on a
-cluster with the libs installed; nothing else changes.
+Decode support is format-graded:
+
+* **PPM (P6) is decoded FOR REAL** — pure-NumPy header parse + frombuffer,
+  nearest-neighbor resize, and real features (channel means + gray
+  thumbnail), no imaging library needed. End-to-end tested.
+* every other format (JPEG/PNG/audio/video) raises ``NotImplementedError``
+  unless ``deterministic_fake=True`` (seeded stand-in keeping the schema /
+  partitioning / batch plumbing testable) — those decoders need libs this
+  container doesn't have; swap them in via ``decode_image`` on a real
+  cluster, nothing else changes.
 """
 
 from __future__ import annotations
@@ -46,27 +50,93 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal(dim).astype(np.float32)
 
 
+PPM_MIME = "image/x-portable-pixmap"
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Pure-NumPy P6 (binary PPM) decoder -> (h, w, 3) uint8. Handles
+    whitespace-separated header tokens and ``#`` comments per the netpbm
+    spec; maxval must be 255 (the 8-bit case)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, got maxval={maxval}")
+    pos += 1  # single whitespace after maxval
+    pixels = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return pixels.reshape(h, w, 3)
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary P6 bytes."""
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
+
+
+def _resize_nearest(img: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resample: src = floor((i+0.5)*src/dst)
+    — pure integer index maps, identical on every platform."""
+    h, w = img.shape[:2]
+    rows = np.minimum(((np.arange(th) + 0.5) * h / th).astype(np.int64), h - 1)
+    cols = np.minimum(((np.arange(tw) + 0.5) * w / tw).astype(np.int64), w - 1)
+    return img[rows[:, None], cols[None, :]]
+
+
+def _ppm_features(img: np.ndarray, thumb: int = 8) -> np.ndarray:
+    """Real image feature: per-channel means (3) + gray nearest-neighbor
+    thumb×thumb thumbnail (thumb²), all float32 in [0, 1] — enough for
+    embedding-cosine near-dup detection over decoded images."""
+    means = img.reshape(-1, 3).mean(axis=0) / 255.0
+    gray = img.astype(np.float32).mean(axis=2)
+    t = _resize_nearest(gray, thumb, thumb).reshape(-1) / 255.0
+    return np.concatenate([means, t]).astype(np.float32)
+
+
+def decode_image(payload: bytes, mime: str | None) -> np.ndarray:
+    """Format dispatch for image decode. PPM is native (pure NumPy); plug
+    other formats in here (PIL etc.) on a cluster that has the libs."""
+    if mime == PPM_MIME or (payload or b"").startswith(b"P6"):
+        return decode_ppm(payload)
+    raise NotImplementedError(
+        f"no decoder for mime {mime!r} in this environment (PPM is native; "
+        "JPEG/PNG need an imaging library)"
+    )
+
+
 def extract_features(
     media: DataFrame, dim: int = 32, deterministic_fake: bool = False, batch_hint: int = 256
 ) -> DataFrame:
     """mapInPandas feature extraction over binary payloads (Arrow batches).
 
-    Real decode is not available in this container; pass
-    ``deterministic_fake=True`` for the seeded stand-in, otherwise the task
-    raises NotImplementedError (clearly marked stub).
+    The real path decodes natively supported formats (PPM — pure NumPy) into
+    channel-mean + gray-thumbnail features; unsupported formats raise
+    NotImplementedError (their decoders need libs this container lacks).
+    ``deterministic_fake=True`` keeps the seeded stand-in for plumbing tests.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "media decode requires image/audio libraries not present in "
-                    "this environment; use deterministic_fake=True for plumbing tests"
-                )
-            feats = [
-                _fake_decode(p if p is not None else b"", dim).tolist()
-                for p in pdf["payload"]
-            ]
+            feats = []
+            for p, mime in zip(pdf["payload"], pdf.get("mime", [None] * len(pdf))):
+                raw = p if p is not None else b""
+                if deterministic_fake:
+                    feats.append(_fake_decode(raw, dim).tolist())
+                else:
+                    # real decode (PPM native; other formats raise with a
+                    # clear message — no silent fakes on the real path)
+                    feats.append(_ppm_features(decode_image(raw, mime)).tolist())
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -111,24 +181,29 @@ def resize_images(
     deterministic_fake: bool = False,
 ) -> DataFrame:
     """Image resize via mapInPandas over Arrow batches. Target geometry is
-    real (resize_plan); the pixel resample is STUBBED like decode — the fake
-    emits a payload-hash-seeded byte string of plausible size so schema,
-    batching and partitioning are testable; swap in PIL on a real cluster."""
+    real (resize_plan); the resample is REAL for natively decodable formats
+    (PPM: decode -> deterministic nearest-neighbor -> re-encode) and raises
+    for formats whose decoders this container lacks;
+    ``deterministic_fake=True`` keeps the seeded stand-in payloads."""
     planned = resize_plan(media.filter(F.col("kind") == "image"), max_w, max_h)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "image resample requires an imaging library not present in "
-                    "this environment; use deterministic_fake=True for plumbing tests"
-                )
             out_payloads = []
-            for p, tw, th in zip(pdf["payload"], pdf["target_w"], pdf["target_h"]):
+            for p, mime, tw, th in zip(
+                pdf["payload"], pdf.get("mime", [None] * len(pdf)),
+                pdf["target_w"], pdf["target_h"],
+            ):
                 raw = p if p is not None else b""
-                seed = int.from_bytes(raw[:8].ljust(8, b"\0"), "little") & 0x7FFFFFFF
-                n = max(int(tw) * int(th) // 8, 1)
-                out_payloads.append(np.random.default_rng(seed).bytes(n))
+                if deterministic_fake:
+                    seed = int.from_bytes(raw[:8].ljust(8, b"\0"), "little") & 0x7FFFFFFF
+                    n = max(int(tw) * int(th) // 8, 1)
+                    out_payloads.append(np.random.default_rng(seed).bytes(n))
+                else:
+                    # real resample: decode (PPM native) -> deterministic
+                    # nearest-neighbor -> re-encode
+                    img = decode_image(raw, mime)
+                    out_payloads.append(encode_ppm(_resize_nearest(img, int(tw), int(th))))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

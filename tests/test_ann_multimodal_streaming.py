@@ -342,3 +342,54 @@ def test_streaming_dedup_state_spans_microbatches(spark, tmp_path):
     assert len(batches) >= 2, f"expected multiple microbatches, saw {batches}"
     assert got.count() == 2  # duplicate-across-batches dropped by state
     assert got.select("sha256").distinct().count() == 2
+
+
+def test_multimodal_real_ppm_decode_resize_features(spark):
+    """REAL image path, no imaging library: synthetic gradient PPMs decode
+    with the pure-NumPy P6 parser, features (channel means + gray thumbnail)
+    match a local replay exactly, and resize_images produces re-decodable
+    PPM payloads identical to the local nearest-neighbor resample."""
+    from sycl_jaccard_spark.operators.multimodal import (
+        PPM_MIME,
+        _ppm_features,
+        _resize_nearest,
+        decode_ppm,
+        encode_ppm,
+        extract_features,
+        resize_images,
+    )
+
+    def gradient(w, h, phase):
+        x = np.arange(w, dtype=np.uint8)[None, :].repeat(h, axis=0)
+        y = np.arange(h, dtype=np.uint8)[:, None].repeat(w, axis=1)
+        return np.stack([x, y, np.full((h, w), phase, np.uint8)], axis=2)
+
+    imgs = {1: gradient(40, 30, 7), 2: gradient(513, 200, 99)}
+    rows = [
+        (mid, "image", PPM_MIME, img.shape[1], img.shape[0], None,
+         bytearray(encode_ppm(img)))
+        for mid, img in imgs.items()
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, mime string, width int, height int, "
+        "duration_ms long, payload binary",
+    )
+
+    # round trip sanity (driver-side)
+    assert np.array_equal(decode_ppm(encode_ppm(imgs[1])), imgs[1])
+
+    feats = {r.media_id: np.array(r.feature, np.float32)
+             for r in extract_features(media).collect()}
+    for mid, img in imgs.items():
+        assert np.array_equal(feats[mid], _ppm_features(img)), mid
+    assert len(feats[1]) == 3 + 64  # channel means + 8x8 thumbnail
+
+    resized = {r.media_id: r for r in resize_images(media, 64, 64).collect()}
+    # 40x30 fits in the box -> unchanged; 513x200 scales to 64x24 (floor)
+    assert (resized[1].width, resized[1].height) == (40, 30)
+    assert (resized[2].width, resized[2].height) == (64, 24)
+    for mid in imgs:
+        got = decode_ppm(bytes(resized[mid].payload))
+        want = _resize_nearest(imgs[mid], resized[mid].width, resized[mid].height)
+        assert np.array_equal(got, want), mid
