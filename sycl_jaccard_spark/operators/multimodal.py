@@ -3,10 +3,12 @@ with typed metadata, processed via ``mapInPandas`` in Arrow batches.
 
 Decode support is format-graded:
 
-* **PPM (P6) is decoded FOR REAL** — pure-NumPy header parse + frombuffer,
-  nearest-neighbor resize, and real features (channel means + gray
-  thumbnail), no imaging library needed. End-to-end tested.
-* every other format (JPEG/PNG/audio/video) raises ``NotImplementedError``
+* **PPM (P6) images and 16-bit PCM WAV audio are decoded FOR REAL** —
+  pure-NumPy header parse + frombuffer; images get nearest-neighbor resize
+  and channel-mean + gray-thumbnail features, audio gets duration/RMS/
+  zero-crossing-rate + log-spectral band energies (np.fft). No media
+  library needed. End-to-end tested.
+* every other format (JPEG/PNG/MP3/video containers) raises ``NotImplementedError``
   unless ``deterministic_fake=True`` (seeded stand-in keeping the schema /
   partitioning / batch plumbing testable) — those decoders need libs this
   container doesn't have; swap them in via ``decode_image`` on a real
@@ -115,6 +117,70 @@ def decode_image(payload: bytes, mime: str | None) -> np.ndarray:
     )
 
 
+WAV_MIME = "audio/wav"
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Pure-NumPy RIFF/WAVE decoder for 16-bit PCM -> (samples float32 in
+    [-1, 1] shaped (n, channels), sample_rate). Walks the chunk list, so
+    extra chunks (LIST, fact, ...) are skipped per the RIFF spec."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only 16-bit PCM supported (format={audio_format}, bits={bits})")
+    samples = np.frombuffer(data, dtype="<i2", count=(len(data) // (2 * channels)) * channels)
+    return (samples.reshape(-1, channels).astype(np.float32) / 32768.0, sample_rate)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n, channels) float32 in [-1, 1] -> 16-bit PCM RIFF/WAVE bytes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    pcm = np.clip(samples * 32768.0, -32768, 32767).astype("<i2").tobytes()
+    ch, sr, ba = samples.shape[1], sample_rate, samples.shape[1] * 2
+    fmt = (
+        (1).to_bytes(2, "little") + ch.to_bytes(2, "little") + sr.to_bytes(4, "little")
+        + (sr * ba).to_bytes(4, "little") + ba.to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt \
+        + b"data" + len(pcm).to_bytes(4, "little") + pcm
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _wav_features(samples: np.ndarray, sample_rate: int, n_bands: int = 8) -> np.ndarray:
+    """Real audio feature: [duration_s, rms, zero-crossing rate] + ``n_bands``
+    log-spectral band energies of the mono mix — deterministic float32, the
+    audio sibling of the image thumbnail feature."""
+    mono = samples.mean(axis=1)
+    n = len(mono)
+    if n == 0:
+        return np.zeros(3 + n_bands, dtype=np.float32)
+    rms = float(np.sqrt(np.mean(mono * mono)))
+    zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+    spec = np.abs(np.fft.rfft(mono)) ** 2
+    bands = np.array_split(spec, n_bands)
+    energy = np.log1p(np.array([b.sum() for b in bands], dtype=np.float64) / n)
+    return np.concatenate(
+        [[n / sample_rate, rms, zcr], energy]
+    ).astype(np.float32)
+
+
 def extract_features(
     media: DataFrame, dim: int = 32, deterministic_fake: bool = False, batch_hint: int = 256
 ) -> DataFrame:
@@ -133,9 +199,12 @@ def extract_features(
                 raw = p if p is not None else b""
                 if deterministic_fake:
                     feats.append(_fake_decode(raw, dim).tolist())
+                elif mime == WAV_MIME or raw[:4] == b"RIFF":
+                    # real audio decode (16-bit PCM WAV, pure NumPy)
+                    feats.append(_wav_features(*decode_wav(raw)).tolist())
                 else:
-                    # real decode (PPM native; other formats raise with a
-                    # clear message — no silent fakes on the real path)
+                    # real image decode (PPM native; other formats raise with
+                    # a clear message — no silent fakes on the real path)
                     feats.append(_ppm_features(decode_image(raw, mime)).tolist())
             yield pd.DataFrame(
                 {

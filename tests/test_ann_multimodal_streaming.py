@@ -393,3 +393,45 @@ def test_multimodal_real_ppm_decode_resize_features(spark):
         got = decode_ppm(bytes(resized[mid].payload))
         want = _resize_nearest(imgs[mid], resized[mid].width, resized[mid].height)
         assert np.array_equal(got, want), mid
+
+
+def test_multimodal_real_wav_decode_features(spark):
+    """REAL audio path: synthetic sine-wave WAVs decode with the pure-NumPy
+    RIFF/PCM parser; features match a local replay exactly and carry the
+    physically-expected values (duration, RMS ~ A/sqrt(2), ZCR ~ 2f/sr)."""
+    from sycl_jaccard_spark.operators.multimodal import (
+        WAV_MIME,
+        _wav_features,
+        decode_wav,
+        encode_wav,
+        extract_features,
+    )
+
+    sr = 8000
+    t = np.arange(sr, dtype=np.float64) / sr  # 1 second
+    tone = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    stereo = np.stack([tone, 0.25 * tone], axis=1)
+    payloads = {1: encode_wav(tone, sr), 2: encode_wav(stereo, sr)}
+
+    dec, got_sr = decode_wav(payloads[1])
+    assert got_sr == sr and dec.shape == (sr, 1)
+    assert np.allclose(dec[:, 0], tone, atol=1 / 32768)
+
+    rows = [
+        (mid, "audio", WAV_MIME, None, None, 1000, bytearray(p))
+        for mid, p in payloads.items()
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, mime string, width int, height int, "
+        "duration_ms long, payload binary",
+    )
+    feats = {r.media_id: np.array(r.feature, np.float32)
+             for r in extract_features(media).collect()}
+    for mid, p in payloads.items():
+        assert np.array_equal(feats[mid], _wav_features(*decode_wav(p))), mid
+    dur, rms, zcr = feats[1][:3]
+    assert abs(dur - 1.0) < 1e-6
+    assert abs(rms - 0.5 / np.sqrt(2)) < 0.01
+    assert abs(zcr - 2 * 440 / sr) < 0.01
+    assert len(feats[1]) == 3 + 8
