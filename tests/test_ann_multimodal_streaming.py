@@ -435,3 +435,49 @@ def test_multimodal_real_wav_decode_features(spark):
     assert abs(rms - 0.5 / np.sqrt(2)) < 0.01
     assert abs(zcr - 2 * 440 / sr) < 0.01
     assert len(feats[1]) == 3 + 8
+
+
+def test_multimodal_real_video_frame_sampling(spark):
+    """REAL video path for PPM streams (ffmpeg image2pipe format): the
+    payload splits into self-delimiting P6 frames, every_n sampling emits
+    image rows that decode back to the original frames, and the sampled
+    frames flow straight into extract_features."""
+    from sycl_jaccard_spark.operators.multimodal import (
+        PPM_STREAM_MIME,
+        _ppm_features,
+        decode_ppm,
+        encode_ppm,
+        extract_features,
+        sample_video_frames,
+        split_ppm_stream,
+    )
+
+    frames = [np.full((6, 8, 3), 40 * i, np.uint8) for i in range(5)]
+    stream = b"".join(encode_ppm(f) for f in frames)
+    offs = split_ppm_stream(stream)
+    assert len(offs) == 5
+    assert all(
+        np.array_equal(decode_ppm(stream[o : o + ln]), frames[i])
+        for i, (o, ln) in enumerate(offs)
+    )
+
+    media = spark.createDataFrame(
+        [(7, "video", PPM_STREAM_MIME, 8, 6, 5, bytearray(stream))],
+        "media_id long, kind string, mime string, width int, height int, "
+        "duration_ms long, payload binary",
+    )
+    sampled = sample_video_frames(media, every_n=2).collect()
+    assert [r.frame_idx for r in sorted(sampled, key=lambda r: r.frame_idx)] == [0, 2, 4]
+    for r in sampled:
+        assert np.array_equal(decode_ppm(bytes(r.payload)), frames[r.frame_idx])
+        assert (r.width, r.height, r.kind) == (8, 6, "image")
+
+    # sampled frames chain into the real image feature path
+    feats = extract_features(
+        sample_video_frames(media, every_n=2).drop("frame_idx").withColumn(
+            "duration_ms", F.lit(None).cast("long")
+        )
+    ).collect()
+    assert len(feats) == 3
+    want = {tuple(_ppm_features(frames[i]).tolist()) for i in (0, 2, 4)}
+    assert {tuple(r.feature) for r in feats} == want
