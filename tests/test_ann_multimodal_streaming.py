@@ -481,3 +481,44 @@ def test_multimodal_real_video_frame_sampling(spark):
     assert len(feats) == 3
     want = {tuple(_ppm_features(frames[i]).tolist()) for i in (0, 2, 4)}
     assert {tuple(r.feature) for r in feats} == want
+
+
+def test_media_features_flow_into_embedding_near_dup(spark):
+    """Integration: decoded image features ARE embeddings — two
+    near-identical PPMs (tiny pixel noise) must surface as an embedding-
+    cosine near-dup pair through the standard candidate->verify engine,
+    while a structurally different image stays out."""
+    from sycl_jaccard_spark.operators.ann import embedding_near_dups
+    from sycl_jaccard_spark.operators.multimodal import (
+        PPM_MIME,
+        encode_ppm,
+        extract_features,
+    )
+
+    rng = np.random.default_rng(21)
+    base = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    noisy = np.clip(
+        base.astype(np.int16) + rng.integers(-2, 3, base.shape), 0, 255
+    ).astype(np.uint8)
+    other = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    rows = [
+        (mid, "image", PPM_MIME, 32, 32, None, bytearray(encode_ppm(img)))
+        for mid, img in [(1, base), (2, noisy), (3, other)]
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, mime string, width int, height int, "
+        "duration_ms long, payload binary",
+    )
+    feats = extract_features(media).select(
+        F.col("media_id").alias("vec_id"), F.col("feature").alias("embedding")
+    )
+    dups = {
+        (r.a, r.b)
+        for r in embedding_near_dups(
+            feats, dim=67, threshold=0.995, method="lsh",
+            n_planes=16, bands=4, bucket_cap=10**9,
+        ).collect()
+    }
+    assert (1, 2) in dups
+    assert not any(3 in p for p in dups)

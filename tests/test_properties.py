@@ -95,3 +95,57 @@ def test_half_away_div_matches_decimal_oracle(s, n):
     else:  # exactly .5 -> away from zero
         want = floor_q + 1 if q >= 0 else floor_q
     assert got == want, (s, n, got, want)
+
+
+# --- media codec properties (Spark-free) ---
+
+from sycl_jaccard_spark.operators.multimodal import (  # noqa: E402
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    encode_wav,
+    split_ppm_stream,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 24), h=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1), n_frames=st.integers(1, 4),
+)
+def test_ppm_round_trip_and_stream_split(w, h, seed, n_frames):
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n_frames)]
+    for f in frames:
+        assert np.array_equal(decode_ppm(encode_ppm(f)), f)
+    stream = b"".join(encode_ppm(f) for f in frames)
+    offs = split_ppm_stream(stream)
+    assert len(offs) == n_frames
+    assert sum(ln for _, ln in offs) == len(stream)
+    for (o, ln), f in zip(offs, frames):
+        assert np.array_equal(decode_ppm(stream[o : o + ln]), f)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(1, 500), ch=st.integers(1, 2),
+    sr=st.sampled_from([8000, 16000, 44100]), seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_round_trip(n, ch, sr, seed):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-0.99, 0.99, (n, ch)).astype(np.float32)
+    dec, got_sr = decode_wav(encode_wav(x, sr))
+    assert got_sr == sr and dec.shape == (n, ch)
+    assert np.abs(dec - x).max() <= 1 / 32768  # 16-bit quantization bound
+
+
+@settings(max_examples=120, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=64))
+def test_decoders_reject_garbage_cleanly(junk):
+    """Arbitrary bytes must raise ValueError (or parse, for inputs that
+    happen to be valid) — never hang, segfault, or raise anything else."""
+    for dec in (decode_ppm, lambda b: decode_wav(b)):
+        try:
+            dec(junk)
+        except (ValueError, IndexError):
+            pass  # rejected cleanly
