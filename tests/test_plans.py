@@ -87,3 +87,23 @@ def test_minhash_stage_is_arrow_vectorized(spark):
     p = _plan(minhash_signatures(_shingled(spark), cfg))
     assert "ArrowEvalPython" in p     # vectorized Arrow batches...
     assert "BatchEvalPython" not in p  # ...never per-row pickling
+
+
+def test_candidate_self_join_reuses_exchange(spark):
+    """The bucket self-join's two sides derive from the same capped
+    relation, so they must share ONE shuffle (ReusedExchange) — breaking the
+    shared lineage (e.g. a non-deterministic column on one side) would
+    silently double the candidate stage's shuffle volume. Checked with AQE
+    off because the adaptive wrapper hides reuse decisions until runtime
+    (where stage-cache reuse applies equally)."""
+    banded = spark.createDataFrame(
+        [(i, i % 3, i % 7) for i in range(100)], "id long, band int, band_hash long"
+    ).localCheckpoint(eager=True)
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for mode in ("cap", "auto", "salt"):
+            p = _plan(candidate_pairs(banded, PipelineConfig(), "id", skew_mode=mode))
+            assert "ReusedExchange" in p, f"{mode}: self-join shuffles twice"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
