@@ -56,13 +56,15 @@ def _fake_decode(payload: bytes, dim: int) -> np.ndarray:
 PPM_MIME = "image/x-portable-pixmap"
 
 
-def _ppm_header(payload: bytes) -> tuple[int, int, int]:
-    """Parse a P6 header: returns (width, height, pixel_block_offset).
+def _ppm_header(payload: bytes, offset: int = 0) -> tuple[int, int, int]:
+    """Parse a P6 header starting at ``offset``: returns (width, height,
+    pixel_block_offset). Reads in place — no payload slicing, so stream
+    splitting stays O(header bytes) per frame, not O(remaining stream).
     Handles whitespace-separated tokens and ``#`` comments per the netpbm
     spec; maxval must be 255 (the 8-bit case)."""
-    if not payload.startswith(b"P6"):
+    if payload[offset : offset + 2] != b"P6":
         raise ValueError("not a P6 PPM payload")
-    tokens, pos = [], 2
+    tokens, pos = [], offset + 2
     while len(tokens) < 3:
         while pos < len(payload) and payload[pos : pos + 1].isspace():
             pos += 1
@@ -73,8 +75,16 @@ def _ppm_header(payload: bytes) -> tuple[int, int, int]:
         start = pos
         while pos < len(payload) and not payload[pos : pos + 1].isspace():
             pos += 1
-        tokens.append(int(payload[start:pos]))
+        try:
+            tokens.append(int(payload[start:pos]))
+        except ValueError:
+            raise ValueError(f"bad P6 header token at byte {start}") from None
     w, h, maxval = tokens
+    if w <= 0 or h <= 0:
+        # negative tokens parse (int(b"-4")) but would make the frame length
+        # non-positive — the exact shape that turned split_ppm_stream into an
+        # infinite loop on malformed input
+        raise ValueError(f"bad P6 dimensions {w}x{h}")
     if maxval != 255:
         raise ValueError(f"only 8-bit PPM supported, got maxval={maxval}")
     return w, h, pos + 1  # single whitespace after maxval
@@ -83,6 +93,8 @@ def _ppm_header(payload: bytes) -> tuple[int, int, int]:
 def decode_ppm(payload: bytes) -> np.ndarray:
     """Pure-NumPy P6 (binary PPM) decoder -> (h, w, 3) uint8."""
     w, h, offset = _ppm_header(payload)
+    if len(payload) < offset + w * h * 3:
+        raise ValueError("truncated P6 pixel block")
     pixels = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=offset)
     return pixels.reshape(h, w, 3)
 
@@ -150,6 +162,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     bits = int.from_bytes(fmt[14:16], "little")
     if audio_format != 1 or bits != 16:
         raise ValueError(f"only 16-bit PCM supported (format={audio_format}, bits={bits})")
+    if channels < 1 or sample_rate < 1:
+        # crafted fmt chunks otherwise reach division by zero in the frame
+        # split / duration math — reject, don't crash
+        raise ValueError(f"bad fmt chunk (channels={channels}, rate={sample_rate})")
     samples = np.frombuffer(data, dtype="<i2", count=(len(data) // (2 * channels)) * channels)
     return (samples.reshape(-1, channels).astype(np.float32) / 32768.0, sample_rate)
 
@@ -201,11 +217,27 @@ def extract_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
-            for p, mime in zip(pdf["payload"], pdf.get("mime", [None] * len(pdf))):
+            for p, kind, mime in zip(
+                pdf["payload"],
+                pdf.get("kind", ["image"] * len(pdf)),
+                pdf.get("mime", [None] * len(pdf)),
+            ):
                 raw = p if p is not None else b""
+                # dispatch on the DECLARED kind/mime first; byte sniffing is
+                # only a fallback for missing metadata. Sniff-first misroutes
+                # RIFF-container images (WebP) into the WAV decoder, and a
+                # video payload starting with P6 would silently yield the
+                # features of its FIRST frame only.
                 if deterministic_fake:
                     feats.append(_fake_decode(raw, dim).tolist())
-                elif mime == WAV_MIME or raw[:4] == b"RIFF":
+                elif kind == "video" or mime == PPM_STREAM_MIME:
+                    raise ValueError(
+                        "route video rows through sample_video_frames first — "
+                        "a whole-payload feature would describe only frame 0"
+                    )
+                elif kind == "audio" or mime == WAV_MIME or (
+                    mime is None and raw[:4] == b"RIFF"
+                ):
                     # real audio decode (16-bit PCM WAV, pure NumPy)
                     feats.append(_wav_features(*decode_wav(raw)).tolist())
                 else:
@@ -234,8 +266,10 @@ def split_ppm_stream(payload: bytes) -> list[tuple[int, int]]:
     known without touching pixel data."""
     frames, pos = [], 0
     while pos < len(payload):
-        w, h, pixel_off = _ppm_header(payload[pos:])
-        length = pixel_off + w * h * 3
+        w, h, pixel_end = _ppm_header(payload, pos)
+        length = (pixel_end - pos) + w * h * 3
+        if length <= 0:
+            raise ValueError(f"non-advancing frame at byte {pos}")  # unreachable belt+braces
         if pos + length > len(payload):
             raise ValueError(f"truncated frame at byte {pos}")
         frames.append((pos, length))
@@ -256,9 +290,29 @@ def sample_video_frames(
         for pdf in batches:
             out = {k: [] for k in
                    ("media_id", "kind", "mime", "width", "height", "duration_ms", "payload")}
-            for mid, mime, p in zip(pdf["media_id"], pdf["mime"], pdf["payload"]):
+            for mid, mime, p, dur in zip(
+                pdf["media_id"], pdf["mime"], pdf["payload"], pdf["duration_ms"]
+            ):
                 raw = bytes(p) if p is not None else b""
                 if not (mime == PPM_STREAM_MIME or raw[:2] == b"P6"):
+                    if deterministic_fake:
+                        # plumbing stand-in (same contract as the siblings'
+                        # fake paths): one seeded 8x8 frame per second of
+                        # declared duration, sampled like real frames
+                        seed = int.from_bytes(raw[:8].ljust(8, b"\0"), "little") & 0x7FFFFFFF
+                        rng = np.random.default_rng(seed)
+                        n_frames = max(int(dur or 0) // 1000, 1)
+                        for idx in range(0, n_frames, every_n):
+                            frame = encode_ppm(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8))
+                            img = decode_ppm(frame)
+                            out["media_id"].append(mid)
+                            out["kind"].append("image")
+                            out["mime"].append(PPM_MIME)
+                            out["width"].append(img.shape[1])
+                            out["height"].append(img.shape[0])
+                            out["duration_ms"].append(idx)
+                            out["payload"].append(frame)
+                        continue
                     raise NotImplementedError(
                         f"no demuxer for video mime {mime!r} (PPM streams are native)"
                     )

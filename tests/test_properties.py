@@ -143,9 +143,27 @@ def test_wav_round_trip(n, ch, sr, seed):
 @given(junk=st.binary(min_size=0, max_size=64))
 def test_decoders_reject_garbage_cleanly(junk):
     """Arbitrary bytes must raise ValueError (or parse, for inputs that
-    happen to be valid) — never hang, segfault, or raise anything else."""
-    for dec in (decode_ppm, lambda b: decode_wav(b)):
+    happen to be valid) — never hang, segfault, or raise anything else.
+    split_ppm_stream is included: it is the one decoder that LOOPED forever
+    on crafted negative-dimension headers before the w/h guard."""
+    for dec in (decode_ppm, decode_wav, split_ppm_stream):
         try:
             dec(junk)
-        except (ValueError, IndexError):
+        except ValueError:
             pass  # rejected cleanly
+
+
+def test_split_ppm_stream_negative_dims_regression():
+    """int(b'-4') parses, the frame length went non-positive, and the stream
+    splitter spun forever on 12 bytes of garbage — must raise promptly."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        split_ppm_stream(b"P6 -4 1 255 ")
+    with _pytest.raises(ValueError):
+        decode_wav(
+            b"RIFF\x24\x00\x00\x00WAVEfmt \x10\x00\x00\x00"
+            + b"\x01\x00\x00\x00"  # format=1, channels=0
+            + b"\x00\x00\x00\x00" + b"\x00\x00\x00\x00" + b"\x02\x00\x10\x00"
+            + b"data\x00\x00\x00\x00"
+        )
