@@ -206,3 +206,41 @@ def capped_docs(
             .filter((F.col("bsz") > cfg.salt_threshold) & (F.col("rn") > cfg.bucket_cap))
         )
     return dropped.count()
+
+
+def candidate_pass_stats(
+    banded: DataFrame, cfg: PipelineConfig, n_sim_tables: int = 0
+) -> DataFrame:
+    """Per-PASS candidate attribution over the unified (id, band, band_hash)
+    relation: how many bucket memberships, multi-member buckets, and raw
+    within-bucket pairs each pass (MinHash-LSH bands / SimHash block tables /
+    substring line-grams) contributes — the observability a band/block/cap
+    tuning decision needs before anything runs at full scale. Pure
+    aggregation (one shuffle), no pair materialization.
+
+    Band-id ranges follow the pipeline's layout (plans/pipeline.py):
+    [0, bands) = LSH, [bands, bands + n_sim_tables) = SimHash, the rest =
+    substring. Returns (pass, memberships, buckets, multi_buckets,
+    raw_pairs) where raw_pairs = Σ C(bucket_size, 2) UNCAPPED — an upper
+    bound on what the self-join would see without skew handling.
+    """
+    pass_col = (
+        F.when(F.col("band") < cfg.bands, "lsh")
+        .when(F.col("band") < cfg.bands + n_sim_tables, "simhash")
+        .otherwise("substring")
+    )
+    per_bucket = (
+        banded.select(pass_col.alias("pass"), "band", "band_hash")
+        .groupBy("pass", "band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return (
+        per_bucket.groupBy("pass")
+        .agg(
+            F.sum("sz").cast("long").alias("memberships"),
+            F.count(F.lit(1)).cast("long").alias("buckets"),
+            F.sum((F.col("sz") > 1).cast("long")).cast("long").alias("multi_buckets"),
+            F.sum(F.col("sz") * (F.col("sz") - 1) / 2).cast("long").alias("raw_pairs"),
+        )
+        .orderBy("pass")
+    )

@@ -366,3 +366,27 @@ def test_capped_docs_is_skew_mode_aware(spark):
     assert capped_docs(banded, cfg, skew_mode="auto") == 0  # salted band: kept
     tiny = PipelineConfig(bucket_cap=4, salt_threshold=8)
     assert capped_docs(banded, tiny, skew_mode="auto") == 8  # pathological: capped
+
+
+def test_candidate_pass_stats_attribution(spark):
+    """Pass attribution over the unified banded relation: band-id ranges map
+    to lsh/simhash/substring, raw_pairs is the exact sum of C(sz, 2)."""
+    from sycl_jaccard_spark.operators.lsh import candidate_pass_stats
+
+    cfg = PipelineConfig(bands=4, num_perms=16, rows_per_band=4)
+    rows = (
+        [(i, 0, 5) for i in range(3)]        # lsh bucket of 3 -> 3 pairs
+        + [(9, 2, 6)]                        # lsh singleton
+        + [(i, 4, 7) for i in range(2)]      # simhash bucket of 2 -> 1 pair
+        + [(i, 4 + 20, 8) for i in range(4)] # substring bucket of 4 -> 6 pairs
+    )
+    banded = spark.createDataFrame(rows, "id long, band int, band_hash long")
+    got = {
+        r["pass"]: (r.memberships, r.buckets, r.multi_buckets, r.raw_pairs)
+        for r in candidate_pass_stats(banded, cfg, n_sim_tables=20).collect()
+    }
+    assert got == {
+        "lsh": (4, 2, 1, 3),
+        "simhash": (2, 1, 1, 1),
+        "substring": (4, 1, 1, 6),
+    }
