@@ -7,7 +7,7 @@ ANSI-SQL oracle where the semantics are SQL-expressible. Column names are
 aligned on both sides; doubles are only ever produced by a single division /
 sqrt of exact integers so both engines agree bit-for-bit.
 
-ALL 27 queries are hash-checked, including the END-TO-END pipeline twice
+ALL 28 queries are hash-checked, including the END-TO-END pipeline twice
 (``dedup_pipeline_clusters``: MinHash-LSH only; ``dedup_pipeline_full``:
 plus the SimHash near-miss pass — its bit-voting and combinatorial block
 tables replayed in plain SQL — both on portable hashes with WITH RECURSIVE
@@ -348,6 +348,31 @@ def q_dedup_pipeline_full(spark, sf_dir):
     return result.clusters.orderBy("id")
 
 
+def q_dedup_rep_selection(spark, sf_dir):
+    """Corpus-level dedup ACTION on top of the portable pipeline clusters:
+    longest-content representative per cluster (ties -> min id) and a full
+    (id, cluster, rep_id, kept) manifest — operators/representatives.py.
+    The oracle replays the whole pipeline AND the rep selection in SQL."""
+    from sycl_jaccard_spark.operators.representatives import deduplicate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = documents_as_files(docs)
+    cfg = PipelineConfig(
+        num_perms=N_PERMS, bands=N_BANDS, rows_per_band=N_PERMS // N_BANDS,
+        shingle_k=K, bucket_cap=10**9, portable_hashes=True,
+    )
+    result = DedupPipeline(spark, cfg, enable_simhash=False).run(files)
+    _, manifest = deduplicate_corpus(
+        files.select("id", "content"), result.clusters, strategy="longest"
+    )
+    return manifest.select(
+        F.col("id").cast("long"),
+        F.col("cluster").cast("long"),
+        F.col("rep_id").cast("long"),
+        F.col("kept").cast("int"),
+    )
+
+
 def q_ann_lsh_candidates(spark, sf_dir):
     # bucket_cap is non-triggering here: the DuckDB oracle self-joins buckets
     # uncapped, so both sides must keep every member (cap behavior is tested
@@ -436,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": q_token_topk,
         "ann_cosine_topk": q_ann_cosine_topk,
         "dedup_pipeline_clusters": q_dedup_pipeline_clusters,
+        "dedup_rep_selection": q_dedup_rep_selection,
         "dedup_pipeline_full": q_dedup_pipeline_full,
         "ann_lsh_candidates": q_ann_lsh_candidates,
         "ann_ivf_candidates": q_ann_ivf_candidates,
@@ -772,6 +798,23 @@ FROM c{IVF_TRAIN_ITERS} ORDER BY cid, pos"""
     # closure's O(component²) state is bounded).
     sql["dedup_pipeline_clusters"] = _cluster_replay_sql(with_simhash=False)
     sql["dedup_pipeline_full"] = _cluster_replay_sql(with_simhash=True)
+    # dedup_rep_selection: the same cluster replay, extended with longest-
+    # content representative selection (ties -> min id) and the keep/drop
+    # manifest — the corpus-level dedup ACTION, SQL end to end.
+    sql["dedup_rep_selection"] = _cluster_replay_sql(
+        with_simhash=False,
+        tail=""",
+clus AS MATERIALIZED (SELECT node AS id, min(lab) AS cluster FROM reach GROUP BY node),
+reps AS (SELECT cluster, id AS rep_id FROM (
+           SELECT c.cluster, c.id,
+                  row_number() OVER (PARTITION BY c.cluster
+                                     ORDER BY length(d.text) DESC, c.id) AS rn
+           FROM clus c JOIN documents d ON d.doc_id = c.id) WHERE rn = 1)
+SELECT CAST(c.id AS BIGINT) AS id, CAST(c.cluster AS BIGINT) AS cluster,
+       CAST(r.rep_id AS BIGINT) AS rep_id,
+       CAST(c.id = r.rep_id AS INTEGER) AS kept
+FROM clus c JOIN reps r ON r.cluster = c.cluster""",
+    )
     return sql
 
 
@@ -814,7 +857,7 @@ simcand AS (SELECT x.doc_id AS a, y.doc_id AS b
             FROM simb x JOIN simb y ON x.cb = y.cb AND x.bk = y.bk AND x.doc_id < y.doc_id)"""
 
 
-def _cluster_replay_sql(with_simhash: bool) -> str:
+def _cluster_replay_sql(with_simhash: bool, tail: str | None = None) -> str:
     """Full-pipeline DuckDB replay (the compareCoords golden-output analog,
     compareCoords.cpp:174-320). MATERIALIZED hints: DuckDB inlines CTEs by
     default, so the sig/bands chain would be recomputed for every downstream
@@ -851,5 +894,8 @@ reach AS (
   UNION
   SELECT e.dst AS node, r.lab FROM reach r JOIN edges e ON e.src = r.node
 )
-SELECT CAST(node AS BIGINT) AS id, CAST(min(lab) AS BIGINT) AS cluster
+{tail or DEFAULT_CLUSTER_TAIL}"""
+
+
+DEFAULT_CLUSTER_TAIL = """SELECT CAST(node AS BIGINT) AS id, CAST(min(lab) AS BIGINT) AS cluster
 FROM reach GROUP BY node"""

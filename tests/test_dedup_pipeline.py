@@ -390,3 +390,31 @@ def test_candidate_pass_stats_attribution(spark):
         "simhash": (2, 1, 1, 1),
         "substring": (4, 1, 1, 6),
     }
+
+
+def test_deduplicate_corpus_strategies(spark):
+    """Representative selection + manifest: longest keeps the fullest
+    variant (ties -> min id), min_id keeps the label, kept rows partition
+    the corpus exactly."""
+    from sycl_jaccard_spark.operators.representatives import deduplicate_corpus
+
+    files = spark.createDataFrame(
+        [
+            (1, "short"), (2, "the longest variant here"), (3, "middle one"),
+            (10, "solo"),
+            (20, "tie"), (21, "pie"),  # equal lengths -> min id wins
+        ],
+        ["id", "content"],
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (20, 20), (21, 20)], ["id", "cluster"]
+    )
+    kept, manifest = deduplicate_corpus(files, clusters, strategy="longest")
+    m = {r.id: (r.rep_id, r.kept) for r in manifest.collect()}
+    assert m == {1: (2, 0), 2: (2, 1), 3: (2, 0), 10: (10, 1), 20: (20, 1), 21: (20, 0)}
+    assert {r.id for r in kept.collect()} == {2, 10, 20}
+
+    kept2, manifest2 = deduplicate_corpus(files, clusters, strategy="min_id")
+    assert {r.id for r in kept2.collect()} == {1, 10, 20}
+    # manifest covers every input row exactly once under both strategies
+    assert manifest.count() == manifest2.count() == 6
