@@ -55,6 +55,11 @@ def parse_args(argv=None):
     p.add_argument("--no-simhash", action="store_true")
     p.add_argument("--substring", action="store_true", help="enable line-gram containment pass")
     p.add_argument("--verify-impl", choices=["arrays", "exploded"], default="arrays")
+    p.add_argument(
+        "--rep-strategy", choices=["none", "longest", "min_id"], default="none",
+        help="also write the DEDUPLICATED corpus (deduped/) + keep/drop audit "
+             "manifest (manifest/): one representative per cluster",
+    )
     p.add_argument("--cores", type=int, default=None, help="local[] cores (ignored under spark-submit)")
     return p.parse_args(argv)
 
@@ -105,6 +110,14 @@ def main(argv=None) -> int:
     result.verified_pairs.write.mode("overwrite").parquet(
         os.path.join(args.output, "verified_pairs")
     )
+    if args.rep_strategy != "none":
+        from sycl_jaccard_spark.operators.representatives import deduplicate_corpus
+
+        kept, manifest = deduplicate_corpus(
+            files, result.clusters, strategy=args.rep_strategy
+        )
+        kept.write.mode("overwrite").parquet(os.path.join(args.output, "deduped"))
+        manifest.write.mode("overwrite").parquet(os.path.join(args.output, "manifest"))
     wall = time.monotonic() - t0
     os.makedirs(args.output, exist_ok=True)
     pipe.metrics.append({"stage": "TOTAL", "wall_s": round(wall, 3), "rows": -1, "resumed": False})

@@ -104,3 +104,29 @@ def test_spark_submit_pyfiles_artifact(tmp_path):
     import glob
 
     assert glob.glob(os.path.join(out, "clusters", "*.parquet"))
+
+
+def test_run_pipeline_cli_rep_strategy(spark, tmp_path):
+    """--rep-strategy also writes the deduplicated corpus + audit manifest."""
+    from jobs.run_pipeline import main
+
+    out = str(tmp_path / "out")
+    rc = main(
+        [
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--input-kind", "documents",
+            "--output", out,
+            "--num-perms", "32",
+            "--bands", "8",
+            "--rep-strategy", "longest",
+        ]
+    )
+    assert rc == 0
+    deduped = spark.read.parquet(os.path.join(out, "deduped"))
+    manifest = spark.read.parquet(os.path.join(out, "manifest"))
+    assert manifest.count() == 500  # every input row audited
+    n_kept = manifest.filter("kept = 1").count()
+    assert deduped.count() == n_kept
+    # kept ids are exactly the representatives
+    reps = {r.rep_id for r in manifest.collect()}
+    assert {r.id for r in deduped.select("id").collect()} == reps
