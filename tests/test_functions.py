@@ -153,3 +153,56 @@ def test_simhash_combinatorial_band_keys(spark):
     shared_far = sum(1 for a, b in zip(rows[0], rows[2]) if a == b)
     assert shared_near >= 1      # pigeonhole guarantee
     assert shared_far == 0
+
+
+def test_weighted_minhash_cws(spark):
+    """Consistent Weighted Sampling: (1) slot-collision rate estimates the
+    exact weighted Jaccard (Ioffe 2010 — the probability statement itself);
+    (2) deterministic across runs; (3) the signature column bands with the
+    EXISTING LSH machinery, so weighted near-dup candidates come from the
+    same bucket join the unweighted path uses."""
+    import numpy as np
+    import pandas as pd
+
+    from sycl_jaccard_spark.config import PipelineConfig
+    from sycl_jaccard_spark.functions.weighted_minhash import cws_batch, weighted_minhash_udf
+    from sycl_jaccard_spark.operators.lsh import band_hashes, candidate_pairs
+
+    rng = np.random.default_rng(5)
+    shared = {int(e): float(rng.uniform(0.5, 3.0)) for e in range(100, 140)}
+    only_a = {int(e): float(rng.uniform(0.5, 3.0)) for e in range(200, 210)}
+    only_b = {int(e): float(rng.uniform(0.5, 3.0)) for e in range(300, 310)}
+    wa = {**shared, **only_a}
+    wb = {**shared, **only_b}
+    inter = sum(min(wa[e], wb[e]) for e in set(wa) & set(wb))
+    union = sum(max(wa.get(e, 0.0), wb.get(e, 0.0)) for e in set(wa) | set(wb))
+    exact = inter / union
+
+    P = 256
+    sigs = cws_batch(
+        pd.Series([list(wa.keys()), list(wb.keys())]),
+        pd.Series([list(wa.values()), list(wb.values())]),
+        P, seed=42,
+    )
+    est = sum(1 for x, y in zip(sigs[0], sigs[1]) if x == y) / P
+    assert abs(est - exact) < 0.12  # ~4 sigma at P=256
+    assert list(sigs[0]) == list(
+        cws_batch(pd.Series([list(wa.keys())]), pd.Series([list(wa.values())]), P, 42)[0]
+    )
+
+    # Spark path: weighted docs -> CWS sigs -> band_hashes -> candidate_pairs.
+    # High-Jw pairs (planted twins, Jw ~0.8) must bucket together; the
+    # disjoint-weight doc must not pair with anything.
+    docs = [
+        (1, list(wa.keys()), list(wa.values())),
+        (2, list(wb.keys()), list(wb.values())),
+        (3, list(only_b.keys()), list(only_b.values())),  # disjoint from 1
+    ]
+    df = spark.createDataFrame(docs, "id long, elems array<long>, weights array<double>")
+    cfg = PipelineConfig(num_perms=32, bands=8, rows_per_band=4, bucket_cap=10**9)
+    signed = df.select(
+        "id", weighted_minhash_udf(32, seed=42)(F.col("elems"), F.col("weights")).alias("sig")
+    ).localCheckpoint(eager=True)
+    cands = {(r.a, r.b) for r in candidate_pairs(band_hashes(signed, cfg), cfg).collect()}
+    assert (1, 2) in cands      # Jw ~0.8 -> shares a band w.h.p.
+    assert (1, 3) not in cands  # Jw = 0
