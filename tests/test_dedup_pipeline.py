@@ -418,3 +418,47 @@ def test_deduplicate_corpus_strategies(spark):
     assert {r.id for r in kept2.collect()} == {1, 10, 20}
     # manifest covers every input row exactly once under both strategies
     assert manifest.count() == manifest2.count() == 6
+
+
+def test_idf_weighted_candidates_boilerplate_robust(spark):
+    """IDF weighting makes dedup boilerplate-robust: two files sharing only
+    a big license header (unweighted J ~0.75 -> always a candidate) get a
+    LOW weighted Jaccard and drop out of the candidate set, while true
+    near-dups (shared rare body) stay in."""
+    from sycl_jaccard_spark.functions.shingles import shingle_hashes, shingles, tokens
+    from sycl_jaccard_spark.operators.weighted_dedup import (
+        idf_weighted_candidates,
+        idf_weights,
+    )
+
+    header = " ".join(f"license word{i} reserved" for i in range(40))
+    body_a = " ".join(f"alpha{i} compute{i * 3}" for i in range(12))
+    body_b = " ".join(f"beta{i} transform{i * 7}" for i in range(12))
+    body_c = " ".join(f"gamma{i} reduce{i * 11}" for i in range(40))
+    rows = (
+        # 1, 2: header-only overlap (distinct small bodies)
+        [(1, f"{header} {body_a}"), (2, f"{header} {body_b}")]
+        # 3, 4: true near-dups: same big RARE body, no header
+        + [(3, body_c), (4, body_c + " extra tail9")]
+        # background corpus so the header's document frequency is HIGH
+        + [(10 + i, f"{header} unique{i} filler{i * 13}") for i in range(10)]
+    )
+    files = spark.createDataFrame(rows, ["id", "content"])
+    shingled = files.select(
+        "id", shingle_hashes(shingles(tokens(F.col("content")), 3)).alias("shingle_hashes")
+    )
+    cfg = PipelineConfig(num_perms=32, bands=8, rows_per_band=4, bucket_cap=10**9)
+    cands = {(r.a, r.b) for r in idf_weighted_candidates(shingled, cfg).collect()}
+    assert (3, 4) in cands, "true near-dup must stay a candidate"
+    assert (1, 2) not in cands, "header-only pair must drop out under IDF"
+
+    # and the IDF itself orders as designed: boilerplate << rare shingles
+    idf = {r.elem: r.w for r in idf_weights(shingled).collect()}
+    sh = {r.id: set(r.shingle_hashes) for r in shingled.collect()}
+    header_shingles = sh[1] & sh[2] & sh[10]
+    rare_shingles = sh[3] - sh[1] - sh[2]
+    import statistics
+
+    assert statistics.mean(idf[e] for e in header_shingles) < statistics.mean(
+        idf[e] for e in rare_shingles
+    )
