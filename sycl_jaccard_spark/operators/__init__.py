@@ -15,6 +15,14 @@ from sycl_jaccard_spark.operators.ann import (
     lsh_cosine_candidates,
     train_ivf_centroids,
 )
+from sycl_jaccard_spark.operators.representatives import (
+    deduplicate_corpus,
+    select_representatives,
+)
+from sycl_jaccard_spark.operators.weighted_dedup import (
+    idf_weighted_candidates,
+    idf_weights,
+)
 
 __all__ = [
     "invert_direction",
@@ -32,4 +40,8 @@ __all__ = [
     "ivf_candidates",
     "lsh_cosine_candidates",
     "train_ivf_centroids",
+    "deduplicate_corpus",
+    "select_representatives",
+    "idf_weighted_candidates",
+    "idf_weights",
 ]
