@@ -107,3 +107,14 @@ def test_candidate_self_join_reuses_exchange(spark):
             assert "ReusedExchange" in p, f"{mode}: self-join shuffles twice"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def test_weighted_signatures_are_arrow_vectorized(spark):
+    from sycl_jaccard_spark.functions.weighted_minhash import weighted_minhash_udf
+
+    df = spark.createDataFrame(
+        [(1, [10, 20], [1.0, 2.0])], "id long, elems array<long>, weights array<double>"
+    )
+    p = _plan(df.select("id", weighted_minhash_udf(16)(F.col("elems"), F.col("weights")).alias("sig")))
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
