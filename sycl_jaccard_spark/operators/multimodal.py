@@ -236,8 +236,14 @@ def extract_features(
                         "a whole-payload feature would describe only frame 0"
                     )
                 elif kind == "audio" or mime == WAV_MIME or (
-                    mime is None and raw[:4] == b"RIFF"
+                    mime is None
+                    and not (isinstance(kind, str) and kind in ("image", "video"))
+                    and raw[:4] == b"RIFF"
                 ):
+                    # RIFF byte-sniff is a fallback for MISSING metadata only:
+                    # a declared mime-less image (e.g. WebP, also RIFF) must
+                    # reach decode_image's explicit no-decoder error, not fail
+                    # as "not a RIFF/WAVE payload" (ADVICE r3)
                     # real audio decode (16-bit PCM WAV, pure NumPy)
                     feats.append(_wav_features(*decode_wav(raw)).tolist())
                 else:
@@ -301,7 +307,9 @@ def sample_video_frames(
                         # declared duration, sampled like real frames
                         seed = int.from_bytes(raw[:8].ljust(8, b"\0"), "little") & 0x7FFFFFFF
                         rng = np.random.default_rng(seed)
-                        n_frames = max(int(dur or 0) // 1000, 1)
+                        # a null duration_ms arrives as NaN (truthy!) — int()
+                        # on it raises; coerce NaN/None to one frame (ADVICE r3)
+                        n_frames = 1 if (dur is None or pd.isna(dur)) else max(int(dur) // 1000, 1)
                         for idx in range(0, n_frames, every_n):
                             frame = encode_ppm(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8))
                             img = decode_ppm(frame)

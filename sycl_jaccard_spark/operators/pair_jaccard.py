@@ -130,6 +130,10 @@ def jaccard_pairs_weighted(
     va = vol.select(F.col("_id").alias("a"), F.col("vol").alias("vol_a"))
     vb = vol.select(F.col("_id").alias("b"), F.col("vol").alias("vol_b"))
     zero = F.lit(0).cast("long")
+    # wi/vol_* keep the weight column's own sum type (long for integral
+    # weights, double for float weights such as IDF) — casting to long would
+    # truncate fractional sums and report components inconsistent with the
+    # jaccard they imply (ADVICE r3).
     return (
         pa.join(wi, ["a", "b"], "left")
         .join(va, "a")
@@ -137,9 +141,9 @@ def jaccard_pairs_weighted(
         .select(
             "a",
             "b",
-            F.coalesce("wi", zero).cast("long").alias("wi"),
-            F.col("vol_a").cast("long").alias("vol_a"),
-            F.col("vol_b").cast("long").alias("vol_b"),
+            F.coalesce("wi", zero).alias("wi"),
+            F.col("vol_a"),
+            F.col("vol_b"),
             weighted_jaccard_from_sums(
                 F.coalesce("wi", zero), F.col("vol_a"), F.col("vol_b")
             ).alias("jaccard"),

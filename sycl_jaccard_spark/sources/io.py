@@ -204,6 +204,23 @@ def read_csr_binary(spark: SparkSession, path: str) -> tuple[DataFrame, CSRHeade
     return edges, header
 
 
+def promote_csr_dtypes(
+    n_vertices: int, n_edges: int, vertex_t64: bool, edge_t64: bool
+) -> tuple[bool, bool]:
+    """Dtype range guard: ids / edge counts beyond int32 would silently wrap
+    into a structurally valid but corrupt CSR file — auto-promote to the
+    64-bit legs (the reference's VERTEX_T64/EDGE_T64 build flags) instead.
+    n_vertices covers BOTH id spaces (max(src, dst) + 1), so guarding on it
+    catches a graph whose src ids exceed int32 while dst fits (ADVICE r3)."""
+    import numpy as np
+
+    if not vertex_t64 and n_vertices - 1 > np.iinfo(np.int32).max:
+        vertex_t64 = True
+    if not edge_t64 and n_edges > np.iinfo(np.int32).max:
+        edge_t64 = True
+    return vertex_t64, edge_t64
+
+
 def write_csr_binary(
     edges: DataFrame,
     path: str,
@@ -229,13 +246,7 @@ def write_csr_binary(
     w = pdf["weight"].to_numpy(np.float64)
     if n_vertices is None:
         n_vertices = int(max(src.max(), dst.max())) + 1 if len(src) else 0
-    # dtype range guard: ids / edge counts beyond int32 would silently wrap
-    # into a structurally valid but corrupt CSR file — auto-promote to the
-    # 64-bit legs (the reference's VERTEX_T64/EDGE_T64 build flags) instead.
-    if not vertex_t64 and len(dst) and int(dst.max()) > np.iinfo(np.int32).max:
-        vertex_t64 = True
-    if not edge_t64 and len(src) > np.iinfo(np.int32).max:
-        edge_t64 = True
+    vertex_t64, edge_t64 = promote_csr_dtypes(n_vertices, len(src), vertex_t64, edge_t64)
     header = CSRHeader(
         num_verts=n_vertices, num_edges=len(src), is_weighted=weighted,
         is_zero_indexed=True, is_directed=directed, has_reverse_edges=has_reverse_edges,

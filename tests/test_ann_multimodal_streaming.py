@@ -522,3 +522,34 @@ def test_media_features_flow_into_embedding_near_dup(spark):
     }
     assert (1, 2) in dups
     assert not any(3 in p for p in dups)
+
+
+def test_multimodal_declared_kind_beats_riff_sniff(spark):
+    """ADVICE r3: byte-sniffing is a fallback for MISSING metadata only. A
+    mime-less RIFF payload DECLARED as an image (e.g. WebP) must reach the
+    image decoder's explicit no-decoder error, not the WAV decoder's
+    'not a RIFF/WAVE payload' failure."""
+    webp_ish = b"RIFF\x10\x00\x00\x00WEBPVP8 fake"
+    media = spark.createDataFrame(
+        [(1, "image", None, None, None, None, webp_ish)], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="(?i)image|decoder|format"):
+        extract_features(media, dim=8, deterministic_fake=False).collect()
+    # mime-less RIFF bytes with UNKNOWN kind still sniff into the WAV path
+    media2 = spark.createDataFrame(
+        [(2, "unknown", None, None, None, None, webp_ish)], MEDIA_SCHEMA
+    )
+    with pytest.raises(Exception, match="RIFF/WAVE"):
+        extract_features(media2, dim=8, deterministic_fake=False).collect()
+
+
+def test_video_fake_path_null_duration(spark):
+    """ADVICE r3: a null duration_ms arrives in pandas as NaN (truthy) —
+    the deterministic_fake path must fall back to one frame, not raise."""
+    from sycl_jaccard_spark.operators.multimodal import sample_video_frames
+
+    media = spark.createDataFrame(
+        [(7, "video", "video/mp4", 320, 240, None, b"\x00\x00mp4fake")], MEDIA_SCHEMA
+    )
+    frames = sample_video_frames(media, deterministic_fake=True).collect()
+    assert len(frames) == 1 and frames[0].media_id == 7

@@ -218,3 +218,23 @@ def test_nonzero_pair_count_k9(spark):
     n = nonzero_pair_count(scored, 1e-5)
     expect = sum(1 for v in py_jaccard_edges(PATH).values() if v and v > 1e-5)
     assert n == expect
+
+
+def test_jaccard_pairs_weighted_float_weights_not_truncated(spark):
+    """ADVICE r3: with float (e.g. IDF) weights the reported wi/vol sums must
+    stay double — a long cast would truncate them and report components
+    inconsistent with the jaccard they imply."""
+    from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs_weighted
+
+    rows = [(1, 10, 0.5), (1, 11, 1.25), (2, 10, 0.5), (2, 12, 2.75)]
+    m = spark.createDataFrame(rows, ["id", "elem", "w"])
+    pairs = spark.createDataFrame([(1, 2)], ["a", "b"])
+    out = jaccard_pairs_weighted(m, pairs).collect()[0]
+    assert out.wi == pytest.approx(0.5)
+    assert out.vol_a == pytest.approx(1.75)
+    assert out.vol_b == pytest.approx(3.25)
+    assert out.jaccard == pytest.approx(0.5 / (1.75 + 3.25 - 0.5))
+    # integral weights keep the long dtype (k5 oracle contract)
+    mi = spark.createDataFrame([(1, 10, 3), (2, 10, 3)], ["id", "elem", "w"])
+    sch = {f.name: f.dataType.simpleString() for f in jaccard_pairs_weighted(mi, pairs).schema.fields}
+    assert sch["wi"] == "bigint" and sch["vol_a"] == "bigint"

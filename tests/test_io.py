@@ -170,3 +170,23 @@ def test_read_source_table_dispatch(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="no table catalog"):
         read_source_table(spark, "iceberg_cat.db.missing_table")
+
+
+def test_csr_dtype_promotion_guard():
+    """ADVICE r3: promotion must key on n_vertices (covers BOTH id spaces),
+    not dst.max() — src ids beyond int32 with small dst must still promote."""
+    import numpy as np
+
+    from sycl_jaccard_spark.sources.io import promote_csr_dtypes
+
+    i32max = np.iinfo(np.int32).max
+    # src id space exceeds int32, dst fits: n_vertices = src.max()+1 > int32
+    assert promote_csr_dtypes(i32max + 2, 10, False, False) == (True, False)
+    # everything in range: no promotion
+    assert promote_csr_dtypes(1000, 10, False, False) == (False, False)
+    # boundary: largest id == int32 max is still representable
+    assert promote_csr_dtypes(i32max + 1, 10, False, False) == (False, False)
+    # edge count beyond int32 promotes the edge leg
+    assert promote_csr_dtypes(1000, i32max + 1, False, False) == (False, True)
+    # explicit 64-bit requests are never downgraded
+    assert promote_csr_dtypes(10, 10, True, True) == (True, True)
