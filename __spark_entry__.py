@@ -241,6 +241,25 @@ def q_doc_pair_containment(spark, sf_dir):
     )
 
 
+def q_idf_weights(spark, sf_dir):
+    """Corpus IDF over the portable shingle relation — the weight source of
+    the weighted (CWS) dedup pipeline mode (candidate_weights="idf"; the
+    reference's weighted pipeline half, standalone_algorithms.hpp:109-124).
+    w = ln(1 + N/df) is a libm log, NOT bit-identical between JVM and DuckDB
+    (measured: ~5% of values differ by 1 ulp) — so the contract row compares
+    the MICRO-quantized weight floor(w*1e6 + 0.5) (flip risk ~1e-9/row)
+    alongside the exact integer df. CWS itself stays statistically gated
+    (functions/weighted_minhash.py) since exp/log floats aren't SQL-portable."""
+    from sycl_jaccard_spark.operators.weighted_dedup import idf_weights
+
+    idf = idf_weights(_doc_shingle_hashes(spark, sf_dir), id_col="doc_id")
+    return idf.select(
+        "elem",
+        F.col("df").cast("long").alias("df"),
+        F.floor(F.col("w") * 1e6 + F.lit(0.5)).cast("long").alias("w_micro"),
+    )
+
+
 def q_minhash_signatures(spark, sf_dir):
     """(doc_id, perm, sig) — portable MinHash, oracle-replayed in SQL."""
     signed = minhash_signatures(
@@ -451,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shingle_stats": q_doc_shingle_stats,
         "doc_pair_jaccard": q_doc_pair_jaccard,
         "doc_pair_containment": q_doc_pair_containment,
+        "idf_weights": q_idf_weights,
         "minhash_signatures": q_minhash_signatures,
         "lsh_band_hashes": q_lsh_band_hashes,
         "lsh_candidates": q_lsh_candidates,
@@ -617,6 +637,13 @@ SELECT c.a, c.b,
        CAST(COALESCE(i.inter, 0) AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) AS containment
 FROM cand c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
 JOIN sz sa ON sa.doc_id = c.a JOIN sz sb ON sb.doc_id = c.b"""
+    sql["idf_weights"] = f"""
+{_shh_cte()},
+shd AS (SELECT DISTINCT doc_id, h FROM shh),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+SELECT h AS elem, CAST(count(*) AS BIGINT) AS df,
+       CAST(floor(ln(1 + (SELECT n FROM nd) / count(*)) * 1000000 + 0.5) AS BIGINT) AS w_micro
+FROM shd GROUP BY h"""
     sql["minhash_signatures"] = f"""
 {_sig_cte()}
 SELECT doc_id, CAST(perm AS BIGINT) AS perm, sig FROM sig"""

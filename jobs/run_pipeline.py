@@ -54,6 +54,15 @@ def parse_args(argv=None):
     )
     p.add_argument("--no-simhash", action="store_true")
     p.add_argument("--substring", action="store_true", help="enable line-gram containment pass")
+    p.add_argument(
+        "--weighted", action="store_true",
+        help="IDF-weighted candidates + weighted-Jaccard verify (CWS signatures; "
+             "boilerplate-robust dedup — the reference's weighted pipeline half)",
+    )
+    p.add_argument(
+        "--weighted-threshold", type=float, default=None,
+        help="weighted-Jaccard accept threshold (default: --threshold)",
+    )
     p.add_argument("--verify-impl", choices=["arrays", "exploded"], default="arrays")
     p.add_argument(
         "--rep-strategy", choices=["none", "longest", "min_id"], default="none",
@@ -96,6 +105,8 @@ def main(argv=None) -> int:
         bucket_cap=args.bucket_cap,
         simhash_blocks=args.simhash_blocks,
         portable_hashes=args.portable_hashes,
+        candidate_weights="idf" if args.weighted else "none",
+        weighted_verify_threshold=args.weighted_threshold,
     )
     pipe = DedupPipeline(
         spark,

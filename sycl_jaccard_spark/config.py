@@ -62,6 +62,19 @@ class PipelineConfig:
     verify_threshold: float = 0.7   # J >= threshold => duplicate pair
     nonzero_threshold: float = 1e-5  # reference EC epilogue (jaccard.cpp:811-819)
 
+    # --- weighted (IDF/CWS) candidate path ---
+    # "idf": shingles are weighted by corpus IDF (ln(1 + N/df)) BEFORE
+    # hashing — CWS (Ioffe) signatures band with the same LSH machinery and
+    # verification scores the exact weighted Jaccard Σmin/Σmax, so
+    # boilerplate (license headers, generated preambles) stops producing
+    # candidates or accepts at all. Mirrors the reference's weighted pipeline
+    # half (standalone_algorithms.hpp:109-124, jaccard.cpp:254-256).
+    candidate_weights: str = "none"  # "none" | "idf"
+    # weighted-Jaccard accept threshold; None -> verify_threshold. Jw of a
+    # boilerplate-only pair is much lower than its unweighted J, so the same
+    # numeric threshold is usually right — the knob exists for tuning.
+    weighted_verify_threshold: float | None = None
+
     # --- connected components ---
     max_cc_iterations: int = 50
     checkpoint_every: int = 3
@@ -88,6 +101,8 @@ class PipelineConfig:
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perms:
             raise ValueError("bands * rows_per_band must equal num_perms")
+        if self.candidate_weights not in ("none", "idf"):
+            raise ValueError(f"unknown candidate_weights {self.candidate_weights!r}")
 
     @property
     def lsh_threshold(self) -> float:

@@ -22,6 +22,8 @@ from sycl_jaccard_spark.operators.representatives import (
 from sycl_jaccard_spark.operators.weighted_dedup import (
     idf_weighted_candidates,
     idf_weights,
+    weighted_memberships,
+    weighted_signatures,
 )
 
 __all__ = [
@@ -44,4 +46,6 @@ __all__ = [
     "select_representatives",
     "idf_weighted_candidates",
     "idf_weights",
+    "weighted_memberships",
+    "weighted_signatures",
 ]

@@ -96,6 +96,7 @@ def jaccard_pairs_weighted(
     id_col: str = "id",
     elem_col: str = "elem",
     weight_col: str = "w",
+    with_counts: bool = False,
 ) -> DataFrame:
     """Weighted ``jaccard_list`` (A5 weighted — ``standalone_algorithms.hpp:
     109-124``, ``jaccard.cpp:254-256`` volume accumulation): score explicit
@@ -113,11 +114,18 @@ def jaccard_pairs_weighted(
     Shape mirrors the unweighted ``impl="exploded"`` path: W∩ via a hash
     probe per shared element (expand with a's elements, inner-join on
     (b, elem)), never |A|×|B|; volumes via one groupBy — all JVM-side.
+
+    ``with_counts=True`` additionally emits the UNweighted intersection /
+    set sizes (inter, size_a, size_b) from the same aggregations — the
+    weighted pipeline's containment accept rule needs them, and they cost
+    one extra count per existing groupBy, no extra shuffle.
     """
     m = memberships.select(
         F.col(id_col).alias("_id"), F.col(elem_col).alias("elem"), F.col(weight_col).alias("w")
     )
-    vol = m.groupBy("_id").agg(F.sum("w").alias("vol"))
+    vol = m.groupBy("_id").agg(
+        F.sum("w").alias("vol"), F.count(F.lit(1)).alias("sz")
+    )
     pa = pairs.select("a", "b")
     ea = m.select(F.col("_id").alias("a"), "elem", F.col("w").alias("wa"))
     eb = m.select(F.col("_id").alias("b"), "elem")
@@ -125,27 +133,34 @@ def jaccard_pairs_weighted(
         pa.join(ea, "a")
         .join(eb, ["b", "elem"])
         .groupBy("a", "b")
-        .agg(F.sum("wa").alias("wi"))
+        .agg(F.sum("wa").alias("wi"), F.count(F.lit(1)).alias("inter"))
     )
-    va = vol.select(F.col("_id").alias("a"), F.col("vol").alias("vol_a"))
-    vb = vol.select(F.col("_id").alias("b"), F.col("vol").alias("vol_b"))
+    va = vol.select(F.col("_id").alias("a"), F.col("vol").alias("vol_a"), F.col("sz").alias("size_a"))
+    vb = vol.select(F.col("_id").alias("b"), F.col("vol").alias("vol_b"), F.col("sz").alias("size_b"))
     zero = F.lit(0).cast("long")
     # wi/vol_* keep the weight column's own sum type (long for integral
     # weights, double for float weights such as IDF) — casting to long would
     # truncate fractional sums and report components inconsistent with the
     # jaccard they imply (ADVICE r3).
+    cols = [
+        F.col("a"),
+        F.col("b"),
+        F.coalesce("wi", zero).alias("wi"),
+        F.col("vol_a"),
+        F.col("vol_b"),
+        weighted_jaccard_from_sums(
+            F.coalesce("wi", zero), F.col("vol_a"), F.col("vol_b")
+        ).alias("jaccard"),
+    ]
+    if with_counts:
+        cols[5:5] = [
+            F.coalesce("inter", F.lit(0)).cast("long").alias("inter"),
+            F.col("size_a").cast("long"),
+            F.col("size_b").cast("long"),
+        ]
     return (
         pa.join(wi, ["a", "b"], "left")
         .join(va, "a")
         .join(vb, "b")
-        .select(
-            "a",
-            "b",
-            F.coalesce("wi", zero).alias("wi"),
-            F.col("vol_a"),
-            F.col("vol_b"),
-            weighted_jaccard_from_sums(
-                F.coalesce("wi", zero), F.col("vol_a"), F.col("vol_b")
-            ).alias("jaccard"),
-        )
+        .select(*cols)
     )

@@ -8,6 +8,11 @@ down-weights boilerplate BEFORE hashing: the weighted Jaccard
 Σmin/Σmax ≈ body overlap, and header-only pairs stop colliding at all —
 candidates get cheaper AND cleaner instead of merely bounded.
 
+This is the approximate half of the reference's weighted family
+(``standalone_algorithms.hpp:109-124``, ``jaccard.cpp:254-256`` vertex-weight
+volume accumulation); the exact half is ``jaccard_pairs_weighted``. Both are
+wired into ``DedupPipeline`` via ``PipelineConfig(candidate_weights="idf")``.
+
 Shapes: IDF is one groupBy over the exploded shingle relation (the same
 df-count the rare-shingle inverted index already computes); signatures are
 one CWS Arrow pass; banding/bucketing reuses the unweighted machinery
@@ -28,11 +33,18 @@ def idf_weights(
     shingled: DataFrame,
     id_col: str = "id",
     hash_col: str = "shingle_hashes",
+    n_docs: int | None = None,
 ) -> DataFrame:
-    """(elem, w) per distinct shingle hash: w = ln(1 + N/df), strictly
-    positive and finite, large for rare shingles, ~ln(2)·(few) for
-    boilerplate present in every file."""
-    n_docs = shingled.select(id_col).distinct().count()
+    """(elem, df, w) per distinct shingle hash: w = ln(1 + N/df), strictly
+    positive and finite, large for rare shingles, ~ln(2) for boilerplate
+    present in every file.
+
+    ``n_docs``: pass the already-known corpus size (e.g. a pipeline stage's
+    row count) to skip the counting job; defaults to ``shingled.count()`` —
+    ids are unique by contract upstream, so no ``distinct()`` (a redundant
+    full shuffle at 10^12 rows — ADVICE r3/VERDICT #6)."""
+    if n_docs is None:
+        n_docs = shingled.count()
     df_counts = (
         shingled.select(F.col(id_col).alias("_id"), F.explode(hash_col).alias("elem"))
         .dropDuplicates(["_id", "elem"])
@@ -40,7 +52,25 @@ def idf_weights(
         .agg(F.count(F.lit(1)).alias("df"))
     )
     return df_counts.select(
-        "elem", F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("df")).alias("w")
+        "elem",
+        "df",
+        F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("df")).alias("w"),
+    )
+
+
+def weighted_memberships(
+    shingled: DataFrame,
+    idf: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "shingle_hashes",
+) -> DataFrame:
+    """Distinct (id, elem, w) weighted membership relation — the shared input
+    of the CWS signature stage and the exact weighted verify
+    (``jaccard_pairs_weighted``)."""
+    return (
+        shingled.select(F.col(id_col).alias("id"), F.explode(hash_col).alias("elem"))
+        .dropDuplicates(["id", "elem"])
+        .join(idf.select("elem", "w"), "elem")
     )
 
 
@@ -51,20 +81,20 @@ def weighted_signatures(
     seed: int = 42,
     id_col: str = "id",
     hash_col: str = "shingle_hashes",
+    materialize: bool = True,
 ) -> DataFrame:
     """(id, sig) CWS signatures over IDF-weighted shingles. The weight join
     re-collects (elems, weights) arrays in one groupBy (weights must pair
-    elementwise with elems for the UDF); sort by elem for determinism."""
-    exploded = (
-        shingled.select(F.col(id_col).alias("id"), F.explode(hash_col).alias("elem"))
-        .dropDuplicates(["id", "elem"])
-        .join(idf, "elem")
-    )
+    elementwise with elems for the UDF); sort by elem for determinism.
+
+    ``materialize=False`` skips the eager localCheckpoint — pass it when the
+    caller materializes the result itself (e.g. a pipeline stage write); the
+    checkpoint is otherwise REQUIRED before banding's explode (a pandas-UDF
+    column cannot feed a generator)."""
     paired = (
-        exploded.groupBy("id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("elem", "w"))).alias("ew")
-        )
+        weighted_memberships(shingled, idf, id_col, hash_col)
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("elem", "w"))).alias("ew"))
         .select(
             "id",
             F.col("ew.elem").alias("elems"),
@@ -72,9 +102,8 @@ def weighted_signatures(
         )
     )
     sig = weighted_minhash_udf(num_perms, seed)
-    return paired.select(
-        "id", sig(F.col("elems"), F.col("weights")).alias("sig")
-    ).localCheckpoint(eager=True)  # pandas-UDF column feeds banding's explode
+    out = paired.select("id", sig(F.col("elems"), F.col("weights")).alias("sig"))
+    return out.localCheckpoint(eager=True) if materialize else out
 
 
 def idf_weighted_candidates(

@@ -36,7 +36,12 @@ from sycl_jaccard_spark.functions.minhash import minhash_simhash_udf
 from sycl_jaccard_spark.operators.components import connected_components
 from sycl_jaccard_spark.operators.exact_dedup import dedup_exact, with_sha256
 from sycl_jaccard_spark.operators.lsh import band_hashes, candidate_pairs, minhash_signatures
-from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs
+from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs, jaccard_pairs_weighted
+from sycl_jaccard_spark.operators.weighted_dedup import (
+    idf_weights,
+    weighted_memberships,
+    weighted_signatures,
+)
 
 
 @dataclass
@@ -246,8 +251,48 @@ class DedupPipeline:
         # stage at higher parallelism). Only (id, sig[, sim]) is materialized:
         # the shingle arrays already live in the shingles stage and dominate
         # the checkpoint bytes if carried through.
+        #
+        # Weighted (candidate_weights="idf") route: corpus IDF → CWS weighted
+        # MinHash signatures (collision prob = weighted Jaccard Σmin/Σmax) —
+        # same signature shape, so banding/bucketing/skew handling below is
+        # shared verbatim; verification then scores the exact WEIGHTED Jaccard
+        # over the same IDF weights (the reference's weighted pipeline half,
+        # main.cpp:211-275, standalone_algorithms.hpp:109-124).
+        weighted = cfg.candidate_weights == "idf"
         sig_input = shingled.select("id", "shingle_hashes")
-        if self.enable_simhash:
+        if weighted:
+            # corpus size: reuse the shingles stage's row count (uniques are
+            # 1:1 with shingled) instead of paying another count job
+            n_docs = next(
+                (m["rows"] for m in reversed(self.metrics) if m["stage"] == "shingles"),
+                -1,
+            )
+            idf = self._stage(
+                "idf",
+                idf_weights(sig_input, n_docs=n_docs if n_docs >= 0 else None),
+                upstream=("shingles",),
+            )
+            sig_cols = [
+                weighted_signatures(
+                    sig_input, idf, cfg.num_perms, cfg.seed, materialize=False
+                )
+            ]
+            if self.enable_simhash:
+                # SimHash stays an UNweighted bit-vote over the distinct
+                # shingle hashes — its near-miss recall role is orthogonal to
+                # candidate weighting. One extra Arrow pass; computed in the
+                # same stage projection via an id-join of two narrow frames.
+                from sycl_jaccard_spark.functions.simhash import simhash_udf
+
+                sim_df = sig_input.select(
+                    "id", simhash_udf(F.col("shingle_hashes")).alias("sim")
+                )
+                sig_cols.append(sim_df)
+            joined = sig_cols[0]
+            for extra in sig_cols[1:]:
+                joined = joined.join(extra, "id")
+            signed = self._stage("minhash", joined, upstream=("shingles", "idf"))
+        elif self.enable_simhash:
             fused = minhash_simhash_udf(cfg.num_perms, cfg.seed)
             signed = self._stage(
                 "minhash",
@@ -301,11 +346,28 @@ class DedupPipeline:
         # larger one — low symmetric J, ~1.0 inter/min) are ALSO accepted:
         # they are exactly what that pass generates, and J-only verify would
         # reject every one of them.
-        scored = jaccard_pairs(
-            shingled.select("id", F.col("shingle_hashes").alias("set")), cands,
-            id_col="id", set_col="set", impl="arrays",
-        )
-        accept = F.col("jaccard") >= cfg.verify_threshold
+        # Weighted route: the exact WEIGHTED Jaccard Wi/(vol_a+vol_b−Wi) over
+        # the same IDF weights the signatures sampled — candidate and verify
+        # agree on what "similar" means, so boilerplate-only pairs fail verify
+        # even when a stray band collides them. Containment stays count-based
+        # (with_counts=True rides the same aggregations, no extra shuffle).
+        if weighted:
+            scored = jaccard_pairs_weighted(
+                weighted_memberships(shingled.select("id", "shingle_hashes"), idf),
+                cands,
+                with_counts=self.enable_substring,
+            )
+            accept = F.col("jaccard") >= (
+                cfg.weighted_verify_threshold
+                if cfg.weighted_verify_threshold is not None
+                else cfg.verify_threshold
+            )
+        else:
+            scored = jaccard_pairs(
+                shingled.select("id", F.col("shingle_hashes").alias("set")), cands,
+                id_col="id", set_col="set", impl="arrays",
+            )
+            accept = F.col("jaccard") >= cfg.verify_threshold
         if self.enable_substring:
             from sycl_jaccard_spark.functions.jaccard import containment_from_counts
 

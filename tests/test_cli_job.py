@@ -130,3 +130,27 @@ def test_run_pipeline_cli_rep_strategy(spark, tmp_path):
     # kept ids are exactly the representatives
     reps = {r.rep_id for r in manifest.collect()}
     assert {r.id for r in deduped.select("id").collect()} == reps
+
+
+def test_run_pipeline_cli_weighted(spark, tmp_path):
+    """--weighted routes the IDF/CWS candidate path through the CLI; the idf
+    and CWS stages land in metrics.jsonl and clusters cover every input."""
+    from jobs.run_pipeline import main
+
+    out = str(tmp_path / "wout")
+    rc = main(
+        [
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--input-kind", "documents",
+            "--output", out,
+            "--num-perms", "32",
+            "--bands", "8",
+            "--weighted",
+            "--weighted-threshold", "0.6",
+        ]
+    )
+    assert rc == 0
+    clusters = spark.read.parquet(os.path.join(out, "clusters"))
+    assert clusters.count() == 500
+    metrics = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
+    assert "idf" in {m["stage"] for m in metrics}

@@ -462,3 +462,101 @@ def test_idf_weighted_candidates_boilerplate_robust(spark):
     assert statistics.mean(idf[e] for e in header_shingles) < statistics.mean(
         idf[e] for e in rare_shingles
     )
+
+
+def _boilerplate_corpus(spark, n_background=60, n_pairs=12, seed=3):
+    """Corpus where a large shared license header dominates small distinct
+    bodies: unweighted shingle-Jaccard of two UNRELATED files is ~0.72 (above
+    the 0.7 default threshold — false merges), while planted near-dup pairs
+    share a rare body. Returns (files_df, planted_pairs)."""
+    rng = random.Random(seed)
+    header = " ".join(f"license clause{i} reserved notice{i % 7}" for i in range(75))
+    rows, planted = [], set()
+    fid = 0
+    for p in range(n_pairs):
+        body = " ".join(f"pairbody{p}_{i} op{rng.randint(0, 9)}" for i in range(30))
+        rows.append((fid, f"{header} {body}"))
+        rows.append((fid + 1, f"{header} {body} tail{p} extra"))
+        planted.add((fid, fid + 1))
+        fid += 2
+    for b in range(n_background):
+        body = " ".join(f"uniq{b}_{i} fn{rng.randint(0, 999)}" for i in range(15))
+        rows.append((fid, f"{header} {body}"))
+        fid += 1
+    return spark.createDataFrame(rows, ["id", "content"]), planted
+
+
+def _cluster_pairs(clusters_df):
+    by_c: dict[int, list[int]] = {}
+    for r in clusters_df.collect():
+        by_c.setdefault(r.cluster, []).append(r.id)
+    out = set()
+    for ms in by_c.values():
+        ms = sorted(ms)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                out.add((ms[i], ms[j]))
+    return out
+
+
+def test_weighted_pipeline_mode_boilerplate_recall_gate(spark):
+    """The promoted DedupPipeline weighted mode (candidate_weights="idf"):
+    on a boilerplate-dominated corpus the UNWEIGHTED pipeline at the default
+    threshold falsely merges unrelated files (header J ~0.72 > 0.7) while the
+    weighted mode keeps pairwise recall AND precision at 1.0 vs planted truth
+    — the end-to-end gate VERDICT r3 asked for (reference weighted pipeline,
+    main.cpp:211-275, standalone_algorithms.hpp:109-124)."""
+    files, planted = _boilerplate_corpus(spark)
+    cfg_w = PipelineConfig(candidate_weights="idf")
+    res_w = DedupPipeline(spark, cfg_w, enable_simhash=True, count_rows=False).run(files)
+    pred_w = _cluster_pairs(res_w.clusters)
+    assert planted <= pred_w, f"weighted recall < 1: missing {planted - pred_w}"
+    assert pred_w == planted, f"weighted false merges: {sorted(pred_w - planted)[:5]}"
+
+    # the unweighted twin at the SAME threshold demonstrably over-merges
+    res_u = DedupPipeline(
+        spark, PipelineConfig(), enable_simhash=True, count_rows=False
+    ).run(files)
+    pred_u = _cluster_pairs(res_u.clusters)
+    assert pred_u - planted, "corpus no longer discriminates: unweighted had no false merges"
+
+
+def test_weighted_pipeline_checkpoint_resume(spark, tmp_path):
+    """Weighted stages (idf, CWS minhash) checkpoint and resume like the
+    unweighted ones, and a config flip (weighted <-> unweighted) purges the
+    stale stages instead of resuming them."""
+    files, planted = _boilerplate_corpus(spark, n_background=20, n_pairs=4)
+    ckpt = str(tmp_path / "ckpt")
+    cfg = PipelineConfig(candidate_weights="idf")
+    r1 = DedupPipeline(spark, cfg, checkpoint_dir=ckpt, enable_simhash=False).run(files)
+    c1 = {(r.id, r.cluster) for r in r1.clusters.collect()}
+
+    pipe2 = DedupPipeline(spark, cfg, checkpoint_dir=ckpt, enable_simhash=False)
+    r2 = pipe2.run(files)
+    assert {(r.id, r.cluster) for r in r2.clusters.collect()} == c1
+    resumed = {m["stage"] for m in pipe2.metrics if m.get("resumed")}
+    assert {"idf", "minhash", "verify"} <= resumed
+
+    # config flip: unweighted rerun must NOT resume the CWS signature stage
+    pipe3 = DedupPipeline(
+        spark, PipelineConfig(), checkpoint_dir=ckpt, enable_simhash=False
+    )
+    pipe3.run(files)
+    assert not any(m.get("resumed") for m in pipe3.metrics)
+
+
+def test_idf_weights_n_docs_hint_and_df(spark):
+    """idf_weights: the n_docs hint skips the count job but must not change
+    the result; df column is the exact document frequency."""
+    from sycl_jaccard_spark.operators.weighted_dedup import idf_weights
+
+    rows = [(1, [10, 20, 20]), (2, [10, 30]), (3, [10])]
+    sh = spark.createDataFrame(rows, ["id", "shingle_hashes"])
+    base = {r.elem: (r.df, r.w) for r in idf_weights(sh).collect()}
+    hinted = {r.elem: (r.df, r.w) for r in idf_weights(sh, n_docs=3).collect()}
+    assert base == hinted
+    assert base[10][0] == 3 and base[20][0] == 1 and base[30][0] == 1
+    import math
+
+    assert base[20][1] == pytest.approx(math.log(1 + 3 / 1))
+    assert base[10][1] == pytest.approx(math.log(2))
