@@ -69,6 +69,12 @@ def parse_args(argv=None):
         help="also write the DEDUPLICATED corpus (deduped/) + keep/drop audit "
              "manifest (manifest/): one representative per cluster",
     )
+    p.add_argument(
+        "--pass-stats", action="store_true",
+        help="record per-pass candidate attribution (LSH/SimHash/substring "
+             "memberships, buckets, raw pair bound) + skew drop counter into "
+             "metrics.jsonl — band/cap tuning observability (two extra agg jobs)",
+    )
     p.add_argument("--cores", type=int, default=None, help="local[] cores (ignored under spark-submit)")
     return p.parse_args(argv)
 
@@ -114,6 +120,7 @@ def main(argv=None) -> int:
         checkpoint_dir=args.checkpoint_dir,
         enable_simhash=not args.no_simhash,
         enable_substring=args.substring,
+        collect_pass_stats=args.pass_stats,
     )
     t0 = time.monotonic()
     result = pipe.run(files)

@@ -63,6 +63,7 @@ class DedupPipeline:
         enable_simhash: bool = True,
         enable_substring: bool = False,
         count_rows: bool = True,
+        collect_pass_stats: bool = False,
     ):
         self.spark = spark
         self.cfg = cfg or PipelineConfig()
@@ -70,6 +71,12 @@ class DedupPipeline:
         self.enable_simhash = enable_simhash
         self.enable_substring = enable_substring
         self.count_rows = count_rows  # False: skip per-stage count jobs (bench mode)
+        # True: record per-pass candidate attribution (LSH / SimHash /
+        # substring memberships, buckets, raw pair bound) + the skew-mode drop
+        # counter into metrics — the observability a band/cap tuning decision
+        # needs before a full-scale run. Costs two extra aggregation jobs over
+        # the banded relation.
+        self.collect_pass_stats = collect_pass_stats
         self.metrics: list[dict] = []
         self._resume_ok = True  # cleared when the stored checkpoint config mismatches
 
@@ -338,6 +345,34 @@ class DedupPipeline:
                 F.explode(line_gram_hashes(F.col("content"), cfg.substring_lines)).alias("band_hash"),
             ).select("id", F.lit(cfg.bands + n_sim_tables).alias("band"), "band_hash")
             banded = banded.unionByName(sub_banded)
+
+        if self.collect_pass_stats:
+            from sycl_jaccard_spark.operators.lsh import candidate_pass_stats, capped_docs
+
+            t_ps = time.monotonic()
+            stats = candidate_pass_stats(
+                banded, cfg, n_sim_tables if self.enable_simhash else 0
+            ).collect()
+            self.metrics.append(
+                {
+                    "stage": "candidate_pass_stats",
+                    "wall_s": round(time.monotonic() - t_ps, 3),
+                    "rows": -1,
+                    "resumed": False,
+                    "skew_mode": cfg.skew_mode,
+                    "bucket_cap": cfg.bucket_cap,
+                    "passes": {
+                        r["pass"]: {
+                            "memberships": int(r["memberships"]),
+                            "buckets": int(r["buckets"]),
+                            "multi_buckets": int(r["multi_buckets"]),
+                            "raw_pairs": int(r["raw_pairs"]),
+                        }
+                        for r in stats
+                    },
+                    "capped_memberships": capped_docs(banded, cfg, "id"),
+                }
+            )
 
         cands = candidate_pairs(banded, cfg, "id", skew_mode=cfg.skew_mode)  # bounded + deduped, lazy
 

@@ -154,3 +154,30 @@ def test_run_pipeline_cli_weighted(spark, tmp_path):
     assert clusters.count() == 500
     metrics = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
     assert "idf" in {m["stage"] for m in metrics}
+
+
+def test_run_pipeline_cli_pass_stats(spark, tmp_path):
+    """--pass-stats lands the per-pass candidate attribution + drop counter
+    in metrics.jsonl (VERDICT r3 #7: the observability existed as an operator
+    but never reached the CLI output)."""
+    from jobs.run_pipeline import main
+
+    out = str(tmp_path / "pout")
+    rc = main(
+        [
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--input-kind", "documents",
+            "--output", out,
+            "--num-perms", "32",
+            "--bands", "8",
+            "--pass-stats",
+        ]
+    )
+    assert rc == 0
+    metrics = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
+    ps = next(m for m in metrics if m["stage"] == "candidate_pass_stats")
+    assert {"lsh", "simhash"} <= set(ps["passes"])
+    for rec in ps["passes"].values():
+        assert rec["memberships"] > 0 and rec["buckets"] > 0
+        assert rec["raw_pairs"] >= rec["multi_buckets"]
+    assert ps["capped_memberships"] >= 0 and ps["skew_mode"] == "cap"
