@@ -553,3 +553,42 @@ def test_video_fake_path_null_duration(spark):
     )
     frames = sample_video_frames(media, deterministic_fake=True).collect()
     assert len(frames) == 1 and frames[0].media_id == 7
+
+
+def test_trained_codebook_recall_vs_random(spark):
+    """VERDICT r3 #4 done-bar: on blob-structured data, IVF candidate recall
+    of planted near-dup pairs with the TRAINED Lloyd codebook is at least the
+    random-codebook recall (and near-perfect), since trained centroids align
+    lists with the actual clusters instead of slicing them arbitrarily."""
+    from sycl_jaccard_spark.operators.ann import ivf_candidates, train_ivf_centroids
+
+    rng = np.random.default_rng(11)
+    dim, n_blobs = 16, 8
+    centers = rng.standard_normal((n_blobs, dim)) * 4
+    rows, planted = [], set()
+    vid = 0
+    for b in range(n_blobs):
+        for _ in range(12):
+            v = centers[b] + rng.standard_normal(dim) * 0.15
+            rows.append((vid, v.astype(np.float32).tolist()))
+            dup = v + rng.standard_normal(dim) * 0.01
+            rows.append((vid + 1, dup.astype(np.float32).tolist()))
+            planted.add((vid, vid + 1))
+            vid += 2
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def recall(centroids_q):
+        cands = {
+            (r.a, r.b)
+            for r in ivf_candidates(
+                df, dim=dim, n_centroids=n_blobs, nprobe=1, seed=42,
+                bucket_cap=10**9, centroids_q=centroids_q,
+            ).collect()
+        }
+        return sum(1 for p in planted if p in cands) / len(planted)
+
+    trained = train_ivf_centroids(df, dim=dim, n_centroids=n_blobs, n_iters=3, seed=42)
+    r_trained = recall(trained)
+    r_random = recall(None)
+    assert r_trained >= r_random
+    assert r_trained >= 0.95
