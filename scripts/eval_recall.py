@@ -35,6 +35,84 @@ from sycl_jaccard_spark.sources.tables import with_file_id  # noqa: E402
 GIANT_CLUSTER = 10_000  # enumeration guard: report, don't expand, beyond this
 
 
+def containment_eval() -> int:
+    """Measure the substring (line-gram containment) pass where it matters:
+    a planted shifted-containment corpus (small file embedded verbatim inside
+    a much larger host — symmetric J ≈ 0.15, below both the LSH S-curve and
+    the SimHash Hamming radius, so MinHash+SimHash MISS by construction).
+    Runs the production pipeline with the pass OFF then ON and APPENDS the
+    recall delta + stage cost to BENCH/RECALL.md (VERDICT r3 #2).
+
+    Usage: python scripts/eval_recall.py --containment
+    """
+    from sycl_jaccard_spark.sources.corpus import synth_containment_files
+
+    n_files = int(os.environ.get("SPARK_GRAFT_EVAL_FILES", "100000"))
+    seed = int(os.environ.get("SPARK_GRAFT_EVAL_SEED", "42"))
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("containment_eval", cores=cores, shuffle_partitions=cores)
+    files, planted = synth_containment_files(spark, n_files=n_files, seed=seed)
+    files = files.localCheckpoint(eager=True)  # same input for both runs
+
+    # warmup: JVM/codegen/Arrow-worker spin-up otherwise lands entirely on
+    # whichever config runs first and corrupts the OFF-vs-ON wall delta
+    warm, _ = synth_containment_files(spark, n_files=min(n_files, 5000), seed=seed + 1)
+    DedupPipeline(spark, PipelineConfig(), enable_simhash=True, count_rows=False).run(
+        warm
+    ).clusters.count()
+
+    results = {}
+    for enable_substring in (False, True):
+        t0 = time.monotonic()
+        pipe = DedupPipeline(
+            spark, PipelineConfig(), enable_simhash=True,
+            enable_substring=enable_substring, count_rows=False,
+        )
+        labels = {r.id: r.cluster for r in pipe.run(files).clusters.collect()}
+        wall = time.monotonic() - t0
+        hit = sum(1 for a, b in planted if labels[a] == labels[b])
+        results[enable_substring] = (hit / len(planted), wall, list(pipe.metrics))
+
+    (r_off, w_off, _), (r_on, w_on, m_on) = results[False], results[True]
+    sub_stages = {m["stage"]: m["wall_s"] for m in m_on}
+    # replace any previous containment section instead of stacking them
+    marker = "\n\n## Substring (containment) pass"
+    try:
+        head = open("BENCH/RECALL.md").read().split(marker)[0]
+    except FileNotFoundError:
+        head = ""
+    with open("BENCH/RECALL.md", "w") as f:
+        f.write(head)
+        f.write(f"""
+
+## Substring (containment) pass on a planted shifted-containment corpus
+
+{n_files} files, {len(planted)} planted containment pairs (30-line file
+embedded verbatim in a 200-line host; symmetric J ≈ 0.15 — MinHash-LSH and
+SimHash miss by construction), seed={seed}, local[{cores}]. Generated
+distributed (sources/corpus.py:synth_containment_files).
+
+| config | containment-pair recall | pipeline wall (s) |
+|---|---|---|
+| substring OFF (MinHash+SimHash only) | {r_off:.5f} | {w_off:.1f} |
+| substring ON (line-gram containment pass) | **{r_on:.5f}** | {w_on:.1f} |
+
+Stage walls with the pass on: {sub_stages}.
+Wall delta (ON − OFF): {w_on - w_off:+.1f} s ({(w_on / w_off - 1) * 100:+.0f}%) — both
+runs post-warmup in one session; deltas inside this box's documented noise
+band (BENCH/BASELINE.md) mean "cost indistinguishable from zero at this
+scale", not a speedup/slowdown claim. The pass's structural costs are
+carrying `content` through the shingles checkpoint and one extra band-union
+explode; its value is corpus-dependent (recall {r_off:.2f} → {r_on:.2f} here,
+zero delta on the planted near-dup corpus above) — hence OFF in the default
+flagship config, ON via `enable_substring=True` / `--substring` when
+containment duplicates matter.
+""")
+    print(f"containment recall OFF={r_off:.4f} ON={r_on:.4f} wall {w_off:.1f}s -> {w_on:.1f}s")
+    spark.stop()
+    return 0 if r_on >= 0.99 else 1
+
+
 def main() -> int:
     n_files = int(os.environ.get("SPARK_GRAFT_EVAL_FILES", "100000"))
     seed = int(os.environ.get("SPARK_GRAFT_EVAL_SEED", "42"))
@@ -120,4 +198,4 @@ Per-stage wall seconds:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(containment_eval() if "--containment" in sys.argv else main())

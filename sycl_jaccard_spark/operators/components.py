@@ -99,16 +99,26 @@ def connected_components(
     max_iterations: int = 50,
     checkpoint_every: int = 1,
     driver_threshold: int = 2_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
-    """(node, label) for every node appearing in ``pairs`` (a, b)."""
+    """(node, label) for every node appearing in ``pairs`` (a, b).
+
+    ``stats``: pass a dict to receive execution observability — which path
+    ran ("driver" | "distributed"), the pair count (when counted), and for
+    the distributed path the star rounds to convergence."""
     pairs = pairs.select("a", "b").filter(F.col("a") != F.col("b"))
+    if stats is None:
+        stats = {}
     if driver_threshold > 0:
         # full parallel count, not limit(N+1).count(): GlobalLimit funnels up
         # to N rows through ONE task — a serial scan that anti-scales. Callers
         # pass a materialized pair relation, so counting it is one cheap job.
         n_pairs = pairs.count()
+        stats["n_pairs"] = n_pairs
         if n_pairs <= driver_threshold:
+            stats["path"] = "driver"
             return _driver_union_find(pairs)
+    stats["path"] = "distributed"
 
     # distributed path: directed large→small canonical edges
     edges = (
@@ -141,6 +151,7 @@ def connected_components(
         sig = signature(edges)
         if sig == prev_sig:
             converged = True
+            stats["rounds"] = it + 1
             break
         prev_sig = sig
     if not converged:

@@ -134,6 +134,66 @@ def synth_source_files(
     return df, truth
 
 
+def _det_line(seed: int, key: str, i: int) -> str:
+    """Deterministic pseudo-random code line keyed by (seed, key, i) — content
+    depends only on the key, never on partitioning or generation order."""
+    h = hashlib.blake2b(f"{seed}:{key}:{i}".encode(), digest_size=8).digest()
+    a, b, c, d = h[0] | h[1] << 8, h[2] | h[3] << 8, h[4] | h[5] << 8, h[6] | h[7] << 8
+    return f"    v{a} = fn{b} ( arg{c} , {d % 100} )"
+
+
+def synth_containment_files(
+    spark: SparkSession,
+    n_files: int = 100_000,
+    pair_frac: float = 0.1,
+    host_lines: int = 200,
+    embed_lines: int = 30,
+    seed: int = 42,
+) -> tuple[DataFrame, set[tuple[int, int]]]:
+    """Planted SHIFTED-CONTAINMENT corpus, generated DISTRIBUTED (mapInPandas
+    over spark.range — no driver-side materialization, so it scales far past
+    the list-of-rows generator above).
+
+    For k < n_files*pair_frac/2: file 2k is a small standalone file A_k
+    (``embed_lines`` lines) and file 2k+1 is a large host B_k = unique
+    prefix + A_k verbatim + unique suffix (``host_lines`` total). Symmetric
+    shingle Jaccard of the pair is ~embed/host (≈0.15 at the defaults) —
+    far below the LSH S-curve and SimHash Hamming radius, so MinHash-LSH and
+    SimHash both MISS these pairs by construction; only the substring
+    (line-gram containment) pass can recover them. Remaining ids are unique
+    filler files. Returns ((id, content) DataFrame, planted (2k, 2k+1) pairs).
+    """
+    n_pairs = int(n_files * pair_frac) // 2
+    pre = (host_lines - embed_lines) // 2
+    suf = host_lines - embed_lines - pre
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_id, out_content = [], []
+            for fid in pdf["id"]:
+                fid = int(fid)
+                k = fid // 2
+                if k < n_pairs and fid % 2 == 0:
+                    lines = [_det_line(seed, f"A{k}", i) for i in range(embed_lines)]
+                elif k < n_pairs:
+                    lines = (
+                        [_det_line(seed, f"P{k}", i) for i in range(pre)]
+                        + [_det_line(seed, f"A{k}", i) for i in range(embed_lines)]
+                        + [_det_line(seed, f"S{k}", i) for i in range(suf)]
+                    )
+                else:
+                    lines = [_det_line(seed, f"F{fid}", i) for i in range(embed_lines)]
+                out_id.append(fid)
+                out_content.append("\n".join(lines))
+            yield pd.DataFrame({"id": out_id, "content": out_content})
+
+    files = spark.range(n_files).mapInPandas(gen, "id long, content string")
+    planted = {(2 * k, 2 * k + 1) for k in range(n_pairs)}
+    return files, planted
+
+
 def truth_pairs(truth: dict[tuple[str, str, str], int]) -> set[tuple]:
     """All unordered within-cluster key pairs — the recall denominator."""
     by_cluster: dict[int, list] = {}

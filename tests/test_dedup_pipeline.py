@@ -560,3 +560,49 @@ def test_idf_weights_n_docs_hint_and_df(spark):
 
     assert base[20][1] == pytest.approx(math.log(1 + 3 / 1))
     assert base[10][1] == pytest.approx(math.log(2))
+
+
+def test_substring_pass_recovers_planted_containment(spark):
+    """The planted shifted-containment corpus (small file embedded verbatim
+    in a much larger host — symmetric J ≈ 0.15): MinHash+SimHash miss every
+    pair by construction; the line-gram substring pass recovers them all, and
+    fillers stay singletons (no hub-merge from the containment accept)."""
+    from sycl_jaccard_spark.sources.corpus import synth_containment_files
+
+    files, planted = synth_containment_files(spark, n_files=300, pair_frac=0.2, seed=5)
+    files = files.localCheckpoint(eager=True)
+
+    res_off = DedupPipeline(
+        spark, PipelineConfig(), enable_simhash=True, count_rows=False
+    ).run(files)
+    lab_off = {r.id: r.cluster for r in res_off.clusters.collect()}
+    assert sum(1 for a, b in planted if lab_off[a] == lab_off[b]) == 0
+
+    res_on = DedupPipeline(
+        spark, PipelineConfig(), enable_simhash=True, enable_substring=True,
+        count_rows=False,
+    ).run(files)
+    lab_on = {r.id: r.cluster for r in res_on.clusters.collect()}
+    assert all(lab_on[a] == lab_on[b] for a, b in planted)
+    # precision: only the planted pairs cluster together
+    from collections import Counter
+
+    sizes = Counter(Counter(lab_on.values()).values())
+    assert sizes[2] == len(planted) and set(sizes) == {1, 2}
+
+
+def test_connected_components_stats_observability(spark):
+    """The stats dict reports which path ran and, for the distributed
+    large-star/small-star path, the rounds to convergence — the observability
+    the >2M-edge capacity smoke (scripts/cc_capacity_smoke.py) records."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["a", "b"])
+    s1: dict = {}
+    lab1 = {(r.node, r.label) for r in connected_components(pairs, stats=s1).collect()}
+    assert s1["path"] == "driver" and s1["n_pairs"] == 3
+    s2: dict = {}
+    lab2 = {
+        (r.node, r.label)
+        for r in connected_components(pairs, driver_threshold=0, stats=s2).collect()
+    }
+    assert s2["path"] == "distributed" and s2["rounds"] >= 1
+    assert lab1 == lab2 == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
