@@ -118,3 +118,33 @@ def test_weighted_signatures_are_arrow_vectorized(spark):
     p = _plan(df.select("id", weighted_minhash_udf(16)(F.col("elems"), F.col("weights")).alias("sig")))
     assert "ArrowEvalPython" in p
     assert "BatchEvalPython" not in p
+
+
+def test_weighted_verify_is_pure_jvm(spark):
+    """The weighted pipeline's verify (jaccard_pairs_weighted over the IDF
+    membership relation) must stay whole-stage-codegen JVM — no Python in the
+    pair-scoring hot path, weighted or not."""
+    from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs_weighted
+
+    m = spark.createDataFrame(
+        [(1, 10, 0.5), (2, 10, 0.5)], "id long, elem long, w double"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    for wc in (False, True):
+        p = _plan(jaccard_pairs_weighted(m, pairs, with_counts=wc))
+        # under AQE the pre-execution plan shows isFinalPlan=false, so
+        # codegen spans aren't visible — no-Python is the load-bearing pin
+        assert "EvalPython" not in p
+        assert "Join" in p and "Aggregate" in p
+
+
+def test_idf_weights_is_pure_jvm_single_shuffle(spark):
+    """idf_weights: explode + dropDuplicates + groupBy — JVM-side, and the
+    dedup and df-count agg share the elem-keyed exchange (no second wide
+    shuffle for the count)."""
+    from sycl_jaccard_spark.operators.weighted_dedup import idf_weights
+
+    sh = spark.createDataFrame([(1, [10, 20])], "id long, shingle_hashes array<long>")
+    p = _plan(idf_weights(sh, n_docs=1))
+    assert "EvalPython" not in p
+    assert p.count("Exchange hashpartitioning") <= 2  # (id,elem) dedup + elem agg
