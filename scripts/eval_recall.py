@@ -113,6 +113,86 @@ containment duplicates matter.
     return 0 if r_on >= 0.99 else 1
 
 
+def weighted_eval() -> int:
+    """Weighted (IDF/CWS) pipeline mode at scale: recall/precision vs the
+    planted truth on the standard corpus (20% boilerplate headers), plus the
+    stage walls of the weighted stages — APPENDED to BENCH/RECALL.md.
+
+    Usage: python scripts/eval_recall.py --weighted
+    """
+    n_files = int(os.environ.get("SPARK_GRAFT_EVAL_FILES", "100000"))
+    seed = int(os.environ.get("SPARK_GRAFT_EVAL_SEED", "42"))
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spec = CorpusSpec(
+        n_files=n_files, n_clusters=n_files // 10, boilerplate_frac=0.2, seed=seed
+    )
+    spark = get_spark("weighted_eval", cores=cores, shuffle_partitions=cores)
+    files, truth = synth_source_files(spark, spec)
+    files = with_file_id(files)
+    key_of = {
+        (r.repo, r.path, r.commit): r.id
+        for r in files.select("repo", "path", "commit", "id").collect()
+    }
+    # warmup (JVM/Arrow worker spin-up out of the measured window)
+    wfiles, _ = synth_source_files(spark, CorpusSpec(n_files=5000, seed=seed + 1))
+    DedupPipeline(spark, PipelineConfig(), enable_simhash=True, count_rows=False).run(
+        with_file_id(wfiles)
+    ).clusters.count()
+
+    cfg = PipelineConfig(candidate_weights="idf")
+    t0 = time.monotonic()
+    pipe = DedupPipeline(spark, cfg, enable_simhash=True, count_rows=False)
+    labels = {r.id: r.cluster for r in pipe.run(files).clusters.collect()}
+    wall = time.monotonic() - t0
+
+    expect = truth_pairs(truth)
+    id_pairs = {tuple(sorted((key_of[a], key_of[b]))) for a, b in expect}
+    hit = sum(1 for a, b in id_pairs if labels[a] == labels[b])
+    recall = hit / len(id_pairs)
+    by_cluster: dict[int, list[int]] = {}
+    for fid, c in labels.items():
+        by_cluster.setdefault(c, []).append(fid)
+    pred_pairs = pred_hits = 0
+    for members in by_cluster.values():
+        if len(members) < 2 or len(members) > GIANT_CLUSTER:
+            continue
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                pred_pairs += 1
+                pred_hits += (ms[i], ms[j]) in id_pairs
+    precision = pred_hits / pred_pairs if pred_pairs else 1.0
+    stages = {m["stage"]: m["wall_s"] for m in pipe.metrics}
+
+    marker = "\n\n## Weighted (IDF/CWS) pipeline mode"
+    head = open("BENCH/RECALL.md").read().split(marker)[0]
+    with open("BENCH/RECALL.md", "w") as f:
+        f.write(head)
+        f.write(f"""
+
+## Weighted (IDF/CWS) pipeline mode at scale
+
+Same {n_files}-file planted corpus and protocol as the headline table,
+`candidate_weights="idf"` (IDF → CWS signatures → shared banding → exact
+weighted-Jaccard verify), SimHash on, threshold {cfg.verify_threshold}.
+
+| metric | value |
+|---|---|
+| dup-pair recall | **{recall:.5f}** (target ≥ 0.99) |
+| pairwise precision | **{precision:.5f}** |
+| pipeline wall (s) | {wall:.1f} |
+| stage walls (s) | {stages} |
+
+The weighted stages (idf + CWS minhash) replace the fused MinHash⊕SimHash
+pass; the small-scale discrimination gate (weighted suppresses header-only
+merges the unweighted path makes at the same threshold) is
+tests/test_dedup_pipeline.py::test_weighted_pipeline_mode_boilerplate_recall_gate.
+""")
+    print(f"weighted recall={recall:.5f} precision={precision:.5f} wall={wall:.1f}s")
+    spark.stop()
+    return 0 if recall >= 0.99 else 1
+
+
 def main() -> int:
     n_files = int(os.environ.get("SPARK_GRAFT_EVAL_FILES", "100000"))
     seed = int(os.environ.get("SPARK_GRAFT_EVAL_SEED", "42"))
@@ -198,4 +278,8 @@ Per-stage wall seconds:
 
 
 if __name__ == "__main__":
-    sys.exit(containment_eval() if "--containment" in sys.argv else main())
+    if "--containment" in sys.argv:
+        sys.exit(containment_eval())
+    if "--weighted" in sys.argv:
+        sys.exit(weighted_eval())
+    sys.exit(main())
