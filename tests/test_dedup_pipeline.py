@@ -606,3 +606,22 @@ def test_connected_components_stats_observability(spark):
     }
     assert s2["path"] == "distributed" and s2["rounds"] >= 1
     assert lab1 == lab2 == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_weighted_mode_with_substring_containment(spark):
+    """Weighted mode composes with the substring pass: the containment accept
+    rule runs on the UNweighted counts (with_counts rides the weighted verify
+    aggregations), so planted containment pairs are recovered under
+    candidate_weights="idf" too."""
+    from sycl_jaccard_spark.sources.corpus import synth_containment_files
+
+    files, planted = synth_containment_files(spark, n_files=120, pair_frac=0.3, seed=9)
+    files = files.localCheckpoint(eager=True)
+    cfg = PipelineConfig(candidate_weights="idf")
+    res = DedupPipeline(
+        spark, cfg, enable_simhash=False, enable_substring=True, count_rows=False
+    ).run(files)
+    lab = {r.id: r.cluster for r in res.clusters.collect()}
+    assert all(lab[a] == lab[b] for a, b in planted)
+    # verified pair schema unchanged (a, b, jaccard)
+    assert set(res.verified_pairs.columns) == {"a", "b", "jaccard"}
