@@ -187,6 +187,11 @@ The weighted stages (idf + CWS minhash) replace the fused MinHash⊕SimHash
 pass; the small-scale discrimination gate (weighted suppresses header-only
 merges the unweighted path makes at the same threshold) is
 tests/test_dedup_pipeline.py::test_weighted_pipeline_mode_boilerplate_recall_gate.
+Cost profile: ~5× the unweighted wall at this scale — CWS draws Gamma samples
+per (element, perm) where plain MinHash does one integer fold, and the exact
+weighted verify probes the exploded membership relation where the unweighted
+verify intersects two attached arrays. That is the price of boilerplate
+robustness; it is a MODE (per-corpus choice), not the default.
 """)
     print(f"weighted recall={recall:.5f} precision={precision:.5f} wall={wall:.1f}s")
     spark.stop()
@@ -242,6 +247,14 @@ def main() -> int:
         f"| {m['stage']} | {m['wall_s']:.2f} |\n" for m in pipe.metrics
     )
     os.makedirs("BENCH", exist_ok=True)
+    # PRESERVE the sections other modes appended (## Substring..., ## Weighted...):
+    # rewrite only the headline block above the first section marker
+    try:
+        old = open("BENCH/RECALL.md").read()
+        tail_idx = old.find("\n\n## ")
+        tail = old[tail_idx:] if tail_idx >= 0 else ""
+    except FileNotFoundError:
+        tail = ""
     with open("BENCH/RECALL.md", "w") as f:
         f.write(f"""# Recall/precision vs planted truth (auto-generated by scripts/eval_recall.py)
 
@@ -269,6 +282,7 @@ Per-stage wall seconds:
 | stage | wall_s |
 |---|---|
 {stage_lines}""")
+        f.write(tail)
     print(
         f"recall={recall:.5f} precision={precision:.5f} "
         f"pairs={len(id_pairs)} wall={wall:.1f}s -> BENCH/RECALL.md"
