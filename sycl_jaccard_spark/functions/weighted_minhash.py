@@ -96,13 +96,23 @@ def cws_batch(
         n = hi - lo
         starts = bounds[d0:d1] - lo
         sl = seg_lens[d0:d1]
+        # The per-(element, perm) samples depend ONLY on the element, so draw
+        # them once per UNIQUE element and gather — bit-identical to drawing
+        # per membership (same splitmix inputs), and the expensive part
+        # (5 uniforms + 5 logs per perm) shrinks by the corpus repetition
+        # factor, which is exactly what is large on the boilerplate-heavy
+        # corpora the weighted mode exists for.
+        uniq, inv = np.unique(e, return_inverse=True)
         # Gamma(2,1) = -ln u1 - ln u2 (two uniforms each for r and c), beta ~ U
-        r = -np.log(_uniform(e, perm_salt, 0, seed)) - np.log(_uniform(e, perm_salt, 1, seed))
-        c = -np.log(_uniform(e, perm_salt, 2, seed)) - np.log(_uniform(e, perm_salt, 3, seed))
-        beta = _uniform(e, perm_salt, 4, seed)
+        r_u = -np.log(_uniform(uniq, perm_salt, 0, seed)) - np.log(_uniform(uniq, perm_salt, 1, seed))
+        ln_c_u = np.log(
+            -np.log(_uniform(uniq, perm_salt, 2, seed)) - np.log(_uniform(uniq, perm_salt, 3, seed))
+        )
+        beta_u = _uniform(uniq, perm_salt, 4, seed)
+        r, ln_c, beta = r_u[inv], ln_c_u[inv], beta_u[inv]
         t = np.floor(np.log(weights[lo:hi])[:, None] / r + beta)
         # minimize ln a = ln c - r(t - beta) - r  (monotone in a; log space)
-        ln_a = np.log(c) - r * (t - beta) - r
+        ln_a = ln_c - r * (t - beta) - r
 
         # segmented argmin: min value per (doc, perm), then the FIRST flat
         # index attaining it (minimum.reduceat over masked indices)
@@ -128,3 +138,22 @@ def weighted_minhash_udf(num_perms: int, seed: int = 42):
         return cws_batch(elems, weights, num_perms, seed)
 
     return _cws
+
+
+def weighted_minhash_simhash_udf(num_perms: int, seed: int = 42):
+    """Fused pandas UDF: (elems, weights) -> struct(sig: array<long>,
+    sim: long) — the weighted-mode twin of ``minhash_simhash_udf``: CWS and
+    the (unweighted) SimHash bit-vote reduce the same element arrays, so one
+    Arrow round-trip and one Python-worker pass serve both. SimHash bit votes
+    are order-independent sums over DISTINCT elements, so computing them on
+    the sorted-distinct ``elems`` is bit-identical to the standalone
+    ``simhash_udf`` over the (already-distinct) shingle arrays."""
+    from sycl_jaccard_spark.functions.simhash import simhash_batch
+
+    @F.pandas_udf("sig: array<bigint>, sim: bigint")
+    def _fused(elems: pd.Series, weights: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"sig": cws_batch(elems, weights, num_perms, seed), "sim": simhash_batch(elems)}
+        )
+
+    return _fused

@@ -7,7 +7,11 @@ from sycl_jaccard_spark.operators.normalize import (
 )
 from sycl_jaccard_spark.operators.rowsum import degrees, volumes
 from sycl_jaccard_spark.operators.graph_jaccard import jaccard_all_edges
-from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs, jaccard_pairs_weighted
+from sycl_jaccard_spark.operators.pair_jaccard import (
+    jaccard_pairs,
+    jaccard_pairs_weighted,
+    jaccard_pairs_weighted_arrays,
+)
 from sycl_jaccard_spark.operators.ann import (
     cosine_topk,
     embedding_near_dups,
@@ -37,6 +41,7 @@ __all__ = [
     "jaccard_all_edges",
     "jaccard_pairs",
     "jaccard_pairs_weighted",
+    "jaccard_pairs_weighted_arrays",
     "cosine_topk",
     "embedding_near_dups",
     "ivf_candidates",

@@ -25,7 +25,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sycl_jaccard_spark.config import PipelineConfig
-from sycl_jaccard_spark.functions.weighted_minhash import weighted_minhash_udf
+from sycl_jaccard_spark.functions.weighted_minhash import (
+    weighted_minhash_simhash_udf,
+    weighted_minhash_udf,
+)
 from sycl_jaccard_spark.operators.lsh import band_hashes, candidate_pairs
 
 
@@ -82,10 +85,15 @@ def weighted_signatures(
     id_col: str = "id",
     hash_col: str = "shingle_hashes",
     materialize: bool = True,
+    with_simhash: bool = False,
 ) -> DataFrame:
-    """(id, sig) CWS signatures over IDF-weighted shingles. The weight join
-    re-collects (elems, weights) arrays in one groupBy (weights must pair
-    elementwise with elems for the UDF); sort by elem for determinism.
+    """(id, sig[, sim]) CWS signatures over IDF-weighted shingles. The weight
+    join re-collects (elems, weights) arrays in one groupBy (weights must
+    pair elementwise with elems for the UDF); sort by elem for determinism.
+
+    ``with_simhash=True`` additionally emits the (unweighted) SimHash
+    signature from the SAME fused Arrow pass — one JVM↔Python round-trip for
+    both, the weighted twin of the unweighted pipeline's fused UDF.
 
     ``materialize=False`` skips the eager localCheckpoint — pass it when the
     caller materializes the result itself (e.g. a pipeline stage write); the
@@ -101,8 +109,14 @@ def weighted_signatures(
             F.col("ew.w").alias("weights"),
         )
     )
-    sig = weighted_minhash_udf(num_perms, seed)
-    out = paired.select("id", sig(F.col("elems"), F.col("weights")).alias("sig"))
+    if with_simhash:
+        fused = weighted_minhash_simhash_udf(num_perms, seed)
+        out = paired.select(
+            "id", fused(F.col("elems"), F.col("weights")).alias("ms")
+        ).select("id", F.col("ms.sig").alias("sig"), F.col("ms.sim").alias("sim"))
+    else:
+        sig = weighted_minhash_udf(num_perms, seed)
+        out = paired.select("id", sig(F.col("elems"), F.col("weights")).alias("sig"))
     return out.localCheckpoint(eager=True) if materialize else out
 
 

@@ -36,12 +36,8 @@ from sycl_jaccard_spark.functions.minhash import minhash_simhash_udf
 from sycl_jaccard_spark.operators.components import connected_components
 from sycl_jaccard_spark.operators.exact_dedup import dedup_exact, with_sha256
 from sycl_jaccard_spark.operators.lsh import band_hashes, candidate_pairs, minhash_signatures
-from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs, jaccard_pairs_weighted
-from sycl_jaccard_spark.operators.weighted_dedup import (
-    idf_weights,
-    weighted_memberships,
-    weighted_signatures,
-)
+from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs
+from sycl_jaccard_spark.operators.weighted_dedup import idf_weights, weighted_signatures
 
 
 @dataclass
@@ -279,26 +275,18 @@ class DedupPipeline:
                 idf_weights(sig_input, n_docs=n_docs if n_docs >= 0 else None),
                 upstream=("shingles",),
             )
-            sig_cols = [
+            # SimHash stays an UNweighted bit-vote over the distinct shingle
+            # elements — its near-miss recall role is orthogonal to candidate
+            # weighting — but it is computed in the SAME fused Arrow pass as
+            # the CWS signatures (one JVM↔Python round-trip, no id-join).
+            signed = self._stage(
+                "minhash",
                 weighted_signatures(
-                    sig_input, idf, cfg.num_perms, cfg.seed, materialize=False
-                )
-            ]
-            if self.enable_simhash:
-                # SimHash stays an UNweighted bit-vote over the distinct
-                # shingle hashes — its near-miss recall role is orthogonal to
-                # candidate weighting. One extra Arrow pass; computed in the
-                # same stage projection via an id-join of two narrow frames.
-                from sycl_jaccard_spark.functions.simhash import simhash_udf
-
-                sim_df = sig_input.select(
-                    "id", simhash_udf(F.col("shingle_hashes")).alias("sim")
-                )
-                sig_cols.append(sim_df)
-            joined = sig_cols[0]
-            for extra in sig_cols[1:]:
-                joined = joined.join(extra, "id")
-            signed = self._stage("minhash", joined, upstream=("shingles", "idf"))
+                    sig_input, idf, cfg.num_perms, cfg.seed,
+                    materialize=False, with_simhash=self.enable_simhash,
+                ),
+                upstream=("shingles", "idf"),
+            )
         elif self.enable_simhash:
             fused = minhash_simhash_udf(cfg.num_perms, cfg.seed)
             signed = self._stage(
@@ -387,8 +375,16 @@ class DedupPipeline:
         # even when a stray band collides them. Containment stays count-based
         # (with_counts=True rides the same aggregations, no extra shuffle).
         if weighted:
-            scored = jaccard_pairs_weighted(
-                weighted_memberships(shingled.select("id", "shingle_hashes"), idf),
+            # array-attach impl: intersect in codegen, explode ONLY the
+            # intersection before the weight join (Σ|A∩B| rows, not Σ|A|) —
+            # dual-impl-tested against jaccard_pairs_weighted
+            from sycl_jaccard_spark.operators.pair_jaccard import (
+                jaccard_pairs_weighted_arrays,
+            )
+
+            scored = jaccard_pairs_weighted_arrays(
+                shingled.select("id", F.col("shingle_hashes").alias("set")),
+                idf,
                 cands,
                 with_counts=self.enable_substring,
             )

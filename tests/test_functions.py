@@ -206,3 +206,31 @@ def test_weighted_minhash_cws(spark):
     cands = {(r.a, r.b) for r in candidate_pairs(band_hashes(signed, cfg), cfg).collect()}
     assert (1, 2) in cands      # Jw ~0.8 -> shares a band w.h.p.
     assert (1, 3) not in cands  # Jw = 0
+
+
+def test_weighted_fused_udf_bit_equality(spark):
+    """weighted_minhash_simhash_udf must be bit-identical to the standalone
+    CWS and SimHash UDFs (the weighted twin of the unweighted fusion gate)."""
+    from pyspark.sql import functions as F
+
+    from sycl_jaccard_spark.functions.simhash import simhash_udf
+    from sycl_jaccard_spark.functions.weighted_minhash import (
+        weighted_minhash_simhash_udf,
+        weighted_minhash_udf,
+    )
+
+    rows = [
+        (1, [10, 20, 30], [0.7, 2.0, 5.5]),
+        (2, [10, 40], [0.7, 3.3]),
+        (3, [], []),
+    ]
+    df = spark.createDataFrame(rows, "id long, elems array<long>, weights array<double>")
+    fused = df.select(
+        "id", weighted_minhash_simhash_udf(32, 7)(F.col("elems"), F.col("weights")).alias("ms")
+    ).select("id", F.col("ms.sig").alias("sig"), F.col("ms.sim").alias("sim")).collect()
+    sig_alone = df.select(
+        "id", weighted_minhash_udf(32, 7)(F.col("elems"), F.col("weights")).alias("sig")
+    ).collect()
+    sim_alone = df.select("id", simhash_udf(F.col("elems")).alias("sim")).collect()
+    assert {r.id: r.sig for r in fused} == {r.id: r.sig for r in sig_alone}
+    assert {r.id: r.sim for r in fused} == {r.id: r.sim for r in sim_alone}

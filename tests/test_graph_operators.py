@@ -238,3 +238,53 @@ def test_jaccard_pairs_weighted_float_weights_not_truncated(spark):
     mi = spark.createDataFrame([(1, 10, 3), (2, 10, 3)], ["id", "elem", "w"])
     sch = {f.name: f.dataType.simpleString() for f in jaccard_pairs_weighted(mi, pairs).schema.fields}
     assert sch["wi"] == "bigint" and sch["vol_a"] == "bigint"
+
+
+def test_jaccard_pairs_weighted_dual_impl_consistency(spark):
+    """The array-attach weighted verify (intersect in codegen, explode only
+    the intersection) must agree with the exploded hash-probe impl — the
+    weighted twin of the EC-vs-VC consistency runs. Float sums may differ in
+    summation order, so compare at 1e-12 relative tolerance; integer weights
+    must agree exactly."""
+    import random as _random
+
+    from sycl_jaccard_spark.operators.pair_jaccard import (
+        jaccard_pairs_weighted,
+        jaccard_pairs_weighted_arrays,
+    )
+
+    rng = _random.Random(13)
+    n_items, universe = 40, 120
+    members = {
+        i: sorted(rng.sample(range(universe), rng.randint(3, 25))) for i in range(n_items)
+    }
+    w_float = {e: rng.uniform(0.3, 6.0) for e in range(universe)}
+    pairs = [(a, b) for a in range(n_items) for b in range(a + 1, n_items) if rng.random() < 0.2]
+    items = spark.createDataFrame(
+        [(i, es) for i, es in members.items()], ["id", "set"]
+    )
+    pairs_df = spark.createDataFrame(pairs, ["a", "b"])
+
+    for weights in (w_float, {e: rng.randint(1, 9) for e in range(universe)}):
+        idf = spark.createDataFrame(list(weights.items()), ["elem", "w"])
+        memberships = spark.createDataFrame(
+            [(i, e, weights[e]) for i, es in members.items() for e in es],
+            ["id", "elem", "w"],
+        )
+        for wc in (False, True):
+            exp = {
+                (r.a, r.b): r.asDict()
+                for r in jaccard_pairs_weighted(
+                    memberships, pairs_df, with_counts=wc
+                ).collect()
+            }
+            got = {
+                (r.a, r.b): r.asDict()
+                for r in jaccard_pairs_weighted_arrays(
+                    items, idf, pairs_df, with_counts=wc
+                ).collect()
+            }
+            assert set(exp) == set(got) == set(pairs)
+            for k in pairs:
+                for col in exp[k]:
+                    assert got[k][col] == pytest.approx(exp[k][col], rel=1e-12), (k, col)
