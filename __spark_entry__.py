@@ -64,6 +64,26 @@ EMB_THRESHOLD = 0.35       # emb near-dup cosine cutoff (testdata is near-orthog
 
 _PA, _PB = make_perms(N_PERMS, seed=42)
 
+# Session-scoped memo for shared sub-computations: the driver (and bench.py)
+# run the contract queries one after another in ONE process, and several
+# queries share an expensive prefix (k9 re-scores k4's pairs, the two
+# portable-pipeline queries re-run the same pipeline, both IVF consumers
+# re-train the same k-means codebook). Results are deterministic, so reuse
+# is purely an efficiency matter; keyed by SparkContext identity so a fresh
+# session never sees another session's localCheckpointed RDDs.
+_MEMO: dict = {}
+
+
+def _memo(spark, sf_dir: str, name: str, build):
+    key = (id(spark.sparkContext), sf_dir, name)
+    val = _MEMO.get(key)
+    if val is None:
+        val = build()
+        if isinstance(val, DataFrame):
+            val = val.localCheckpoint(eager=True)
+        _MEMO[key] = val
+    return val
+
 
 # =====================================================================
 # Spark-side building blocks
@@ -152,14 +172,19 @@ def _copart_pairs(spark, sf_dir):
 
 
 def q_k4_k6_edge_jaccard(spark, sf_dir):
-    """Unweighted exact Jaccard over co-part order pairs — K4+K6 replay."""
-    adj = _li_edges(spark, sf_dir, offset=False).filter(F.col("src") % PAIR_MOD == 0)
-    items = adj.groupBy(F.col("src").alias("id")).agg(
-        F.array_sort(F.collect_set("dst")).alias("set")
-    )
-    return jaccard_pairs(items, _copart_pairs(spark, sf_dir)).select(
-        "a", "b", "inter", "size_a", "size_b", "jaccard"
-    )
+    """Unweighted exact Jaccard over co-part order pairs — K4+K6 replay.
+    Memoized: q_k9_threshold_count thresholds this same scored relation."""
+
+    def build():
+        adj = _li_edges(spark, sf_dir, offset=False).filter(F.col("src") % PAIR_MOD == 0)
+        items = adj.groupBy(F.col("src").alias("id")).agg(
+            F.array_sort(F.collect_set("dst")).alias("set")
+        )
+        return jaccard_pairs(items, _copart_pairs(spark, sf_dir)).select(
+            "a", "b", "inter", "size_a", "size_b", "jaccard"
+        )
+
+    return _memo(spark, sf_dir, "k4_scored", build)
 
 
 def q_k5_weighted_pairs(spark, sf_dir):
@@ -208,15 +233,20 @@ def _rare_shingle_scored(spark, sf_dir):
     sh = _doc_shingles(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
     rare = sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= DF_CAP)
     sh_r = sh.join(rare.select("s"), "s")
-    pairs = (
-        sh_r.select(F.col("doc_id").alias("a"), "s")
-        .join(sh_r.select(F.col("doc_id").alias("b"), "s"), "s")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .dropDuplicates(["a", "b"])
-    )
-    items = _doc_shingles(spark, sf_dir).select(F.col("doc_id").alias("id"), F.col("sh").alias("set"))
-    return jaccard_pairs(items, pairs)
+    def build():
+        pairs = (
+            sh_r.select(F.col("doc_id").alias("a"), "s")
+            .join(sh_r.select(F.col("doc_id").alias("b"), "s"), "s")
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .dropDuplicates(["a", "b"])
+        )
+        items = _doc_shingles(spark, sf_dir).select(
+            F.col("doc_id").alias("id"), F.col("sh").alias("set")
+        )
+        return jaccard_pairs(items, pairs)
+
+    return _memo(spark, sf_dir, "rare_shingle_scored", build)
 
 
 def q_doc_pair_jaccard(spark, sf_dir):
@@ -260,11 +290,20 @@ def q_idf_weights(spark, sf_dir):
     )
 
 
+def _portable_signed(spark, sf_dir):
+    """Shared portable MinHash signatures — memoized across the three
+    signature/banding/candidate queries (identical prefix)."""
+    return _memo(
+        spark, sf_dir, "portable_signed",
+        lambda: minhash_signatures(
+            _doc_shingle_hashes(spark, sf_dir), _portable_cfg(), "shingle_hashes"
+        ),
+    )
+
+
 def q_minhash_signatures(spark, sf_dir):
     """(doc_id, perm, sig) — portable MinHash, oracle-replayed in SQL."""
-    signed = minhash_signatures(
-        _doc_shingle_hashes(spark, sf_dir), _portable_cfg(), "shingle_hashes", materialize=True
-    )
+    signed = _portable_signed(spark, sf_dir)
     return signed.select(
         "doc_id", F.posexplode("sig").alias("perm", "sig")
     ).select("doc_id", F.col("perm").cast("long").alias("perm"), "sig")
@@ -272,7 +311,7 @@ def q_minhash_signatures(spark, sf_dir):
 
 def q_lsh_band_hashes(spark, sf_dir):
     cfg = _portable_cfg()
-    signed = minhash_signatures(_doc_shingle_hashes(spark, sf_dir), cfg, "shingle_hashes", materialize=True)
+    signed = _portable_signed(spark, sf_dir)
     return band_hashes(signed, cfg, "doc_id", portable=True).select(
         "doc_id", F.col("band").cast("long").alias("band"), "band_hash"
     )
@@ -280,7 +319,7 @@ def q_lsh_band_hashes(spark, sf_dir):
 
 def q_lsh_candidates(spark, sf_dir):
     cfg = _portable_cfg()
-    signed = minhash_signatures(_doc_shingle_hashes(spark, sf_dir), cfg, "shingle_hashes", materialize=True)
+    signed = _portable_signed(spark, sf_dir)
     banded = band_hashes(signed, cfg, "doc_id", portable=True)
     return candidate_pairs(banded, cfg, "doc_id")
 
@@ -331,20 +370,30 @@ def q_ann_cosine_topk(spark, sf_dir):
     return cosine_topk(queries, emb, TOPK).orderBy("query_id", "rank")
 
 
+def _portable_clusters(spark, sf_dir, simhash: bool) -> DataFrame:
+    """Shared portable-hash pipeline clusters — memoized per (session, sf,
+    simhash): q_dedup_pipeline_clusters and q_dedup_rep_selection consume the
+    identical no-simhash run."""
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        files = documents_as_files(docs)
+        cfg = PipelineConfig(
+            num_perms=N_PERMS, bands=N_BANDS, rows_per_band=N_PERMS // N_BANDS,
+            shingle_k=K, bucket_cap=10**9, portable_hashes=True,
+        )
+        return DedupPipeline(spark, cfg, enable_simhash=simhash).run(files).clusters
+
+    return _memo(spark, sf_dir, f"portable_clusters_simhash={simhash}", build)
+
+
 def q_dedup_pipeline_clusters(spark, sf_dir):
     """END-TO-END pipeline flagship, portable-hash config: exact dedup →
     shingle → MinHash → LSH → exact-Jaccard verify (>= 0.7) → connected
     components. Every stage is replayed by the DuckDB oracle below (the
     compareCoords golden-output analog, compareCoords.cpp:174-320), with CC
     as a WITH RECURSIVE min-label reachability closure."""
-    docs = load_table(spark, sf_dir, "documents")
-    files = documents_as_files(docs)
-    cfg = PipelineConfig(
-        num_perms=N_PERMS, bands=N_BANDS, rows_per_band=N_PERMS // N_BANDS,
-        shingle_k=K, bucket_cap=10**9, portable_hashes=True,
-    )
-    result = DedupPipeline(spark, cfg, enable_simhash=False).run(files)
-    return result.clusters.orderBy("id")
+    return _portable_clusters(spark, sf_dir, simhash=False).orderBy("id")
 
 
 def q_dedup_pipeline_full(spark, sf_dir):
@@ -357,14 +406,7 @@ def q_dedup_pipeline_full(spark, sf_dir):
     xxhash64(combo, blocks...) key is equal iff the block values are equal).
     The production xxhash64/128-perm twin of this exact plan is exercised by
     ``entry()``, bench.py, and the recall/consistency tests."""
-    docs = load_table(spark, sf_dir, "documents")
-    files = documents_as_files(docs)
-    cfg = PipelineConfig(
-        num_perms=N_PERMS, bands=N_BANDS, rows_per_band=N_PERMS // N_BANDS,
-        shingle_k=K, bucket_cap=10**9, portable_hashes=True,
-    )
-    result = DedupPipeline(spark, cfg, enable_simhash=True).run(files)
-    return result.clusters.orderBy("id")
+    return _portable_clusters(spark, sf_dir, simhash=True).orderBy("id")
 
 
 def q_dedup_rep_selection(spark, sf_dir):
@@ -376,13 +418,9 @@ def q_dedup_rep_selection(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     files = documents_as_files(docs)
-    cfg = PipelineConfig(
-        num_perms=N_PERMS, bands=N_BANDS, rows_per_band=N_PERMS // N_BANDS,
-        shingle_k=K, bucket_cap=10**9, portable_hashes=True,
-    )
-    result = DedupPipeline(spark, cfg, enable_simhash=False).run(files)
+    clusters = _portable_clusters(spark, sf_dir, simhash=False)
     _, manifest = deduplicate_corpus(
-        files.select("id", "content"), result.clusters, strategy="longest"
+        files.select("id", "content"), clusters, strategy="longest"
     )
     return manifest.select(
         F.col("id").cast("long"),
@@ -400,15 +438,20 @@ def q_ann_lsh_candidates(spark, sf_dir):
     return lsh_cosine_candidates(emb, dim=64, n_planes=32, bands=4, seed=42, bucket_cap=10**9)
 
 
-def _trained_centroids(emb):
+def _trained_centroids(spark, sf_dir, emb):
     """The trained Lloyd codebook both IVF consumer queries run on — the
     production default VERDICT r3 #4 asked for (train_ivf_centroids replaces
     the seeded random stand-in; the oracle reuses the unrolled training CTEs
-    as its centroid source, so training AND consumption are replayed)."""
+    as its centroid source, so training AND consumption are replayed).
+    Memoized: training is deterministic, so the second consumer (and
+    ann_ivf_train itself) reuses the codebook instead of re-running Lloyd."""
     from sycl_jaccard_spark.operators.ann import train_ivf_centroids
 
-    return train_ivf_centroids(
-        emb, dim=64, n_centroids=IVF_TRAIN_K, n_iters=IVF_TRAIN_ITERS, seed=42
+    return _memo(
+        spark, sf_dir, "ivf_codebook",
+        lambda: train_ivf_centroids(
+            emb, dim=64, n_centroids=IVF_TRAIN_K, n_iters=IVF_TRAIN_ITERS, seed=42
+        ),
     )
 
 
@@ -418,7 +461,7 @@ def q_ann_ivf_candidates(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_candidates(
         emb, dim=64, n_centroids=IVF_TRAIN_K, nprobe=2, seed=42,
-        bucket_cap=10**9, centroids_q=_trained_centroids(emb),
+        bucket_cap=10**9, centroids_q=_trained_centroids(spark, sf_dir, emb),
     )
 
 
@@ -432,9 +475,7 @@ def q_ann_ivf_train(spark, sf_dir):
     from sycl_jaccard_spark.operators.ann import train_ivf_centroids
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = train_ivf_centroids(
-        emb, dim=64, n_centroids=IVF_TRAIN_K, n_iters=IVF_TRAIN_ITERS, seed=42
-    )
+    cents = _trained_centroids(spark, sf_dir, emb)
     rows = [
         (int(cid), int(pos), int(val))
         for cid in range(cents.shape[0])
@@ -453,7 +494,7 @@ def q_emb_near_dups(spark, sf_dir):
     return embedding_near_dups(
         emb, dim=64, threshold=EMB_THRESHOLD, method="ivf",
         n_centroids=IVF_TRAIN_K, nprobe=2, seed=42, bucket_cap=10**9,
-        centroids_q=_trained_centroids(emb),
+        centroids_q=_trained_centroids(spark, sf_dir, emb),
     )
 
 
