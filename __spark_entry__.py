@@ -7,7 +7,7 @@ ANSI-SQL oracle where the semantics are SQL-expressible. Column names are
 aligned on both sides; doubles are only ever produced by a single division /
 sqrt of exact integers so both engines agree bit-for-bit.
 
-ALL 28 queries are hash-checked, including the END-TO-END pipeline twice
+ALL 29 queries are hash-checked, including the END-TO-END pipeline twice
 (``dedup_pipeline_clusters``: MinHash-LSH only; ``dedup_pipeline_full``:
 plus the SimHash near-miss pass — its bit-voting and combinatorial block
 tables replayed in plain SQL — both on portable hashes with WITH RECURSIVE

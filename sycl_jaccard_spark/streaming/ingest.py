@@ -79,3 +79,44 @@ def incremental_signatures(files: DataFrame, cfg: PipelineConfig | None = None) 
         ).alias("shingle_hashes"),
     )
     return minhash_signatures(shingled, cfg)
+
+
+def weighted_signature_batch_writer(idf: DataFrame, out_path: str, cfg: PipelineConfig | None = None):
+    """Streaming leg of the weighted (IDF/CWS) mode: a ``foreachBatch``
+    function that signs each micro-batch of files with CWS signatures against
+    a STATIC IDF snapshot (trained on a batch corpus — streaming IDF would
+    drift per micro-batch and break signature comparability; retrain + resign
+    in batch when the corpus shifts).
+
+    The per-file (elems, weights) pairing needs a groupBy after the weight
+    join, which Structured Streaming would treat as unbounded stateful
+    aggregation — but every element of a file lives in ONE input row, so the
+    aggregation is complete within the micro-batch; ``foreachBatch`` runs it
+    as a plain bounded batch job. Usage::
+
+        stream = read_file_stream(spark, src)
+        (stream.writeStream
+            .foreachBatch(weighted_signature_batch_writer(idf, out_path, cfg))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start())
+    """
+    from sycl_jaccard_spark.operators.weighted_dedup import weighted_signatures
+
+    cfg = cfg or PipelineConfig()
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        shingled = incremental_exact_dedup(batch_df).select(
+            "id",
+            "sha256",
+            shingle_hashes(
+                shingles(tokens(F.col("content")), cfg.shingle_k),
+                portable=cfg.portable_hashes,
+            ).alias("shingle_hashes"),
+        )
+        signed = weighted_signatures(
+            shingled, idf, cfg.num_perms, cfg.seed, materialize=False
+        )
+        sha = shingled.select("id", "sha256")
+        signed.join(sha, "id").write.mode("append").parquet(out_path)
+
+    return write_batch

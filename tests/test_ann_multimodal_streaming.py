@@ -592,3 +592,45 @@ def test_trained_codebook_recall_vs_random(spark):
     r_random = recall(None)
     assert r_trained >= r_random
     assert r_trained >= 0.95
+
+
+def test_streaming_weighted_signatures_match_batch(spark, tmp_path):
+    """foreachBatch weighted-signature ingest (static IDF snapshot) produces
+    exactly the batch CWS signatures for the same corpus — even when the
+    files arrive across multiple micro-batches."""
+    from pyspark.sql import functions as F
+
+    from sycl_jaccard_spark.functions.shingles import shingle_hashes, shingles, tokens
+    from sycl_jaccard_spark.operators.weighted_dedup import idf_weights, weighted_signatures
+    from sycl_jaccard_spark.streaming.ingest import (
+        read_file_stream,
+        weighted_signature_batch_writer,
+    )
+
+    files, _ = synth_source_files(spark, CorpusSpec(n_files=40, n_clusters=6, seed=3))
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    # two parquet files -> maxFilesPerTrigger=1 forces two micro-batches
+    files.repartition(2).write.parquet(src)
+
+    cfg = PipelineConfig(num_perms=32, bands=8, rows_per_band=4)
+    batch_shingled = files.select(
+        F.xxhash64("repo", "path", "commit").alias("id"),
+        shingle_hashes(shingles(tokens(F.col("content")), cfg.shingle_k)).alias("shingle_hashes"),
+    )
+    idf = idf_weights(batch_shingled).localCheckpoint(eager=True)
+    expected = {
+        r.id: r.sig
+        for r in weighted_signatures(batch_shingled, idf, cfg.num_perms, cfg.seed).collect()
+    }
+
+    stream = spark.readStream.schema(files.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = (
+        stream.writeStream
+        .foreachBatch(weighted_signature_batch_writer(idf, out, cfg))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.id: r.sig for r in spark.read.parquet(out).collect()}
+    assert got == expected
