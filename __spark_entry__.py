@@ -98,12 +98,17 @@ def _li_edges(spark: SparkSession, sf_dir: str, offset: bool = True) -> DataFram
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh: array<string>) word-K-gram shingle sets."""
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        F.col("doc_id").alias("doc_id"),
-        shingles(tokens(F.col("text")), K).alias("sh"),
-    )
+    """(doc_id, sh: array<string>) word-K-gram shingle sets. Memoized: the
+    tokenize+shingle expression tree is the shared prefix of six queries."""
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        return docs.select(
+            F.col("doc_id").alias("doc_id"),
+            shingles(tokens(F.col("text")), K).alias("sh"),
+        )
+
+    return _memo(spark, sf_dir, "doc_shingles", build)
 
 
 def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
