@@ -75,7 +75,14 @@ _MEMO: dict = {}
 
 
 def _memo(spark, sf_dir: str, name: str, build):
-    key = (id(spark.sparkContext), sf_dir, name)
+    ctx = id(spark.sparkContext)
+    # evict entries from other SparkContexts: after a session restart they
+    # are unreachable (new ctx id) but would otherwise pin the old context's
+    # localCheckpointed blocks for the life of the process
+    stale = [k for k in _MEMO if k[0] != ctx]
+    for k in stale:
+        del _MEMO[k]
+    key = (ctx, sf_dir, name)
     val = _MEMO.get(key)
     if val is None:
         val = build()

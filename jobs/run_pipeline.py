@@ -76,7 +76,11 @@ def parse_args(argv=None):
              "metrics.jsonl — band/cap tuning observability (two extra agg jobs)",
     )
     p.add_argument("--cores", type=int, default=None, help="local[] cores (ignored under spark-submit)")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.weighted_threshold is not None and not args.weighted:
+        p.error("--weighted-threshold only applies with --weighted "
+                "(the unweighted verify uses --threshold)")
+    return args
 
 
 def main(argv=None) -> int:

@@ -35,6 +35,27 @@ from sycl_jaccard_spark.sources.tables import with_file_id  # noqa: E402
 GIANT_CLUSTER = 10_000  # enumeration guard: report, don't expand, beyond this
 
 
+def _replace_section(marker: str, new_text: str) -> None:
+    """Replace ONE '## ...' section of BENCH/RECALL.md in place (or append it
+    if absent), preserving the headline and every OTHER section regardless of
+    order — naive split-at-marker truncation deleted whichever sections
+    happened to follow the replaced one."""
+    try:
+        content = open("BENCH/RECALL.md").read()
+    except FileNotFoundError:
+        content = ""
+    start = content.find(marker)
+    if start < 0:
+        out = content + new_text
+    else:
+        nxt = content.find("\n\n## ", start + len(marker))
+        tail = content[nxt:] if nxt >= 0 else ""
+        out = content[:start] + new_text + tail
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/RECALL.md", "w") as f:
+        f.write(out)
+
+
 def containment_eval() -> int:
     """Measure the substring (line-gram containment) pass where it matters:
     a planted shifted-containment corpus (small file embedded verbatim inside
@@ -75,15 +96,7 @@ def containment_eval() -> int:
 
     (r_off, w_off, _), (r_on, w_on, m_on) = results[False], results[True]
     sub_stages = {m["stage"]: m["wall_s"] for m in m_on}
-    # replace any previous containment section instead of stacking them
-    marker = "\n\n## Substring (containment) pass"
-    try:
-        head = open("BENCH/RECALL.md").read().split(marker)[0]
-    except FileNotFoundError:
-        head = ""
-    with open("BENCH/RECALL.md", "w") as f:
-        f.write(head)
-        f.write(f"""
+    _replace_section("\n\n## Substring (containment) pass", f"""
 
 ## Substring (containment) pass on a planted shifted-containment corpus
 
@@ -164,11 +177,7 @@ def weighted_eval() -> int:
     precision = pred_hits / pred_pairs if pred_pairs else 1.0
     stages = {m["stage"]: m["wall_s"] for m in pipe.metrics}
 
-    marker = "\n\n## Weighted (IDF/CWS) pipeline mode"
-    head = open("BENCH/RECALL.md").read().split(marker)[0]
-    with open("BENCH/RECALL.md", "w") as f:
-        f.write(head)
-        f.write(f"""
+    _replace_section("\n\n## Weighted (IDF/CWS) pipeline mode", f"""
 
 ## Weighted (IDF/CWS) pipeline mode at scale
 

@@ -189,11 +189,18 @@ def jaccard_pairs_weighted_arrays(
       candidates, and zero Python either way.
 
     ``weights`` is the per-element weight relation (elem, w) — e.g.
-    ``idf_weights`` output — and must cover every element of ``items``
-    (elements without a weight row contribute 0 to W∩ here; the exploded impl
-    drops them from volumes too, so keep the relation total). Volumes are one
-    explode+join+groupBy over ``items`` — independent of the pair count.
-    Returns the same column set as :func:`jaccard_pairs_weighted`.
+    ``idf_weights`` output — and MUST cover every element of ``items``: the
+    equivalence above is exact only for a total relation. With missing
+    elements the two impls diverge in a documented way — weight sums agree
+    (missing elements contribute 0 to W∩ and vol in both), but the
+    ``with_counts`` columns differ: this impl counts set cardinalities from
+    the arrays themselves, while the exploded impl's inner weight join
+    removes uncovered elements BEFORE counting. The pipeline trains IDF on
+    the corpus it verifies, so its relation is total; pass a
+    ``default_weight`` through ``weighted_memberships`` for the streaming
+    case. Volumes are one explode+join+groupBy over ``items`` — independent
+    of the pair count. Returns the same column set as
+    :func:`jaccard_pairs_weighted`.
     """
     w = weights.select("elem", "w")
     sets = items.select(

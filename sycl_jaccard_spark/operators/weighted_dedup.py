@@ -66,14 +66,26 @@ def weighted_memberships(
     idf: DataFrame,
     id_col: str = "id",
     hash_col: str = "shingle_hashes",
+    default_weight: float | None = None,
 ) -> DataFrame:
     """Distinct (id, elem, w) weighted membership relation — the shared input
     of the CWS signature stage and the exact weighted verify
-    (``jaccard_pairs_weighted``)."""
-    return (
-        shingled.select(F.col(id_col).alias("id"), F.explode(hash_col).alias("elem"))
-        .dropDuplicates(["id", "elem"])
-        .join(idf.select("elem", "w"), "elem")
+    (``jaccard_pairs_weighted``).
+
+    ``default_weight``: weight for elements ABSENT from ``idf``. The batch
+    pipeline trains IDF on the same corpus it signs, so the relation is total
+    and the default inner join is right; a STREAMING consumer signing new
+    files against a static IDF snapshot must pass one (unseen shingles are by
+    definition rare — use a max-rarity weight) or novel-content files would
+    silently lose those elements (and fully-novel files would produce NO
+    membership rows at all)."""
+    exploded = shingled.select(
+        F.col(id_col).alias("id"), F.explode(hash_col).alias("elem")
+    ).dropDuplicates(["id", "elem"])
+    if default_weight is None:
+        return exploded.join(idf.select("elem", "w"), "elem")
+    return exploded.join(idf.select("elem", "w"), "elem", "left").withColumn(
+        "w", F.coalesce("w", F.lit(float(default_weight)))
     )
 
 
@@ -86,10 +98,13 @@ def weighted_signatures(
     hash_col: str = "shingle_hashes",
     materialize: bool = True,
     with_simhash: bool = False,
+    default_weight: float | None = None,
 ) -> DataFrame:
     """(id, sig[, sim]) CWS signatures over IDF-weighted shingles. The weight
     join re-collects (elems, weights) arrays in one groupBy (weights must
     pair elementwise with elems for the UDF); sort by elem for determinism.
+    ``default_weight`` is forwarded to :func:`weighted_memberships` (needed
+    when signing content the IDF snapshot has never seen).
 
     ``with_simhash=True`` additionally emits the (unweighted) SimHash
     signature from the SAME fused Arrow pass — one JVM↔Python round-trip for
@@ -100,7 +115,7 @@ def weighted_signatures(
     checkpoint is otherwise REQUIRED before banding's explode (a pandas-UDF
     column cannot feed a generator)."""
     paired = (
-        weighted_memberships(shingled, idf, id_col, hash_col)
+        weighted_memberships(shingled, idf, id_col, hash_col, default_weight)
         .groupBy("id")
         .agg(F.array_sort(F.collect_list(F.struct("elem", "w"))).alias("ew"))
         .select(

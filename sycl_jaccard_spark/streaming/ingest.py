@@ -81,7 +81,12 @@ def incremental_signatures(files: DataFrame, cfg: PipelineConfig | None = None) 
     return minhash_signatures(shingled, cfg)
 
 
-def weighted_signature_batch_writer(idf: DataFrame, out_path: str, cfg: PipelineConfig | None = None):
+def weighted_signature_batch_writer(
+    idf: DataFrame,
+    out_path: str,
+    cfg: PipelineConfig | None = None,
+    novel_weight: float | None = None,
+):
     """Streaming leg of the weighted (IDF/CWS) mode: a ``foreachBatch``
     function that signs each micro-batch of files with CWS signatures against
     a STATIC IDF snapshot (trained on a batch corpus — streaming IDF would
@@ -92,7 +97,21 @@ def weighted_signature_batch_writer(idf: DataFrame, out_path: str, cfg: Pipeline
     join, which Structured Streaming would treat as unbounded stateful
     aggregation — but every element of a file lives in ONE input row, so the
     aggregation is complete within the micro-batch; ``foreachBatch`` runs it
-    as a plain bounded batch job. Usage::
+    as a plain bounded batch job.
+
+    Robustness (both bugs found in review, both covered by tests):
+
+    * shingles ABSENT from the snapshot get ``novel_weight`` (default: the
+      snapshot's max weight — unseen shingles are by definition at least as
+      rare as the rarest seen one) instead of being inner-joined away, so a
+      fully-novel file still produces a signature row;
+    * each micro-batch writes to ``out_path/batch=<id>/`` with
+      ``mode("overwrite")`` — ``foreachBatch`` is at-least-once, and a replay
+      after a crash-between-write-and-commit OVERWRITES the same partition
+      instead of appending duplicate signature rows. Read the store with
+      ``spark.read.parquet(out_path)`` (partition discovery).
+
+    Usage::
 
         stream = read_file_stream(spark, src)
         (stream.writeStream
@@ -103,6 +122,8 @@ def weighted_signature_batch_writer(idf: DataFrame, out_path: str, cfg: Pipeline
     from sycl_jaccard_spark.operators.weighted_dedup import weighted_signatures
 
     cfg = cfg or PipelineConfig()
+    if novel_weight is None:
+        novel_weight = float(idf.agg(F.max("w")).collect()[0][0])
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         shingled = incremental_exact_dedup(batch_df).select(
@@ -114,9 +135,12 @@ def weighted_signature_batch_writer(idf: DataFrame, out_path: str, cfg: Pipeline
             ).alias("shingle_hashes"),
         )
         signed = weighted_signatures(
-            shingled, idf, cfg.num_perms, cfg.seed, materialize=False
+            shingled, idf, cfg.num_perms, cfg.seed,
+            materialize=False, default_weight=novel_weight,
         )
         sha = shingled.select("id", "sha256")
-        signed.join(sha, "id").write.mode("append").parquet(out_path)
+        signed.join(sha, "id").write.mode("overwrite").parquet(
+            f"{out_path.rstrip('/')}/batch={batch_id}"
+        )
 
     return write_batch

@@ -634,3 +634,46 @@ def test_streaming_weighted_signatures_match_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.id: r.sig for r in spark.read.parquet(out).collect()}
     assert got == expected
+
+
+def test_streaming_weighted_signatures_novel_files_and_replay(spark, tmp_path):
+    """Review fixes: (1) files whose shingles are absent from the static IDF
+    snapshot still produce signature rows (novel shingles get the max-rarity
+    default weight, not an inner-join drop) and two identical novel files get
+    IDENTICAL signatures; (2) replaying a micro-batch (at-least-once
+    foreachBatch) overwrites its batch partition instead of appending dups."""
+    from pyspark.sql import functions as F
+
+    from sycl_jaccard_spark.functions.shingles import shingle_hashes, shingles, tokens
+    from sycl_jaccard_spark.operators.weighted_dedup import idf_weights
+    from sycl_jaccard_spark.streaming.ingest import weighted_signature_batch_writer
+
+    # IDF trained on an unrelated corpus
+    train = spark.createDataFrame(
+        [(i, " ".join(f"trained{i}_{j} tok{j}" for j in range(30))) for i in range(20)],
+        ["id", "content"],
+    )
+    cfg = PipelineConfig(num_perms=32, bands=8, rows_per_band=4)
+    tr_sh = train.select(
+        "id", shingle_hashes(shingles(tokens(F.col("content")), cfg.shingle_k)).alias("shingle_hashes")
+    )
+    idf = idf_weights(tr_sh).localCheckpoint(eager=True)
+
+    novel_body = " ".join(f"never_seen_{j} fresh{j * 3}" for j in range(40))
+    batch = spark.createDataFrame(
+        [
+            ("r1", "a.py", "c1", "python", novel_body),
+            ("r2", "b.py", "c2", "python", novel_body),  # identical novel twin
+        ],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    out = str(tmp_path / "wsig")
+    writer = weighted_signature_batch_writer(idf, out, cfg)
+    writer(batch, 0)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2, "fully-novel files must still be signed"
+    sigs = [r.sig for r in rows]
+    assert sigs[0] == sigs[1], "identical novel files must collide exactly"
+    # replay the same batch id: overwrite, not append
+    writer(batch, 0)
+    assert spark.read.parquet(out).count() == 2

@@ -181,3 +181,16 @@ def test_run_pipeline_cli_pass_stats(spark, tmp_path):
         assert rec["memberships"] > 0 and rec["buckets"] > 0
         assert rec["raw_pairs"] >= rec["multi_buckets"]
     assert ps["capped_memberships"] >= 0 and ps["skew_mode"] == "cap"
+
+
+def test_weighted_threshold_requires_weighted_flag():
+    """--weighted-threshold without --weighted is a parse-time error, not a
+    silently ignored flag."""
+    import pytest
+
+    from jobs.run_pipeline import parse_args
+
+    with pytest.raises(SystemExit):
+        parse_args(["--input", "x", "--output", "y", "--weighted-threshold", "0.6"])
+    args = parse_args(["--input", "x", "--output", "y", "--weighted", "--weighted-threshold", "0.6"])
+    assert args.weighted_threshold == 0.6

@@ -167,3 +167,34 @@ def test_split_ppm_stream_negative_dims_regression():
             + b"\x00\x00\x00\x00" + b"\x00\x00\x00\x00" + b"\x02\x00\x10\x00"
             + b"data\x00\x00\x00\x00"
         )
+
+
+def test_recall_md_section_replacement_preserves_other_sections(tmp_path, monkeypatch):
+    """_replace_section must keep the headline and every OTHER section no
+    matter the order — the naive split-at-marker truncation deleted whatever
+    followed the replaced section."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from eval_recall import _replace_section
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("BENCH")
+    base = "# headline\n\nstuff"
+    sub = "\n\n## Substring (containment) pass X\n\nold sub"
+    wtd = "\n\n## Weighted (IDF/CWS) pipeline mode\n\nold wtd"
+    with open("BENCH/RECALL.md", "w") as f:
+        f.write(base + sub + wtd)
+    # replace the FIRST section: the one after it must survive
+    _replace_section("\n\n## Substring (containment) pass", "\n\n## Substring (containment) pass X\n\nNEW sub")
+    got = open("BENCH/RECALL.md").read()
+    assert "NEW sub" in got and "old wtd" in got and "old sub" not in got
+    # replace the LAST section
+    _replace_section("\n\n## Weighted (IDF/CWS) pipeline mode", "\n\n## Weighted (IDF/CWS) pipeline mode\n\nNEW wtd")
+    got = open("BENCH/RECALL.md").read()
+    assert "NEW sub" in got and "NEW wtd" in got and "old wtd" not in got
+    # append when absent
+    _replace_section("\n\n## Brand-new section", "\n\n## Brand-new section\n\nhello")
+    got = open("BENCH/RECALL.md").read()
+    assert got.count("## ") == 3 + 0 or "hello" in got
