@@ -75,10 +75,14 @@ _MEMO: dict = {}
 
 
 def _memo(spark, sf_dir: str, name: str, build):
-    ctx = id(spark.sparkContext)
+    # stable context identity (ADVICE r4): id(sc) can be REUSED by CPython
+    # after the old context is garbage-collected, which would serve a stale
+    # entry holding dead localCheckpointed RDDs to a new session
+    sc = spark.sparkContext
+    ctx = (sc.applicationId, sc.startTime)
     # evict entries from other SparkContexts: after a session restart they
-    # are unreachable (new ctx id) but would otherwise pin the old context's
-    # localCheckpointed blocks for the life of the process
+    # are unreachable (new ctx identity) but would otherwise pin the old
+    # context's localCheckpointed blocks for the life of the process
     stale = [k for k in _MEMO if k[0] != ctx]
     for k in stale:
         del _MEMO[k]

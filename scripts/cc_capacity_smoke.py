@@ -70,8 +70,9 @@ def main() -> int:
         f"{'PASS' if ok else 'FAIL'} ({bad} mislabeled, {n_labels} labels) |"
     )
     print(line)
-    with open("BENCH/BASELINE.md", "a") as f:
-        f.write(f"""
+    from scripts._bench_md import replace_section
+
+    replace_section("BENCH/BASELINE.md", "\n\n## Distributed connected-components capacity smoke", f"""
 
 ## Distributed connected-components capacity smoke (scripts/cc_capacity_smoke.py)
 

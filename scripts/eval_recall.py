@@ -36,24 +36,9 @@ GIANT_CLUSTER = 10_000  # enumeration guard: report, don't expand, beyond this
 
 
 def _replace_section(marker: str, new_text: str) -> None:
-    """Replace ONE '## ...' section of BENCH/RECALL.md in place (or append it
-    if absent), preserving the headline and every OTHER section regardless of
-    order — naive split-at-marker truncation deleted whichever sections
-    happened to follow the replaced one."""
-    try:
-        content = open("BENCH/RECALL.md").read()
-    except FileNotFoundError:
-        content = ""
-    start = content.find(marker)
-    if start < 0:
-        out = content + new_text
-    else:
-        nxt = content.find("\n\n## ", start + len(marker))
-        tail = content[nxt:] if nxt >= 0 else ""
-        out = content[:start] + new_text + tail
-    os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/RECALL.md", "w") as f:
-        f.write(out)
+    from scripts._bench_md import replace_section
+
+    replace_section("BENCH/RECALL.md", marker, new_text)
 
 
 def containment_eval() -> int:

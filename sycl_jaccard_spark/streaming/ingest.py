@@ -123,7 +123,13 @@ def weighted_signature_batch_writer(
 
     cfg = cfg or PipelineConfig()
     if novel_weight is None:
-        novel_weight = float(idf.agg(F.max("w")).collect()[0][0])
+        max_w = idf.agg(F.max("w")).collect()[0][0]
+        if max_w is None:
+            raise ValueError(
+                "empty IDF snapshot — train IDF (idf_weights) on a corpus "
+                "before streaming, or pass novel_weight explicitly"
+            )
+        novel_weight = float(max_w)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         shingled = incremental_exact_dedup(batch_df).select(
