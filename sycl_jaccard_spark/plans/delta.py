@@ -1,0 +1,426 @@
+"""Incremental (delta) dedup — a persistent store + per-batch runner that
+keeps a living corpus deduplicated at per-batch cost proportional to the
+BATCH, not the corpus.
+
+The reference is batch-only (``main.cpp:63-361`` reads one graph, scores it,
+exits); a 100 TB training corpus instead grows continuously, and re-running
+the full pipeline per delivery re-pays signing + banding + verification for
+every file ever seen. This runner composes the existing stages so each file
+is signed ONCE, ever:
+
+  new batch → sha256 (exact-dup vs batch AND vs store) → shingle+sign only
+  never-seen contents → band → join new band rows against the persisted
+  banded corpus, pruned to buckets that gained a member → verify only pairs
+  touching a new id → append edges → incremental connected components
+  (star rounds over affected components only).
+
+Store layout (all parquet, every additive relation partitioned by
+``batch=<n>`` so an at-least-once replay of a batch OVERWRITES its own
+partition instead of duplicating rows — same idempotence contract as the
+streaming leg, ``streaming/ingest.py``):
+
+  store/
+    store_config            config fingerprint (mismatch = hard error)
+    files/batch=N/          (id, sha256, is_rep)    — corpus identity
+    shingles/batch=N/       (id, shingle_hashes)    — reps only, signed once
+    banded/batch=N/         (id, band, band_hash)   — LSH ∪ SimHash bands
+    edges/batch=N/          (a, b, jaccard)         — verified + exact edges
+    labels/                 (node, label)           — current CC snapshot
+
+Correctness contract (tested label-for-label in ``tests/test_delta.py``):
+running batches B1..Bk through ``add_batch`` yields the SAME cluster
+assignment as one ``DedupPipeline.run`` over B1 ∪ ... ∪ Bk, because
+
+* bucket memberships only ever grow and the skew cap keeps lowest ids, so
+  every old×old pair inside today's capped bucket was inside yesterday's —
+  pairs touching at least one new id are exactly the missing ones (the
+  ``new_col`` filter in ``candidate_pairs``);
+* exact-dup groups connect through their first-seen representative instead
+  of the global min-id one — a different edge LIST but the same connected
+  components, hence the same min-node labels;
+* incremental CC re-runs star rounds only on components touched by new
+  edges and keeps every other label verbatim (min-node labels of untouched
+  components cannot change).
+
+Under an engaged bucket cap the delta run is a superset: it may verify a
+true dup pair the full run's cap dropped (never the reverse). The salting
+modes (``skew_mode`` "salt"/"auto") hash members into sub-buckets whose
+fan-out depends on the bucket size AT SIGNING TIME, which grows across
+batches — delta and full runs then salt the same bucket differently, so
+parity there is approximate (the other bands + SimHash recover, same as
+cross-salt pairs within one run). The label-for-label guarantee is for
+``skew_mode="cap"`` (exact when no bucket exceeds the cap).
+
+The weighted (IDF/CWS) mode is intentionally NOT offered here: corpus IDF
+drifts as batches arrive, so delta signatures would not be comparable with
+stored ones. Train IDF in batch and re-sign (or use the streaming leg's
+static-snapshot semantics) when boilerplate-robust candidates are needed.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sycl_jaccard_spark.config import PipelineConfig
+from sycl_jaccard_spark.functions.minhash import minhash_simhash_udf, minhash_udf
+from sycl_jaccard_spark.functions.shingles import shingle_hashes, shingles, tokens
+from sycl_jaccard_spark.operators.components import connected_components
+from sycl_jaccard_spark.operators.lsh import candidate_pairs
+from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs
+from sycl_jaccard_spark.plans.pipeline import banded_relation
+
+_LABEL_SCHEMA = T.StructType(
+    [
+        T.StructField("node", T.LongType(), False),
+        T.StructField("label", T.LongType(), False),
+    ]
+)
+
+
+class DeltaDedup:
+    """Persistent incremental dedup over a growing corpus.
+
+    ``cc_mode``: ``"incremental"`` (default) reruns connected components only
+    on components touched by this batch's edges; ``"full"`` reruns CC over
+    the whole edge store (the equivalence test runs both and asserts equal
+    labels). Both scale with the DUP GRAPH, not the corpus; incremental
+    additionally scales star rounds with the touched subgraph only.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        cfg: PipelineConfig | None = None,
+        enable_simhash: bool = True,
+        cc_mode: str = "incremental",
+    ):
+        self.spark = spark
+        self.root = store_dir.rstrip("/")
+        self.cfg = cfg or PipelineConfig()
+        if self.cfg.candidate_weights != "none":
+            raise ValueError(
+                "DeltaDedup supports candidate_weights='none' only — corpus "
+                "IDF drifts per batch; see module docstring"
+            )
+        if cc_mode not in ("incremental", "full"):
+            raise ValueError(f"unknown cc_mode {cc_mode!r}")
+        self.enable_simhash = enable_simhash
+        self.cc_mode = cc_mode
+        self.metrics: list[dict] = []
+        self._check_config()
+
+    # ---- store plumbing ----
+
+    def _fs(self, path: str):
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        return hpath.getFileSystem(self.spark._jsc.hadoopConfiguration()), hpath
+
+    def _exists(self, path: str) -> bool:
+        fs, hpath = self._fs(path)
+        return bool(fs.exists(hpath))
+
+    def _config_fingerprint(self) -> str:
+        from dataclasses import asdict
+
+        return json.dumps(
+            {"cfg": asdict(self.cfg), "enable_simhash": self.enable_simhash},
+            sort_keys=True,
+        )
+
+    def _check_config(self) -> None:
+        """A delta store is long-lived corpus state: on fingerprint mismatch
+        we REFUSE (unlike the batch pipeline, which purges and recomputes) —
+        silently mixing shingle/band configs across batches would make stored
+        signatures incomparable with new ones."""
+        path = f"{self.root}/store_config"
+        fp = self._config_fingerprint()
+        if self._exists(path):
+            stored = self.spark.read.text(path).first()
+            if stored is None or stored.value != fp:
+                raise ValueError(
+                    f"delta store {self.root} was written under a different "
+                    "config; re-signing the corpus requires a new store"
+                )
+            return
+        self.spark.createDataFrame([(fp,)], "value string").coalesce(1).write.mode(
+            "overwrite"
+        ).text(path)
+
+    def _read(self, name: str, schema: str) -> DataFrame:
+        """Read an additive store relation (batch=N partition discovery),
+        keeping the ``batch`` partition column; empty DataFrame with the
+        right schema when the store has no batches yet."""
+        path = f"{self.root}/{name}"
+        if self._exists(path):
+            fs, hpath = self._fs(path)
+            has_batch = any(
+                s.getPath().getName().startswith("batch=") for s in fs.listStatus(hpath)
+            )
+            if has_batch:
+                return self.spark.read.parquet(path)
+        return self.spark.createDataFrame([], schema + ", batch int")
+
+    def batch_ids(self) -> list[int]:
+        path = f"{self.root}/files"
+        if not self._exists(path):
+            return []
+        fs, hpath = self._fs(path)
+        out = []
+        for s in fs.listStatus(hpath):
+            name = s.getPath().getName()
+            if name.startswith("batch="):
+                out.append(int(name.split("=", 1)[1]))
+        return sorted(out)
+
+    def _write_batch(self, name: str, df: DataFrame, bid: int) -> DataFrame:
+        path = f"{self.root}/{name}/batch={bid}"
+        df.write.mode("overwrite").parquet(path)
+        # a batch REPLAY overwrites a path this session has already read;
+        # Spark's FileStatusCache would otherwise serve the deleted file list
+        self.spark.catalog.refreshByPath(f"{self.root}/{name}")
+        return self.spark.read.parquet(path)
+
+    def _write_lineage(self, name: str, bid: int, record: dict) -> None:
+        fs, hpath = self._fs(f"{self.root}/{name}/batch={bid}/_lineage.json")
+        stream = fs.create(hpath, True)
+        try:
+            stream.write(bytearray(json.dumps(record, sort_keys=True).encode()))
+        finally:
+            stream.close()
+
+    def _mark(self, stage: str, t0: float, **extra) -> float:
+        now = time.monotonic()
+        self.metrics.append(
+            {"stage": stage, "wall_s": round(now - t0, 3), **extra}
+        )
+        return now
+
+    # ---- the per-batch run ----
+
+    def add_batch(
+        self,
+        files: DataFrame,
+        id_col: str = "id",
+        content_col: str = "content",
+        batch_id: int | None = None,
+    ) -> dict:
+        """Ingest one delivery. Returns the batch summary dict (also appended
+        to ``self.metrics``). Replaying a ``batch_id`` overwrites that
+        batch's partitions — at-least-once safe."""
+        cfg = self.cfg
+        existing = self.batch_ids()
+        bid = batch_id if batch_id is not None else (existing[-1] + 1 if existing else 0)
+        t0 = time.monotonic()
+        t_start = t0
+
+        new = files.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
+
+        # -- exact dedup: within the batch, then against the store --
+        hashed = new.select("id", "content", F.sha2("content", 256).alias("sha256"))
+        reps_b = hashed.groupBy("sha256").agg(F.min("id").alias("rep"))
+        with_rep = hashed.join(reps_b, "sha256")
+        batch_exact = with_rep.filter(F.col("id") != F.col("rep")).select(
+            F.col("rep").alias("a"), F.col("id").alias("b")
+        )
+        batch_uniq = with_rep.filter(F.col("id") == F.col("rep")).drop("rep")
+
+        # exclude the batch being (re)written: a REPLAY must see the same
+        # store view as the original run — its own earlier incarnation would
+        # otherwise classify every replayed file as already-stored (and the
+        # lazy read would race the partition overwrite below). The batch
+        # filter is on the partition column, so pruning skips those files.
+        stored_reps = (
+            self._read("files", "id long, sha256 string, is_rep boolean")
+            .filter(F.col("batch") != bid)
+            .filter("is_rep")
+            .select("sha256", F.col("id").alias("old_rep"))
+        )
+        ju = batch_uniq.join(stored_reps, "sha256", "left")
+        cross_exact = ju.filter(F.col("old_rep").isNotNull()).select(
+            F.col("old_rep").alias("a"), F.col("id").alias("b")
+        )
+        # never-seen contents: the only rows that pay shingling + signing
+        new_uniques = ju.filter(F.col("old_rep").isNull()).drop("old_rep")
+
+        file_rows = (
+            hashed.join(reps_b, "sha256")
+            .join(stored_reps, "sha256", "left")
+            .select(
+                "id",
+                "sha256",
+                ((F.col("id") == F.col("rep")) & F.col("old_rep").isNull()).alias("is_rep"),
+            )
+        )
+        files_out = self._write_batch("files", file_rows, bid)
+        n_files = files_out.count()
+        t0 = self._mark("exact_dedup", t0, rows=n_files, batch=bid)
+
+        # -- shingle + sign only the new uniques (signed ONCE, ever) --
+        shingled = new_uniques.select(
+            "id",
+            shingle_hashes(
+                shingles(tokens(F.col("content")), cfg.shingle_k),
+                portable=cfg.portable_hashes,
+            ).alias("shingle_hashes"),
+        )
+        shingled = self._write_batch("shingles", shingled, bid)
+        n_new_uniques = shingled.count()
+        t0 = self._mark("shingles", t0, rows=n_new_uniques, batch=bid)
+
+        if self.enable_simhash:
+            fused = minhash_simhash_udf(cfg.num_perms, cfg.seed)
+            signed = shingled.select("id", fused(F.col("shingle_hashes")).alias("ms")).select(
+                "id", F.col("ms.sig").alias("sig"), F.col("ms.sim").alias("sim")
+            )
+        else:
+            signed = shingled.select(
+                "id", minhash_udf(cfg.num_perms, cfg.seed)(F.col("shingle_hashes")).alias("sig")
+            )
+        # materialize before banding: a pandas-UDF column cannot feed the
+        # banding explode (Catalyst cannot host Python UDFs in a generator)
+        signed = signed.localCheckpoint(eager=True)
+        new_banded = banded_relation(signed, cfg, self.enable_simhash)
+        self._write_batch("banded", new_banded, bid)
+        t0 = self._mark("banding", t0, batch=bid)
+
+        # -- candidates: all banded rows, pruned to buckets that gained a
+        # member this batch (the new batch's bucket keys are small —
+        # broadcast), capped/salted over the FULL current membership, pairs
+        # filtered to those touching >=1 new id --
+        all_banded = self._read("banded", "id long, band int, band_hash long").withColumn(
+            "is_new", F.col("batch") == bid
+        )
+        if existing:
+            # prune the stored scan to buckets that gained a member: the new
+            # batch's bucket keys are the small side — no explicit broadcast
+            # hint (a bootstrap-sized batch would not fit); AQE converts the
+            # semi-join to broadcast at runtime when the key set is small
+            new_keys = all_banded.filter("is_new").select("band", "band_hash").distinct()
+            pruned = all_banded.join(new_keys, ["band", "band_hash"], "left_semi")
+        else:
+            pruned = all_banded  # bootstrap: every row is new, prune is identity
+        cands = candidate_pairs(pruned, cfg, "id", skew_mode=cfg.skew_mode, new_col="is_new")
+
+        # -- verify: shingle sets fetched from the store for exactly the ids
+        # the candidate pairs touch (old sides read back; new sides are in
+        # this batch's shingles partition, already part of the store) --
+        shingle_store = self._read("shingles", "id long, shingle_hashes array<long>")
+        ids_needed = (
+            cands.select(F.col("a").alias("id"))
+            .union(cands.select(F.col("b").alias("id")))
+            .distinct()
+        )
+        items = shingle_store.join(ids_needed, "id", "left_semi").select(
+            "id", F.col("shingle_hashes").alias("set")
+        )
+        scored = jaccard_pairs(items, cands, id_col="id", set_col="set", impl="arrays")
+        verified = scored.filter(F.col("jaccard") >= cfg.verify_threshold).select(
+            "a", "b", "jaccard"
+        )
+
+        new_edges = verified.unionByName(
+            batch_exact.select("a", "b", F.lit(1.0).alias("jaccard"))
+        ).unionByName(cross_exact.select("a", "b", F.lit(1.0).alias("jaccard")))
+        new_edges = self._write_batch("edges", new_edges, bid)
+        n_new_edges = new_edges.count()
+        t0 = self._mark("verify", t0, rows=n_new_edges, batch=bid)
+
+        # -- labels: incremental (affected components only) or full CC --
+        cc_stats: dict = {}
+        labels = self._update_labels(new_edges.select("a", "b"), bid, cc_stats)
+        labels = labels.localCheckpoint(eager=True)  # cut lineage to labels/ before overwrite
+        labels.write.mode("overwrite").parquet(f"{self.root}/labels")
+        self.spark.catalog.refreshByPath(f"{self.root}/labels")
+        t0 = self._mark("connected_components", t0, batch=bid, **cc_stats)
+
+        summary = {
+            "batch": bid,
+            "n_files": n_files,
+            "n_new_uniques": n_new_uniques,
+            "n_new_edges": n_new_edges,
+            "cc": cc_stats,
+            "wall_s": round(time.monotonic() - t_start, 3),
+        }
+        self._write_lineage("edges", bid, {**summary, "config": json.loads(self._config_fingerprint())})
+        self.metrics.append({"stage": "batch_total", **summary})
+        return summary
+
+    def _update_labels(self, new_edges: DataFrame, bid: int, stats: dict) -> DataFrame:
+        cfg = self.cfg
+        old_labels = (
+            self.spark.read.parquet(f"{self.root}/labels")
+            if self._exists(f"{self.root}/labels/_SUCCESS")
+            else self.spark.createDataFrame([], _LABEL_SCHEMA)
+        )
+        if self.cc_mode == "full":
+            all_edges = self._read("edges", "a long, b long, jaccard double").select("a", "b")
+            stats["mode"] = "full"
+            return connected_components(
+                all_edges, max_iterations=cfg.max_cc_iterations,
+                checkpoint_every=cfg.checkpoint_every, stats=stats,
+            )
+
+        # incremental: only components containing a node touched by a new
+        # edge can change; rerun CC on (new edges ∪ their components' old
+        # edges), keep every other label verbatim. Touched-label set is
+        # small (dup components are tiny next to the corpus) — broadcast.
+        stats["mode"] = "incremental"
+        old_edges = (
+            self._read("edges", "a long, b long, jaccard double")
+            .filter(F.col("batch") != bid)
+            .select("a", "b")
+        )
+        touched = (
+            new_edges.select(F.col("a").alias("node"))
+            .union(new_edges.select(F.col("b").alias("node")))
+            .distinct()
+        )
+        affected = (
+            old_labels.join(touched, "node", "left_semi").select("label").distinct()
+        )
+        aff_edges = (
+            old_edges.join(
+                old_labels.select(F.col("node").alias("a"), "label"), "a"
+            )
+            .join(F.broadcast(affected), "label", "left_semi")
+            .select("a", "b")
+        )
+        sub_labels = connected_components(
+            new_edges.union(aff_edges),
+            max_iterations=cfg.max_cc_iterations,
+            checkpoint_every=cfg.checkpoint_every,
+            stats=stats,
+        )
+        kept = old_labels.join(F.broadcast(affected), "label", "left_anti")
+        return kept.unionByName(sub_labels)
+
+    # ---- outputs ----
+
+    def edges(self) -> DataFrame:
+        return self._read("edges", "a long, b long, jaccard double").select("a", "b", "jaccard")
+
+    def clusters(self) -> DataFrame:
+        """(id, cluster) for every file ever ingested — cluster = min id of
+        the connected component, id itself for singletons (same contract as
+        ``DedupPipeline.run().clusters``)."""
+        files = self._read("files", "id long, sha256 string, is_rep boolean").select("id")
+        labels = (
+            self.spark.read.parquet(f"{self.root}/labels")
+            if self._exists(f"{self.root}/labels/_SUCCESS")
+            else self.spark.createDataFrame([], _LABEL_SCHEMA)
+        )
+        return files.join(labels, files.id == labels.node, "left").select(
+            "id", F.coalesce("label", F.col("id")).alias("cluster")
+        )
+
+    def write_metrics(self, path: str) -> None:
+        with open(path, "w") as f:
+            for m in self.metrics:
+                f.write(json.dumps(m) + "\n")

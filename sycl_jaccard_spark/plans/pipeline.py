@@ -40,6 +40,29 @@ from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs
 from sycl_jaccard_spark.operators.weighted_dedup import idf_weights, weighted_signatures
 
 
+def banded_relation(signed: DataFrame, cfg: PipelineConfig, enable_simhash: bool) -> DataFrame:
+    """The unified (id, band, band_hash) relation of the LSH pass and (when
+    enabled) the SimHash block-table pass, with disjoint band-id ranges —
+    the SHARED candidate space of the batch pipeline and the delta
+    (incremental) runner, factored so the two can never drift.
+
+    ``signed`` must carry ``sig`` (and ``sim`` when ``enable_simhash``) and
+    must already be materialized (a pandas-UDF column cannot feed the
+    posexplode below)."""
+    banded = band_hashes(signed, cfg, "id", portable=cfg.portable_hashes)
+    if enable_simhash:
+        sim_banded = signed.select(
+            "id",
+            F.posexplode(F.array(*simhash_band_keys(
+                F.col("sim"), cfg.simhash_blocks, cfg.simhash_max_hamming, cfg.simhash_bits
+            ))),
+        ).select(
+            "id", (F.col("pos") + cfg.bands).alias("band"), F.col("col").alias("band_hash")
+        )
+        banded = banded.unionByName(sim_banded)
+    return banded
+
+
 @dataclass
 class PipelineResult:
     clusters: DataFrame          # (id, cluster) — cluster = min id in component
@@ -305,25 +328,13 @@ class DedupPipeline:
         # stage 4: candidate generation — ALL passes (LSH bands, SimHash
         # bands, substring line-grams) union into ONE (id, band, band_hash)
         # relation with disjoint band-id ranges, so the bucket-cap window,
-        # the bucket self-join and the pair dedup are paid once, not per pass
-        banded = band_hashes(signed, cfg, "id", portable=cfg.portable_hashes)
-
+        # the bucket self-join and the pair dedup are paid once, not per
+        # pass. `signed` is materialized by its stage, so the SimHash
+        # posexplode never sees an inlined pandas-UDF column (the r1
+        # INTERNAL_ERROR shape — Catalyst cannot host Python UDFs inside a
+        # generator). Shared with the delta runner (banded_relation).
+        banded = banded_relation(signed, cfg, self.enable_simhash)
         n_sim_tables = n_simhash_tables(cfg.simhash_blocks, cfg.simhash_max_hamming)
-        if self.enable_simhash:
-            # SimHash near-miss pass: combinatorial block tables catch every
-            # pair within Hamming<=max_hamming (pigeonhole over blocks).
-            # `signed` is materialized by its stage, so the posexplode below
-            # never sees an inlined pandas-UDF column (the r1 INTERNAL_ERROR
-            # shape — Catalyst cannot host Python UDFs inside a generator).
-            sim_banded = signed.select(
-                "id",
-                F.posexplode(F.array(*simhash_band_keys(
-                    F.col("sim"), cfg.simhash_blocks, cfg.simhash_max_hamming, cfg.simhash_bits
-                ))),
-            ).select(
-                "id", (F.col("pos") + cfg.bands).alias("band"), F.col("col").alias("band_hash")
-            )
-            banded = banded.unionByName(sim_banded)
 
         if self.enable_substring:
             # substring pass (suffix-array analog): shared w-line runs produce

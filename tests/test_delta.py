@@ -1,0 +1,151 @@
+"""Incremental (delta) dedup: the store runner must be label-for-label
+equivalent to one full batch pipeline over the unioned corpus (VERDICT r4
+top ask), idempotent under batch replay, and must never re-sign content the
+store has already seen."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sycl_jaccard_spark.config import PipelineConfig
+from sycl_jaccard_spark.plans.delta import DeltaDedup
+from sycl_jaccard_spark.plans.pipeline import DedupPipeline
+from sycl_jaccard_spark.sources.corpus import CorpusSpec, synth_source_files
+from sycl_jaccard_spark.sources.tables import with_file_id
+
+CFG = PipelineConfig()
+
+
+def _corpus(spark, n_files=240, seed=7, exact_dup_rate=0.3):
+    spec = CorpusSpec(
+        n_files=n_files, n_clusters=30, cluster_min=2, cluster_max=6,
+        edit_rate=0.05, exact_dup_rate=exact_dup_rate, seed=seed,
+    )
+    files, _ = synth_source_files(spark, spec)
+    return with_file_id(files).select("id", "content").localCheckpoint(eager=True)
+
+
+def _batches(files, n):
+    """Deterministic disjoint split: pmod of a row hash — arrival order is
+    uncorrelated with id order, exercising first-seen-rep vs min-id-rep."""
+    return [
+        files.filter(F.pmod(F.xxhash64("id"), F.lit(n)) == i)
+        for i in range(n)
+    ]
+
+
+def _clusters(df) -> dict:
+    return {r["id"]: r["cluster"] for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return _corpus(spark)
+
+
+def test_delta_equals_full_run(spark, tmp_path, corpus):
+    """Three deliveries through the store == one full pipeline over the
+    union, label for label — the VERDICT r4 'done' criterion."""
+    store = DeltaDedup(spark, str(tmp_path / "store"), CFG)
+    for batch in _batches(corpus, 3):
+        store.add_batch(batch)
+    delta = _clusters(store.clusters())
+
+    full = DedupPipeline(spark, CFG, enable_substring=False).run(corpus)
+    expected = _clusters(full.clusters)
+    assert delta == expected
+    assert len(delta) == corpus.count()
+
+
+def test_delta_incremental_cc_equals_full_cc(spark, tmp_path, corpus):
+    batches = _batches(corpus, 3)
+    inc = DeltaDedup(spark, str(tmp_path / "inc"), CFG, cc_mode="incremental")
+    ful = DeltaDedup(spark, str(tmp_path / "ful"), CFG, cc_mode="full")
+    for b in batches:
+        s_inc = inc.add_batch(b)
+        s_ful = ful.add_batch(b)
+        assert s_inc["n_new_edges"] == s_ful["n_new_edges"]
+    assert _clusters(inc.clusters()) == _clusters(ful.clusters())
+
+
+def test_delta_replay_idempotent(spark, tmp_path, corpus):
+    """Replaying a batch id (at-least-once delivery) must leave the store
+    bit-identical — partitions overwrite, labels reconverge."""
+    store = DeltaDedup(spark, str(tmp_path / "store"), CFG)
+    b0, b1, _ = _batches(corpus, 3)
+    store.add_batch(b0, batch_id=0)
+    store.add_batch(b1, batch_id=1)
+    before = _clusters(store.clusters())
+    edges_before = {(r["a"], r["b"]) for r in store.edges().collect()}
+    store.add_batch(b1, batch_id=1)  # replay
+    assert _clusters(store.clusters()) == before
+    assert {(r["a"], r["b"]) for r in store.edges().collect()} == edges_before
+
+
+def test_delta_never_resigns_seen_content(spark, tmp_path, corpus):
+    """A batch of exact duplicates of stored content adds files and edges
+    but ZERO shingle/signature rows — per-batch signing cost is proportional
+    to never-seen content only."""
+    store = DeltaDedup(spark, str(tmp_path / "store"), CFG)
+    b0, b1, _ = _batches(corpus, 3)
+    store.add_batch(b0)
+    dup_batch = b0.select((F.col("id") + F.lit(1 << 40)).alias("id"), "content")
+    summary = store.add_batch(dup_batch)
+    assert summary["n_new_uniques"] == 0
+    assert summary["n_files"] == b0.count()
+    # every duplicate must land in its original's cluster
+    joined = (
+        store.clusters().alias("c")
+        .join(
+            store.clusters().select(
+                (F.col("id") + F.lit(1 << 40)).alias("id"), F.col("cluster").alias("dup_cluster")
+            ),
+            "id",
+        )
+    )
+    assert joined.filter(F.col("cluster") != F.col("dup_cluster")).count() == 0
+
+
+def test_delta_cross_batch_near_dups_found(spark, tmp_path):
+    """Near-dup pairs split across deliveries must be caught by the
+    banded-store join (not only within-batch pairs)."""
+    spec = CorpusSpec(n_files=60, n_clusters=15, cluster_min=2, cluster_max=2,
+                      edit_rate=0.04, exact_dup_rate=0.0, seed=11)
+    files, truth = synth_source_files(spark, spec)
+    files = with_file_id(files)
+    # route each cluster's two members into DIFFERENT batches
+    key = files.select("repo", "path", "commit", "id").collect()
+    truth_by_id = {}
+    idx = {}
+    for r in key:
+        truth_by_id[r["id"]] = truth[(r["repo"], r["path"], r["commit"])]
+        idx.setdefault(truth_by_id[r["id"]], []).append(r["id"])
+    first = {min(v) for k, v in idx.items() if k >= 0 and len(v) == 2}
+    fdf = files.select("id", "content").localCheckpoint(eager=True)
+    b0 = fdf.filter(F.col("id").isin(list(first)))
+    b1 = fdf.join(b0.select("id"), "id", "left_anti")
+    store = DeltaDedup(spark, str(tmp_path / "store"), CFG)
+    store.add_batch(b0)
+    store.add_batch(b1)
+    clusters = _clusters(store.clusters())
+    by_truth: dict[int, set] = {}
+    for fid, c in clusters.items():
+        t = truth_by_id[fid]
+        if t >= 0:
+            by_truth.setdefault(t, set()).add(c)
+    # every planted 2-cluster collapsed to one label despite the batch split
+    merged = sum(1 for s in by_truth.values() if len(s) == 1)
+    assert merged >= 0.99 * len(by_truth)
+
+
+def test_delta_config_mismatch_refuses(spark, tmp_path, corpus):
+    store = DeltaDedup(spark, str(tmp_path / "store"), CFG)
+    store.add_batch(_batches(corpus, 3)[0])
+    with pytest.raises(ValueError, match="different config"):
+        DeltaDedup(spark, str(tmp_path / "store"), PipelineConfig(shingle_k=7))
+
+
+def test_delta_rejects_weighted_mode(spark, tmp_path):
+    with pytest.raises(ValueError, match="candidate_weights"):
+        DeltaDedup(spark, str(tmp_path / "s"), PipelineConfig(candidate_weights="idf"))
