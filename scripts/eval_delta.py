@@ -1,0 +1,129 @@
+"""Measure the delta (incremental) dedup cost claim — per-batch wall must
+track the BATCH size, not the corpus size (VERDICT r4 #1 'done' criterion).
+
+Protocol: bootstrap a store with B0 files, then alternate growth batches
+(corpus doubling) with identically-sized PROBE batches of near-dups of
+stored content. The probe walls at growing store sizes are the evidence:
+flat-ish walls = per-batch cost ∝ batch; a full-pipeline rerun over the
+final corpus is the comparison point (what a batch-only engine would pay
+per delivery).
+
+Usage: python scripts/eval_delta.py          # 20k/40k/60k stores, 2k probes
+       SPARK_GRAFT_DELTA_FILES=8000 SPARK_GRAFT_DELTA_PROBE=1000 ...
+Writes/updates the '## Incremental (delta) dedup' section of BENCH/DELTA.md.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from scripts._bench_md import replace_section  # noqa: E402
+from sycl_jaccard_spark.config import PipelineConfig  # noqa: E402
+from sycl_jaccard_spark.plans.delta import DeltaDedup  # noqa: E402
+from sycl_jaccard_spark.plans.pipeline import DedupPipeline  # noqa: E402
+from sycl_jaccard_spark.session import get_spark  # noqa: E402
+from sycl_jaccard_spark.sources.corpus import CorpusSpec, synth_source_files  # noqa: E402
+from sycl_jaccard_spark.sources.tables import with_file_id  # noqa: E402
+
+
+def main() -> int:
+    n_seg = int(os.environ.get("SPARK_GRAFT_DELTA_FILES", "20000"))  # per growth segment
+    n_probe = int(os.environ.get("SPARK_GRAFT_DELTA_PROBE", "2000"))
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("eval_delta", cores=cores, shuffle_partitions=cores)
+    cfg = PipelineConfig()
+
+    segs = []
+    for i in range(3):
+        spec = CorpusSpec(
+            n_files=n_seg, n_clusters=n_seg // 8, cluster_min=2, cluster_max=6,
+            edit_rate=0.06, exact_dup_rate=0.25, seed=100 + i,
+        )
+        files, _ = synth_source_files(spark, spec)
+        segs.append(
+            with_file_id(files).select(
+                (F.col("id") + F.lit(i * (1 << 45))).alias("id"), "content"
+            ).localCheckpoint(eager=True)
+        )
+
+    def probe_batch(seg, j):
+        """n_probe near-dup/exact-dup copies of stored content — the worst
+        case for the store join (every probe file touches stored buckets)."""
+        return (
+            seg.limit(n_probe)
+            .select(
+                (F.col("id") + F.lit((10 + j) * (1 << 41))).alias("id"),
+                F.concat(F.col("content"), F.lit(f"\nprobe = {j}")).alias("content"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    store_dir = tempfile.mkdtemp(prefix="delta_store_")
+    store = DeltaDedup(spark, f"{store_dir}/store", cfg)
+    rows = []
+    corpus_size = 0
+    for i, seg in enumerate(segs):
+        t0 = time.monotonic()
+        store.add_batch(seg)
+        grow_wall = time.monotonic() - t0
+        corpus_size += n_seg
+        t0 = time.monotonic()
+        summary = store.add_batch(probe_batch(seg, i))
+        probe_wall = time.monotonic() - t0
+        corpus_size += n_probe
+        rows.append((corpus_size, n_seg, grow_wall, n_probe, probe_wall, summary["n_new_edges"]))
+        print(f"store={corpus_size}: grow({n_seg})={grow_wall:.1f}s probe({n_probe})={probe_wall:.1f}s")
+
+    # comparison point: one full-pipeline run over the final corpus — the
+    # per-delivery price of a batch-only engine
+    full_corpus = segs[0]
+    for seg in segs[1:]:
+        full_corpus = full_corpus.unionByName(seg)
+    t0 = time.monotonic()
+    res = DedupPipeline(spark, cfg, count_rows=False).run(full_corpus)
+    res.clusters.count()
+    full_wall = time.monotonic() - t0
+    print(f"full pipeline over {corpus_size - 3 * n_probe} files: {full_wall:.1f}s")
+
+    probe_walls = [r[4] for r in rows]
+    growth = probe_walls[-1] / probe_walls[0] if probe_walls[0] else float("inf")
+    corpus_growth = rows[-1][0] / rows[0][0]
+    verdict = "PASS" if growth < corpus_growth / 2 else "FAIL"
+
+    lines = "\n".join(
+        f"| {r[0]:,} | {r[1]:,} | {r[2]:.1f} | {r[3]:,} | {r[4]:.1f} |" for r in rows
+    )
+    replace_section("BENCH/DELTA.md", "\n\n## Incremental (delta) dedup", f"""
+
+## Incremental (delta) dedup — per-batch cost vs corpus size (scripts/eval_delta.py)
+
+local[{cores}], config defaults (MinHash 128, LSH 32x4, SimHash on). Probe
+batches are {n_probe:,} near-dups of STORED content (worst case: every probe
+file touches stored buckets). Corpus grew {corpus_growth:.1f}x across probes;
+probe wall grew {growth:.2f}x -> **{verdict}** (per-batch cost tracks batch
+size, not corpus size).
+
+| store size after | growth batch | wall (s) | probe batch | probe wall (s) |
+|---|---|---|---|---|
+{lines}
+
+One FULL pipeline run over the final {corpus_size - 3 * n_probe:,}-file corpus
+(what a batch-only engine pays per delivery): **{full_wall:.1f} s** vs
+**{probe_walls[-1]:.1f} s** for the delta probe at the same store size —
+**{full_wall / probe_walls[-1]:.1f}x** cheaper per delivery.
+""")
+    shutil.rmtree(store_dir, ignore_errors=True)
+    spark.stop()
+    return 0 if verdict == "PASS" else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

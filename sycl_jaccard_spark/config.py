@@ -15,8 +15,14 @@ from dataclasses import dataclass
 class PipelineConfig:
     # --- shingling ---
     shingle_k: int = 5              # tokens per shingle (k-gram)
-    shingle_mode: str = "token"     # "token" | "char"
+    # "token" (default): whitespace tokens, k-token shingles — the natural
+    # unit for formatted source. "char": character k-grams — robust to
+    # whitespace mangling/minification, where re-joined token boundaries
+    # destroy every token shingle (measured in BENCH/RECALL.md). Flows
+    # through pipeline, delta store and streaming via doc_shingle_hashes.
+    shingle_mode: str = "token"
     char_shingle_k: int = 20        # chars per shingle in char mode
+    char_shingle_stride: int = 1    # sample a char shingle every N chars
 
     # --- MinHash ---
     num_perms: int = 128
@@ -81,8 +87,6 @@ class PipelineConfig:
 
     # --- substring (suffix-array analog) pass ---
     substring_lines: int = 4        # w-line gram width (content-anchored)
-    substring_len: int = 40         # char-gram length (offset-sensitive variant)
-    substring_stride: int = 17      # char-gram sampling stride
     # when the substring pass is on, verify ALSO accepts containment pairs:
     # inter / min(|A|, |B|) >= threshold (a file embedded in a larger file has
     # low symmetric Jaccard but ~1.0 containment — the case the suffix-array
@@ -103,6 +107,8 @@ class PipelineConfig:
             raise ValueError("bands * rows_per_band must equal num_perms")
         if self.candidate_weights not in ("none", "idf"):
             raise ValueError(f"unknown candidate_weights {self.candidate_weights!r}")
+        if self.shingle_mode not in ("token", "char"):
+            raise ValueError(f"unknown shingle_mode {self.shingle_mode!r}")
 
     @property
     def lsh_threshold(self) -> float:

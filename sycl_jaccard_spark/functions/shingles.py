@@ -124,19 +124,54 @@ def line_gram_hashes(text: Column, w: int = 4, portable: bool = False) -> Column
     return F.array_sort(F.array_distinct(F.transform(let(lines, body), hash_one)))
 
 
+def doc_shingle_hashes(content: Column, cfg) -> Column:
+    """The pipeline's shingle-set column, dispatched on
+    ``cfg.shingle_mode`` — the ONE place the token/char choice lives, shared
+    by the batch pipeline, the delta store and both streaming legs (so a
+    store and its deliveries can never shingle differently).
+
+    * ``"token"`` — whitespace tokens, ``shingle_k``-token grams: the
+      natural unit for formatted source code.
+    * ``"char"`` — ``char_shingle_k``-char grams every
+      ``char_shingle_stride`` chars: survives whitespace mangling and
+      minification, where re-joined token boundaries destroy every token
+      shingle (recall measured in BENCH/RECALL.md).
+    """
+    if cfg.shingle_mode == "token":
+        return shingle_hashes(
+            shingles(tokens(content), cfg.shingle_k), portable=cfg.portable_hashes
+        )
+    if cfg.shingle_mode == "char":
+        # strip ALL whitespace first: the whole point of char mode is
+        # robustness to reformatting/minification, and grams over the raw
+        # text would still contain the mangled whitespace bytes
+        return char_shingle_hashes(
+            F.regexp_replace(content, r"\s+", ""), cfg.char_shingle_k,
+            stride=cfg.char_shingle_stride, portable=cfg.portable_hashes,
+        )
+    raise ValueError(f"unknown shingle_mode {cfg.shingle_mode!r}")
+
+
 def char_shingle_hashes(text: Column, k: int, stride: int = 1, portable: bool = False) -> Column:
     """Hashed character k-grams sampled every ``stride`` chars (offset-
     sensitive; prefer :func:`line_gram_hashes` for containment candidates).
+
+    ``text`` is let-bound: it is referenced inside the per-gram lambda, and
+    a computed expression (e.g. a whitespace-stripping regexp_replace) would
+    otherwise re-evaluate per gram — O(n²) per row (see :func:`let`).
     """
-    n = F.length(text)
-    starts = F.when(
-        n >= k,
-        F.sequence(F.lit(1), n - k + 1, F.lit(stride)),
-    ).otherwise(F.array(F.lit(1)))
-    grams = F.transform(starts, lambda i: text.substr(i, F.lit(k)))
+
+    def body(t: Column) -> Column:
+        n = F.length(t)
+        starts = F.when(
+            n >= k,
+            F.sequence(F.lit(1), n - k + 1, F.lit(stride)),
+        ).otherwise(F.array(F.lit(1)))
+        return F.transform(starts, lambda i: t.substr(i, F.lit(k)))
+
     hash_one = (
         (lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
         if portable
         else (lambda s: F.xxhash64(s))
     )
-    return F.array_sort(F.array_distinct(F.transform(grams, hash_one)))
+    return F.array_sort(F.array_distinct(F.transform(let(text, body), hash_one)))

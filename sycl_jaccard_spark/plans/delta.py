@@ -68,7 +68,7 @@ from pyspark.sql import types as T
 
 from sycl_jaccard_spark.config import PipelineConfig
 from sycl_jaccard_spark.functions.minhash import minhash_simhash_udf, minhash_udf
-from sycl_jaccard_spark.functions.shingles import shingle_hashes, shingles, tokens
+from sycl_jaccard_spark.functions.shingles import doc_shingle_hashes
 from sycl_jaccard_spark.operators.components import connected_components
 from sycl_jaccard_spark.operators.lsh import candidate_pairs
 from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs
@@ -264,11 +264,7 @@ class DeltaDedup:
 
         # -- shingle + sign only the new uniques (signed ONCE, ever) --
         shingled = new_uniques.select(
-            "id",
-            shingle_hashes(
-                shingles(tokens(F.col("content")), cfg.shingle_k),
-                portable=cfg.portable_hashes,
-            ).alias("shingle_hashes"),
+            "id", doc_shingle_hashes(F.col("content"), cfg).alias("shingle_hashes")
         )
         shingled = self._write_batch("shingles", shingled, bid)
         n_new_uniques = shingled.count()

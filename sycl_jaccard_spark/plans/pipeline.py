@@ -23,10 +23,8 @@ from pyspark.sql import functions as F
 
 from sycl_jaccard_spark.config import PipelineConfig
 from sycl_jaccard_spark.functions.shingles import (
+    doc_shingle_hashes,
     line_gram_hashes,
-    shingle_hashes,
-    shingles,
-    tokens,
 )
 from sycl_jaccard_spark.functions.simhash import (
     n_simhash_tables,
@@ -262,10 +260,7 @@ class DedupPipeline:
         # executor memory, and minhash/simhash/verify read only the hashes.
         shingle_cols = [
             F.col("id"),
-            shingle_hashes(
-                shingles(tokens(F.col("content")), cfg.shingle_k),
-                portable=cfg.portable_hashes,
-            ).alias("shingle_hashes"),
+            doc_shingle_hashes(F.col("content"), cfg).alias("shingle_hashes"),
         ]
         if self.enable_substring:
             shingle_cols.append(F.col("content"))

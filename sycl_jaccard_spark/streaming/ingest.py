@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sycl_jaccard_spark.config import PipelineConfig
-from sycl_jaccard_spark.functions.shingles import shingle_hashes, shingles, tokens
+from sycl_jaccard_spark.functions.shingles import doc_shingle_hashes
 from sycl_jaccard_spark.operators.lsh import minhash_signatures
 from sycl_jaccard_spark.sources.corpus import SCHEMA
 
@@ -73,10 +73,7 @@ def incremental_signatures(files: DataFrame, cfg: PipelineConfig | None = None) 
     shingled = base.select(
         "id",
         "sha256",
-        shingle_hashes(
-            shingles(tokens(F.col("content")), cfg.shingle_k),
-            portable=cfg.portable_hashes,
-        ).alias("shingle_hashes"),
+        doc_shingle_hashes(F.col("content"), cfg).alias("shingle_hashes"),
     )
     return minhash_signatures(shingled, cfg)
 
@@ -135,10 +132,7 @@ def weighted_signature_batch_writer(
         shingled = incremental_exact_dedup(batch_df).select(
             "id",
             "sha256",
-            shingle_hashes(
-                shingles(tokens(F.col("content")), cfg.shingle_k),
-                portable=cfg.portable_hashes,
-            ).alias("shingle_hashes"),
+            doc_shingle_hashes(F.col("content"), cfg).alias("shingle_hashes"),
         )
         signed = weighted_signatures(
             shingled, idf, cfg.num_perms, cfg.seed,

@@ -234,3 +234,82 @@ def test_weighted_fused_udf_bit_equality(spark):
     sim_alone = df.select("id", simhash_udf(F.col("elems")).alias("sim")).collect()
     assert {r.id: r.sig for r in fused} == {r.id: r.sig for r in sig_alone}
     assert {r.id: r.sim for r in fused} == {r.id: r.sim for r in sim_alone}
+
+
+# ---- char-shingle mode (cfg.shingle_mode="char") ----
+
+_FORMATTED = "\n".join(
+    [
+        "def compute_total ( items , rate ) :",
+        "    total = 0",
+        "    for item in items :",
+        "        total = total + item * rate",
+        "    return total",
+        "def apply_discount ( price , pct ) :",
+        "    value = price - price * pct",
+        "    return value",
+    ]
+)
+# same code after whitespace mangling: indentation gone, single-space joins —
+# every token boundary shifts, so token shingles share almost nothing
+_MINIFIED = " ".join(_FORMATTED.replace(" ", "").split("\n"))
+
+
+def test_char_shingles_survive_whitespace_mangling(spark):
+    from sycl_jaccard_spark.config import PipelineConfig
+    from sycl_jaccard_spark.functions.shingles import doc_shingle_hashes
+
+    df = spark.createDataFrame(
+        [(1, _FORMATTED), (2, _MINIFIED)], "id long, content string"
+    )
+    for mode, expect in (("char", 1.0), ("token", 0.2)):
+        cfg = PipelineConfig(shingle_mode=mode)
+        rows = {
+            r["id"]: set(r["sh"])
+            for r in df.select(
+                "id", doc_shingle_hashes(F.col("content"), cfg).alias("sh")
+            ).collect()
+        }
+        a, b = rows[1], rows[2]
+        j = len(a & b) / len(a | b)
+        if mode == "char":
+            # whitespace is stripped before gramming: identical sets
+            assert j == expect, f"char-mode J={j}"
+        else:
+            assert j < expect, f"token-mode J={j} unexpectedly high"
+
+
+def test_char_shingle_stride_samples(spark):
+    from sycl_jaccard_spark.functions.shingles import char_shingle_hashes
+
+    text = "abcdefghij" * 10  # 100 chars
+    df = spark.createDataFrame([(text,)], "t string")
+    n1 = len(df.select(char_shingle_hashes(F.col("t"), 10, stride=1).alias("g")).first()["g"])
+    n5 = len(df.select(char_shingle_hashes(F.col("t"), 10, stride=5).alias("g")).first()["g"])
+    # periodic text: 100-10+1=91 start offsets but only 10 distinct grams at
+    # stride 1, and ceil(91/5)=19 starts -> <=10 distinct at stride 5
+    assert n1 == 10
+    assert 0 < n5 <= 10
+
+
+def test_short_text_char_shingles(spark):
+    from sycl_jaccard_spark.config import PipelineConfig
+    from sycl_jaccard_spark.functions.shingles import doc_shingle_hashes
+
+    cfg = PipelineConfig(shingle_mode="char")
+    df = spark.createDataFrame([(1, "tiny"), (2, "")], "id long, content string")
+    rows = {
+        r["id"]: r["sh"]
+        for r in df.select(
+            "id", doc_shingle_hashes(F.col("content"), cfg).alias("sh")
+        ).collect()
+    }
+    assert len(rows[1]) == 1  # whole text as one gram
+    assert rows[2] is not None  # empty text must not error
+
+
+def test_config_rejects_unknown_shingle_mode():
+    from sycl_jaccard_spark.config import PipelineConfig
+
+    with pytest.raises(ValueError, match="shingle_mode"):
+        PipelineConfig(shingle_mode="word")
