@@ -72,6 +72,10 @@ _PA, _PB = make_perms(N_PERMS, seed=42)
 # is purely an efficiency matter; keyed by SparkContext identity so a fresh
 # session never sees another session's localCheckpointed RDDs.
 _MEMO: dict = {}
+# observability for bench.py: per-process counters of memo reuse, so bench
+# walls can be labeled memo-assisted vs cold (VERDICT r4 #4 — cross-round
+# comparisons must not conflate cache hits with engine speedups)
+_MEMO_STATS = {"hits": 0, "misses": 0}
 
 
 def _memo(spark, sf_dir: str, name: str, build):
@@ -89,10 +93,13 @@ def _memo(spark, sf_dir: str, name: str, build):
     key = (ctx, sf_dir, name)
     val = _MEMO.get(key)
     if val is None:
+        _MEMO_STATS["misses"] += 1
         val = build()
         if isinstance(val, DataFrame):
             val = val.localCheckpoint(eager=True)
         _MEMO[key] = val
+    else:
+        _MEMO_STATS["hits"] += 1
     return val
 
 

@@ -76,13 +76,18 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "quality_stats",
     ]
     qs = entrymod.queries()
-    out = {}
+    out, memo_hits = {}, {}
     for name in names:
+        h0 = entrymod._MEMO_STATS["hits"]
         t0 = time.monotonic()
         df = qs[name](spark, sf_dir)
         df.agg(F.count(F.lit(1))).collect()
         out[name] = round(time.monotonic() - t0, 3)
-    return out
+        # memo-assisted walls are NOT comparable with cold walls across
+        # rounds — label each query with how many shared-prefix memo reuses
+        # it got (0 = genuinely cold)
+        memo_hits[name] = entrymod._MEMO_STATS["hits"] - h0
+    return out, memo_hits
 
 
 def main() -> None:
@@ -297,8 +302,9 @@ def main() -> None:
     spark = _mk_spark(cpus, "bench")
     t_all0 = time.monotonic()
     flagship_wall, n_files = run_flagship(spark, sf_dir)
-    queries = bench_queries(spark, sf_dir)
+    queries, memo_hits = bench_queries(spark, sf_dir)
     queries["dedup_pipeline"] = round(flagship_wall, 3)
+    memo_hits["dedup_pipeline"] = 0  # run_flagship builds the pipeline directly
     total = time.monotonic() - t_all0
     spark.stop()
     print(
@@ -308,6 +314,7 @@ def main() -> None:
                 "value": round(flagship_wall, 3),
                 "unit": "sec",
                 "queries": queries,
+                "memo_hits": memo_hits,
                 "sf": float(sf),
                 "files_per_sec": round(n_files / flagship_wall, 1),
                 "total_sec": round(total, 3),

@@ -173,6 +173,7 @@ def jaccard_pairs_weighted_arrays(
     id_col: str = "id",
     set_col: str = "set",
     with_counts: bool = False,
+    memberships: DataFrame | None = None,
 ) -> DataFrame:
     """Array-attach implementation of the weighted ``jaccard_list`` — same
     results as :func:`jaccard_pairs_weighted` over
@@ -206,12 +207,23 @@ def jaccard_pairs_weighted_arrays(
     sets = items.select(
         F.col(id_col).alias("_id"), F.array_distinct(set_col).alias("els")
     )
-    vol = (
-        sets.select("_id", F.explode("els").alias("elem"))
-        .join(w, "elem")
-        .groupBy("_id")
-        .agg(F.sum("w").alias("vol"))
-    )
+    if memberships is None:
+        vol = (
+            sets.select("_id", F.explode("els").alias("elem"))
+            .join(w, "elem")
+            .groupBy("_id")
+            .agg(F.sum("w").alias("vol"))
+        )
+    else:
+        # the caller already materialized the distinct (id, elem, w)
+        # relation (e.g. the pipeline's memberships stage): volumes become a
+        # plain groupBy over it — no second explode of the shingle relation
+        # per weighted run (VERDICT r4 #3)
+        vol = (
+            memberships.select(F.col(id_col).alias("_id"), "w")
+            .groupBy("_id")
+            .agg(F.sum("w").alias("vol"))
+        )
     a = sets.select(F.col("_id").alias("a"), F.col("els").alias("set_a"))
     b = sets.select(F.col("_id").alias("b"), F.col("els").alias("set_b"))
     attached = (

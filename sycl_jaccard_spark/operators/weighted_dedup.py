@@ -99,6 +99,7 @@ def weighted_signatures(
     materialize: bool = True,
     with_simhash: bool = False,
     default_weight: float | None = None,
+    memberships: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sig[, sim]) CWS signatures over IDF-weighted shingles. The weight
     join re-collects (elems, weights) arrays in one groupBy (weights must
@@ -113,9 +114,16 @@ def weighted_signatures(
     ``materialize=False`` skips the eager localCheckpoint — pass it when the
     caller materializes the result itself (e.g. a pipeline stage write); the
     checkpoint is otherwise REQUIRED before banding's explode (a pandas-UDF
-    column cannot feed a generator)."""
+    column cannot feed a generator).
+
+    ``memberships``: pass an already-materialized
+    :func:`weighted_memberships` relation to skip re-deriving it — the
+    pipeline's memberships stage feeds this AND the verify volumes, so the
+    shingle relation is exploded once per weighted run (VERDICT r4 #3)."""
+    if memberships is None:
+        memberships = weighted_memberships(shingled, idf, id_col, hash_col, default_weight)
     paired = (
-        weighted_memberships(shingled, idf, id_col, hash_col, default_weight)
+        memberships
         .groupBy("id")
         .agg(F.array_sort(F.collect_list(F.struct("elem", "w"))).alias("ew"))
         .select(

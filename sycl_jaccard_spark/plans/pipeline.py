@@ -35,7 +35,11 @@ from sycl_jaccard_spark.operators.components import connected_components
 from sycl_jaccard_spark.operators.exact_dedup import dedup_exact, with_sha256
 from sycl_jaccard_spark.operators.lsh import band_hashes, candidate_pairs, minhash_signatures
 from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs
-from sycl_jaccard_spark.operators.weighted_dedup import idf_weights, weighted_signatures
+from sycl_jaccard_spark.operators.weighted_dedup import (
+    idf_weights,
+    weighted_memberships,
+    weighted_signatures,
+)
 
 
 def banded_relation(signed: DataFrame, cfg: PipelineConfig, enable_simhash: bool) -> DataFrame:
@@ -293,6 +297,15 @@ class DedupPipeline:
                 idf_weights(sig_input, n_docs=n_docs if n_docs >= 0 else None),
                 upstream=("shingles",),
             )
+            # the distinct (id, elem, w) weighted membership relation is
+            # materialized ONCE and feeds BOTH the CWS signature stage and
+            # the verify volumes — previously each re-derived the
+            # explode+IDF-join (VERDICT r4 #3)
+            mships = self._stage(
+                "memberships",
+                weighted_memberships(sig_input, idf),
+                upstream=("shingles", "idf"),
+            )
             # SimHash stays an UNweighted bit-vote over the distinct shingle
             # elements — its near-miss recall role is orthogonal to candidate
             # weighting — but it is computed in the SAME fused Arrow pass as
@@ -302,8 +315,9 @@ class DedupPipeline:
                 weighted_signatures(
                     sig_input, idf, cfg.num_perms, cfg.seed,
                     materialize=False, with_simhash=self.enable_simhash,
+                    memberships=mships,
                 ),
-                upstream=("shingles", "idf"),
+                upstream=("memberships",),
             )
         elif self.enable_simhash:
             fused = minhash_simhash_udf(cfg.num_perms, cfg.seed)
@@ -393,6 +407,7 @@ class DedupPipeline:
                 idf,
                 cands,
                 with_counts=self.enable_substring,
+                memberships=mships,
             )
             accept = F.col("jaccard") >= (
                 cfg.weighted_verify_threshold

@@ -148,3 +148,28 @@ def test_idf_weights_is_pure_jvm_single_shuffle(spark):
     p = _plan(idf_weights(sh, n_docs=1))
     assert "EvalPython" not in p
     assert p.count("Exchange hashpartitioning") <= 2  # (id,elem) dedup + elem agg
+
+
+def test_weighted_arrays_with_memberships_single_generate(spark):
+    """With the pipeline's pre-materialized memberships relation, the
+    array-attach weighted verify must contain exactly ONE Generate (the
+    intersection explode) — the second explode of the shingle relation (for
+    volumes) is gone (VERDICT r4 #3)."""
+    from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs_weighted_arrays
+
+    items = spark.createDataFrame(
+        [(1, [10, 20]), (2, [10, 30])], "id long, set array<long>"
+    )
+    idf = spark.createDataFrame(
+        [(10, 0.5), (20, 1.0), (30, 1.5)], "elem long, w double"
+    )
+    m = spark.createDataFrame(
+        [(1, 10, 0.5), (1, 20, 1.0), (2, 10, 0.5), (2, 30, 1.5)],
+        "id long, elem long, w double",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    p_with = _plan(jaccard_pairs_weighted_arrays(items, idf, pairs, memberships=m))
+    p_without = _plan(jaccard_pairs_weighted_arrays(items, idf, pairs))
+    assert p_with.count("Generate") == 1, p_with
+    assert p_without.count("Generate") > 1
+    assert "EvalPython" not in p_with
