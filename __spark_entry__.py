@@ -432,6 +432,37 @@ def q_dedup_pipeline_full(spark, sf_dir):
     return _portable_clusters(spark, sf_dir, simhash=True).orderBy("id")
 
 
+def q_delta_dedup_clusters(spark, sf_dir):
+    """INCREMENTAL (delta) dedup runner over the same corpus, delivered in
+    TWO batches (doc_id parity split) to a persistent store
+    (plans/delta.py): each batch is signed once, banded against the stored
+    corpus, verified only on pairs touching a new id, and labels are merged
+    by incremental connected components. Label-for-label equivalent to one
+    full pipeline run (the tested delta≡full theorem), so the oracle is the
+    SAME end-to-end DuckDB replay as dedup_pipeline_clusters."""
+    import shutil
+    import tempfile
+
+    from sycl_jaccard_spark.plans.delta import DeltaDedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = documents_as_files(docs).select("id", "content")
+    cfg = PipelineConfig(
+        num_perms=N_PERMS, bands=N_BANDS, rows_per_band=N_PERMS // N_BANDS,
+        shingle_k=K, bucket_cap=10**9, portable_hashes=True,
+    )
+    store_dir = tempfile.mkdtemp(prefix="delta_contract_")
+    try:
+        store = DeltaDedup(spark, f"{store_dir}/store", cfg, enable_simhash=False)
+        for parity in (0, 1):
+            store.add_batch(files.filter(F.pmod("id", F.lit(2)) == parity))
+        # materialize BEFORE the store dir is removed — the clusters() plan
+        # reads the store's parquet lazily
+        return store.clusters().orderBy("id").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+
+
 def q_dedup_rep_selection(spark, sf_dir):
     """Corpus-level dedup ACTION on top of the portable pipeline clusters:
     longest-content representative per cluster (ties -> min id) and a full
@@ -562,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_topk": q_token_topk,
         "ann_cosine_topk": q_ann_cosine_topk,
         "dedup_pipeline_clusters": q_dedup_pipeline_clusters,
+        "delta_dedup_clusters": q_delta_dedup_clusters,
         "dedup_rep_selection": q_dedup_rep_selection,
         "dedup_pipeline_full": q_dedup_pipeline_full,
         "ann_lsh_candidates": q_ann_lsh_candidates,
@@ -895,6 +927,11 @@ SELECT a, b, cosine FROM cs WHERE cosine >= {EMB_THRESHOLD}"""
     # over the verified ∪ exact-dup edge set (dup clusters are small, so the
     # closure's O(component²) state is bounded).
     sql["dedup_pipeline_clusters"] = _cluster_replay_sql(with_simhash=False)
+    # delta runner: label-for-label equivalent to the full batch run by the
+    # tested delta≡full theorem (tests/test_delta.py), so the SAME replay
+    # verifies it — the oracle checks the batched store against the
+    # one-shot SQL semantics
+    sql["delta_dedup_clusters"] = _cluster_replay_sql(with_simhash=False)
     sql["dedup_pipeline_full"] = _cluster_replay_sql(with_simhash=True)
     # dedup_rep_selection: the same cluster replay, extended with longest-
     # content representative selection (ties -> min id) and the keep/drop

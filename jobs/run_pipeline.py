@@ -75,11 +75,38 @@ def parse_args(argv=None):
              "memberships, buckets, raw pair bound) + skew drop counter into "
              "metrics.jsonl — band/cap tuning observability (two extra agg jobs)",
     )
+    p.add_argument(
+        "--delta-store", default=None, metavar="DIR",
+        help="INCREMENTAL mode: treat --input as one delivery into this "
+             "persistent DeltaDedup store (signed once ever, banded against "
+             "the stored corpus, incremental connected components) instead "
+             "of a full pipeline run; clusters/ covers the WHOLE store",
+    )
+    p.add_argument(
+        "--delta-batch-id", type=int, default=None,
+        help="explicit batch id for --delta-store (replaying an id "
+             "overwrites its partitions — at-least-once safe); default: next",
+    )
+    p.add_argument(
+        "--shingle-mode", choices=["token", "char"], default="token",
+        help="char: whitespace-stripped char k-grams — robust to "
+             "minified/reformatted code where token boundaries move",
+    )
     p.add_argument("--cores", type=int, default=None, help="local[] cores (ignored under spark-submit)")
     args = p.parse_args(argv)
     if args.weighted_threshold is not None and not args.weighted:
         p.error("--weighted-threshold only applies with --weighted "
                 "(the unweighted verify uses --threshold)")
+    if args.delta_store is not None:
+        for flag, val, default in (
+            ("--weighted", args.weighted, False),
+            ("--substring", args.substring, False),
+            ("--pass-stats", args.pass_stats, False),
+            ("--rep-strategy", args.rep_strategy, "none"),
+            ("--checkpoint-dir", args.checkpoint_dir, None),
+        ):
+            if val != default:
+                p.error(f"{flag} is not available in --delta-store mode")
     return args
 
 
@@ -108,6 +135,7 @@ def main(argv=None) -> int:
 
     cfg = PipelineConfig(
         shingle_k=args.shingle_k,
+        shingle_mode=args.shingle_mode,
         num_perms=args.num_perms,
         bands=args.bands,
         rows_per_band=args.num_perms // args.bands,
@@ -118,6 +146,29 @@ def main(argv=None) -> int:
         candidate_weights="idf" if args.weighted else "none",
         weighted_verify_threshold=args.weighted_threshold,
     )
+
+    if args.delta_store is not None:
+        from sycl_jaccard_spark.plans.delta import DeltaDedup
+
+        store = DeltaDedup(
+            spark, args.delta_store, cfg, enable_simhash=not args.no_simhash
+        )
+        t0 = time.monotonic()
+        summary = store.add_batch(files, batch_id=args.delta_batch_id)
+        store.clusters().write.mode("overwrite").parquet(
+            os.path.join(args.output, "clusters")
+        )
+        wall = time.monotonic() - t0
+        os.makedirs(args.output, exist_ok=True)
+        store.metrics.append(
+            {"stage": "TOTAL", "wall_s": round(wall, 3), "rows": -1, "resumed": False}
+        )
+        store.write_metrics(os.path.join(args.output, "metrics.jsonl"))
+        print(json.dumps({"wall_s": round(wall, 3), "output": args.output, "batch": summary}))
+        if active is None:
+            spark.stop()
+        return 0
+
     pipe = DedupPipeline(
         spark,
         cfg,

