@@ -42,7 +42,13 @@ from sycl_jaccard_spark.session import get_spark  # noqa: E402
 
 DIM = 64
 N_CENTERS = 200     # mixture components (ground-truth cluster structure)
-NOISE = 0.35
+# noise radius ~ NOISE*sqrt(DIM) = 16 vs pairwise center distance
+# ~ sqrt(2*DIM) = 11.3: clusters overlap heavily, so true neighbors straddle
+# Voronoi/sign boundaries and the nprobe/bands tradeoff is visible. Probed
+# at 20k: NOISE<=1.5 saturates IVF (recall ~1.0 even at nprobe=1 — every
+# cluster fits one trained cell); 3.0 is nearly unclustered (0.09 at
+# nprobe=1). 2.0 yields a readable curve.
+NOISE = 2.0
 TOPK = 10
 N_QUERIES = 100
 SEED = 42
