@@ -181,22 +181,99 @@ The weighted stages (idf + CWS minhash) replace the fused MinHash⊕SimHash
 pass; the small-scale discrimination gate (weighted suppresses header-only
 merges the unweighted path makes at the same threshold) is
 tests/test_dedup_pipeline.py::test_weighted_pipeline_mode_boilerplate_recall_gate.
-Cost profile: ~1.6× the unweighted wall at this scale (105 s vs 65 s; was
-~5× before round-4's optimizations). Two engineering wins closed most of the
-gap: (1) the weighted verify now attaches sorted element arrays, intersects
-them in whole-stage codegen, and explodes ONLY the intersection before the
-weight join (Σ|A∩B| rows instead of Σ|A| hash-probe rows — verify stage
-158.7 s → ~10 s, dual-impl-tested against the exploded operator); (2) CWS
-draws its per-(element, perm) Gamma/uniform samples once per UNIQUE element
-per Arrow chunk and gathers (bit-identical; ~2.3× on boilerplate-heavy
-chunks), and SimHash is fused into the same Arrow pass (one JVM↔Python
-round-trip, no id-join). The residual cost is CWS itself — Gamma sampling
-per (element, perm) where plain MinHash does one integer fold. A MODE
-(per-corpus choice), not the default.
+Cost profile: ~2.2× the unweighted wall at this scale (~132 s best-of-3 vs
+59 s; r4 observed 105 s once with the unweighted control also ~11% faster
+that day — cross-day absolutes on this box carry that band). Round-5
+change: verify volumes are now emitted INSIDE the CWS Arrow pass
+(``with_volume`` — Σw over the weight arrays the UDF already holds), so a
+weighted run explodes the shingle relation exactly once; two rejected
+alternatives are in the ledger (materializing the full membership relation:
++0.7 GB checkpoint pressure, slower end-to-end; a JVM-side F.aggregate vol
+column beside the UDF: ships the arrays to Python AND re-consumes them
+JVM-side, +20-45% on the stage). The residual cost is CWS itself — Gamma
+sampling per (element, perm) where plain MinHash does one integer fold
+(precomputed sample table measured 17× worse — BENCH/BASELINE.md CWS
+ledger). A MODE (per-corpus choice), not the default.
 """)
     print(f"weighted recall={recall:.5f} precision={precision:.5f} wall={wall:.1f}s")
     spark.stop()
     return 0 if recall >= 0.99 else 1
+
+
+def char_mode_eval() -> int:
+    """Char-shingle mode (cfg.shingle_mode='char') where it matters: a corpus
+    whose duplicate pairs are WHITESPACE-MANGLED twins (minified/reformatted
+    code — every token boundary moves, so token shingles share ~nothing),
+    mixed with ordinary mutated near-dup pairs. Token vs char recall per
+    category — the data point VERDICT r4 #2 asked for.
+
+    Usage: python scripts/eval_recall.py --char-mode
+    """
+    import random
+
+    from sycl_jaccard_spark.sources.corpus import _base_file, _mutate
+
+    n_pairs = int(os.environ.get("SPARK_GRAFT_CHAR_PAIRS", "5000"))
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("char_mode_eval", cores=cores, shuffle_partitions=cores)
+    rng = random.Random(17)
+    rows, minified_pairs, mutated_pairs = [], [], []
+    fid = 0
+    for i in range(n_pairs):
+        base = _base_file(rng, n_funcs=5)
+        code = "\n".join(base)
+        rows.append((fid, code))
+        if i % 2 == 0:  # whitespace-mangled twin
+            twin = " ".join(code.replace(" ", "").split("\n"))
+            minified_pairs.append((fid, fid + 1))
+        else:           # ordinary mutated near-dup
+            twin = "\n".join(_mutate(rng, base, 0.05))
+            mutated_pairs.append((fid, fid + 1))
+        rows.append((fid + 1, twin))
+        fid += 2
+    for _ in range(n_pairs // 2):  # singletons (precision pressure)
+        rows.append((fid, "\n".join(_base_file(rng, n_funcs=5))))
+        fid += 1
+    files = spark.createDataFrame(rows, "id long, content string").localCheckpoint(eager=True)
+
+    results = {}
+    for mode in ("token", "char"):
+        cfg = PipelineConfig(shingle_mode=mode)
+        t0 = time.monotonic()
+        pipe = DedupPipeline(spark, cfg, enable_simhash=True, count_rows=False)
+        labels = {r.id: r.cluster for r in pipe.run(files).clusters.collect()}
+        wall = time.monotonic() - t0
+        rec = {
+            name: sum(1 for a, b in pairs if labels[a] == labels[b]) / len(pairs)
+            for name, pairs in (("minified", minified_pairs), ("mutated", mutated_pairs))
+        }
+        results[mode] = (rec, wall)
+        print(f"{mode}: minified={rec['minified']:.4f} mutated={rec['mutated']:.4f} wall={wall:.1f}s")
+
+    (rt, wt), (rc, wc) = results["token"], results["char"]
+    _replace_section("\n\n## Char-shingle mode", f"""
+
+## Char-shingle mode on a whitespace-mangled corpus
+
+{2 * n_pairs + n_pairs // 2:,} files: {len(minified_pairs):,} planted
+minified-twin pairs (all whitespace collapsed — every token boundary moves),
+{len(mutated_pairs):,} ordinary mutated near-dup pairs, plus singletons.
+Production config (MinHash 128, LSH 32x4, SimHash on), local[{cores}];
+char mode = whitespace-stripped 20-char grams (cfg.shingle_mode="char").
+
+| mode | minified-pair recall | mutated-pair recall | wall (s) |
+|---|---|---|---|
+| token (default) | {rt['minified']:.4f} | {rt['mutated']:.4f} | {wt:.1f} |
+| char | **{rc['minified']:.4f}** | {rc['mutated']:.4f} | {wc:.1f} |
+
+Token shingles structurally cannot see reformatted twins (recall
+{rt['minified']:.2f}); char mode recovers them while holding the ordinary
+near-dup recall, at ~{wc / wt:.1f}x the wall (stride-1 char grams produce
+~10x more shingles per file — raise ``char_shingle_stride`` to trade recall
+for cost). A MODE per corpus, not the default.
+""")
+    spark.stop()
+    return 0 if rc["minified"] >= 0.99 else 1
 
 
 def main() -> int:
@@ -297,4 +374,6 @@ if __name__ == "__main__":
         sys.exit(containment_eval())
     if "--weighted" in sys.argv:
         sys.exit(weighted_eval())
+    if "--char-mode" in sys.argv:
+        sys.exit(char_mode_eval())
     sys.exit(main())

@@ -103,16 +103,15 @@ def cws_batch(
         # factor, which is exactly what is large on the boilerplate-heavy
         # corpora the weighted mode exists for.
         uniq, inv = np.unique(e, return_inverse=True)
-        # Gamma(2,1) = -ln u1 - ln u2 = -ln(u1*u2): the FUSED form spends one
-        # log where the sum form spends two, and log dominates the sampling
-        # wall (measured 2.5x on the sampling step — BENCH/BASELINE.md CWS
-        # ledger entry). Distribution identical; float rounding differs, so
-        # signatures changed vs r4 (they are internal, not oracle-replayed).
-        r_u = -np.log(
-            _uniform(uniq, perm_salt, 0, seed) * _uniform(uniq, perm_salt, 1, seed)
-        )
+        # Gamma(2,1) = -ln u1 - ln u2 (two uniforms each for r and c), beta ~ U.
+        # The algebraically-equivalent fused form -ln(u1*u2) was tried and
+        # measured SLOWER on an isolated single-threaded rerun (5.89 s vs
+        # 6.74 s per 1000 docs; an earlier "2.5x faster" microbench ran
+        # under concurrent load and measured the box, not the code) — the
+        # two-log form stays. Ledger: BENCH/BASELINE.md CWS section.
+        r_u = -np.log(_uniform(uniq, perm_salt, 0, seed)) - np.log(_uniform(uniq, perm_salt, 1, seed))
         ln_c_u = np.log(
-            -np.log(_uniform(uniq, perm_salt, 2, seed) * _uniform(uniq, perm_salt, 3, seed))
+            -np.log(_uniform(uniq, perm_salt, 2, seed)) - np.log(_uniform(uniq, perm_salt, 3, seed))
         )
         beta_u = _uniform(uniq, perm_salt, 4, seed)
         r, ln_c, beta = r_u[inv], ln_c_u[inv], beta_u[inv]
@@ -134,10 +133,30 @@ def cws_batch(
     return pd.Series(out.tolist())
 
 
-def weighted_minhash_udf(num_perms: int, seed: int = 42):
+def vol_batch(weight_arrays: pd.Series) -> pd.Series:
+    """Per-doc volume Σw — computed INSIDE the Arrow pass where the weight
+    arrays already live. A JVM-side ``F.aggregate`` column next to the
+    pandas UDF was measured +20-45% on the signature stage at 100k: the
+    arrays are then BOTH shipped to Python and re-consumed JVM-side."""
+    return pd.Series(
+        [float(np.sum(v)) if v is not None and len(v) else 0.0 for v in weight_arrays]
+    )
+
+
+def weighted_minhash_udf(num_perms: int, seed: int = 42, with_volume: bool = False):
     """pandas UDF: (elems array<long>, weights array<double>) -> sig
-    array<long>. The output column is band-compatible with ``band_hashes``
-    (same shape as the unweighted MinHash signature)."""
+    array<long> (band-compatible with ``band_hashes``), or
+    struct(sig, vol) with ``with_volume=True``."""
+
+    if with_volume:
+
+        @F.pandas_udf("sig array<bigint>, vol double")
+        def _cws_v(elems: pd.Series, weights: pd.Series) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"sig": cws_batch(elems, weights, num_perms, seed), "vol": vol_batch(weights)}
+            )
+
+        return _cws_v
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _cws(elems: pd.Series, weights: pd.Series) -> pd.Series:
@@ -146,15 +165,31 @@ def weighted_minhash_udf(num_perms: int, seed: int = 42):
     return _cws
 
 
-def weighted_minhash_simhash_udf(num_perms: int, seed: int = 42):
+def weighted_minhash_simhash_udf(num_perms: int, seed: int = 42, with_volume: bool = False):
     """Fused pandas UDF: (elems, weights) -> struct(sig: array<long>,
-    sim: long) — the weighted-mode twin of ``minhash_simhash_udf``: CWS and
-    the (unweighted) SimHash bit-vote reduce the same element arrays, so one
-    Arrow round-trip and one Python-worker pass serve both. SimHash bit votes
-    are order-independent sums over DISTINCT elements, so computing them on
-    the sorted-distinct ``elems`` is bit-identical to the standalone
+    sim: long[, vol: double]) — the weighted-mode twin of
+    ``minhash_simhash_udf``: CWS and the (unweighted) SimHash bit-vote
+    reduce the same element arrays, so one Arrow round-trip and one
+    Python-worker pass serve both (and the Σw volume with
+    ``with_volume=True`` — see :func:`vol_batch`). SimHash bit votes are
+    order-independent sums over DISTINCT elements, so computing them on the
+    sorted-distinct ``elems`` is bit-identical to the standalone
     ``simhash_udf`` over the (already-distinct) shingle arrays."""
     from sycl_jaccard_spark.functions.simhash import simhash_batch
+
+    if with_volume:
+
+        @F.pandas_udf("sig array<bigint>, sim bigint, vol double")
+        def _fused_v(elems: pd.Series, weights: pd.Series) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "sig": cws_batch(elems, weights, num_perms, seed),
+                    "sim": simhash_batch(elems),
+                    "vol": vol_batch(weights),
+                }
+            )
+
+        return _fused_v
 
     @F.pandas_udf("sig: array<bigint>, sim: bigint")
     def _fused(elems: pd.Series, weights: pd.Series) -> pd.DataFrame:

@@ -174,6 +174,7 @@ def jaccard_pairs_weighted_arrays(
     set_col: str = "set",
     with_counts: bool = False,
     memberships: DataFrame | None = None,
+    volumes: DataFrame | None = None,
 ) -> DataFrame:
     """Array-attach implementation of the weighted ``jaccard_list`` — same
     results as :func:`jaccard_pairs_weighted` over
@@ -200,14 +201,24 @@ def jaccard_pairs_weighted_arrays(
     the corpus it verifies, so its relation is total; pass a
     ``default_weight`` through ``weighted_memberships`` for the streaming
     case. Volumes are one explode+join+groupBy over ``items`` — independent
-    of the pair count. Returns the same column set as
-    :func:`jaccard_pairs_weighted`.
+    of the pair count — unless ``volumes=`` (a precomputed (id, vol)
+    relation, e.g. the signature stage's free array-aggregate) or
+    ``memberships=`` short-circuits them. Float note: an array aggregate
+    sums elem-sorted weights left-to-right while groupBy(sum) is
+    order-free, so ``vol_*`` can differ in the last ulp between the
+    variants (dual-impl-tested at 1e-12 rel). Returns the same column set
+    as :func:`jaccard_pairs_weighted`.
     """
     w = weights.select("elem", "w")
     sets = items.select(
         F.col(id_col).alias("_id"), F.array_distinct(set_col).alias("els")
     )
-    if memberships is None:
+    if volumes is not None:
+        # the signature stage computed vol = Σw as a free array aggregate
+        # (weighted_signatures with_volume=True) — no explode, no groupBy,
+        # just a projection of an already-materialized stage
+        vol = volumes.select(F.col(id_col).alias("_id"), "vol")
+    elif memberships is None:
         vol = (
             sets.select("_id", F.explode("els").alias("elem"))
             .join(w, "elem")

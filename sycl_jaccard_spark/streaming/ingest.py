@@ -78,6 +78,36 @@ def incremental_signatures(files: DataFrame, cfg: PipelineConfig | None = None) 
     return minhash_signatures(shingled, cfg)
 
 
+def delta_store_batch_writer(store):
+    """``foreachBatch`` function that delivers each micro-batch of
+    (repo, path, commit, lang, content) files into a :class:`DeltaDedup`
+    store — the streaming leg of the incremental pipeline: the stream keeps
+    the store's corpus state current, batch consumers read
+    ``store.clusters()`` whenever they need labels.
+
+    Semantics line up exactly: ``foreachBatch`` is at-least-once with a
+    monotone epoch id, and ``DeltaDedup.add_batch(batch_id=epoch)``
+    overwrites that batch's partitions on replay — so a crash between write
+    and commit re-delivers into the same partitions instead of duplicating
+    rows. Dedicate the store to ONE stream (mixing manual ``add_batch``
+    calls with stream epochs would collide batch ids).
+
+    Usage::
+
+        store = DeltaDedup(spark, store_dir, cfg)
+        (read_file_stream(spark, src).writeStream
+            .foreachBatch(delta_store_batch_writer(store))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start())
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        files = incremental_exact_dedup(batch_df).select("id", "content")
+        store.add_batch(files, batch_id=batch_id)
+
+    return write_batch
+
+
 def weighted_signature_batch_writer(
     idf: DataFrame,
     out_path: str,

@@ -677,3 +677,46 @@ def test_streaming_weighted_signatures_novel_files_and_replay(spark, tmp_path):
     # replay the same batch id: overwrite, not append
     writer(batch, 0)
     assert spark.read.parquet(out).count() == 2
+
+
+def test_streaming_delta_store_equals_full_run(spark, tmp_path):
+    """Streaming leg of the incremental pipeline: two availableNow waves
+    through foreachBatch(delta_store_batch_writer) must leave the store
+    label-for-label equal to one full batch pipeline over all files."""
+    from sycl_jaccard_spark.plans.delta import DeltaDedup
+    from sycl_jaccard_spark.plans.pipeline import DedupPipeline
+    from sycl_jaccard_spark.streaming.ingest import (
+        delta_store_batch_writer,
+        incremental_exact_dedup,
+        read_file_stream,
+    )
+
+    files, _ = synth_source_files(
+        spark, CorpusSpec(n_files=80, n_clusters=15, seed=23)
+    )
+    files = files.localCheckpoint(eager=True)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = PipelineConfig(num_perms=32, bands=8, rows_per_band=4)
+    store = DeltaDedup(spark, str(tmp_path / "store"), cfg)
+
+    # wave 1, then wave 2 — separate epochs through one checkpointed stream
+    w1 = files.filter(F.pmod(F.xxhash64("path"), F.lit(2)) == 0)
+    w2 = files.join(w1, ["repo", "path", "commit"], "left_anti")
+    for wave in (w1, w2):
+        wave.write.mode("append").parquet(src)
+        q = (
+            read_file_stream(spark, src)
+            .writeStream.foreachBatch(delta_store_batch_writer(store))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    batch_files = incremental_exact_dedup(files).select("id", "content")
+    full = DedupPipeline(spark, cfg).run(batch_files)
+    expect = {(r.id, r.cluster) for r in full.clusters.collect()}
+    got = {(r.id, r.cluster) for r in store.clusters().collect()}
+    assert got == expect
+    assert len(got) == 80

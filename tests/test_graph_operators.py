@@ -284,16 +284,29 @@ def test_jaccard_pairs_weighted_dual_impl_consistency(spark):
                     items, idf, pairs_df, with_counts=wc
                 ).collect()
             }
-            # memberships= variant: volumes from the pre-materialized
-            # relation instead of a second explode (the pipeline hot path)
+            # memberships= / volumes= variants: volumes from a
+            # pre-materialized relation instead of a second explode
+            # (volumes= — the signature stage's free array aggregate — is
+            # the pipeline hot path)
             got_m = {
                 (r.a, r.b): r.asDict()
                 for r in jaccard_pairs_weighted_arrays(
                     items, idf, pairs_df, with_counts=wc, memberships=memberships
                 ).collect()
             }
-            assert set(exp) == set(got) == set(got_m) == set(pairs)
+            vols = spark.createDataFrame(
+                [(i, float(sum(weights[e] for e in es))) for i, es in members.items()],
+                "id long, vol double",
+            )
+            got_v = {
+                (r.a, r.b): r.asDict()
+                for r in jaccard_pairs_weighted_arrays(
+                    items, idf, pairs_df, with_counts=wc, volumes=vols
+                ).collect()
+            }
+            assert set(exp) == set(got) == set(got_m) == set(got_v) == set(pairs)
             for k in pairs:
                 for col in exp[k]:
                     assert got[k][col] == pytest.approx(exp[k][col], rel=1e-12), (k, col)
                     assert got_m[k][col] == pytest.approx(exp[k][col], rel=1e-12), (k, col)
+                    assert got_v[k][col] == pytest.approx(exp[k][col], rel=1e-12), (k, col)

@@ -168,11 +168,17 @@ def test_weighted_arrays_with_memberships_single_generate(spark):
         "id long, elem long, w double",
     )
     pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    vols = spark.createDataFrame([(1, 1.5), (2, 2.0)], "id long, vol double")
     p_with = _plan(jaccard_pairs_weighted_arrays(items, idf, pairs, memberships=m))
+    p_vol = _plan(jaccard_pairs_weighted_arrays(items, idf, pairs, volumes=vols))
     p_without = _plan(jaccard_pairs_weighted_arrays(items, idf, pairs))
     assert p_with.count("Generate") == 1, p_with
+    # volumes= (the pipeline hot path: vol precomputed as a free array
+    # aggregate in the signature stage) — also exactly one Generate, and no
+    # groupBy aggregation for volumes at all
+    assert p_vol.count("Generate") == 1, p_vol
     assert p_without.count("Generate") > 1
-    assert "EvalPython" not in p_with
+    assert "EvalPython" not in p_with and "EvalPython" not in p_vol
 
 
 def test_bucketed_shingles_checkpoint_avoids_items_exchange(spark, tmp_path):
