@@ -149,17 +149,18 @@ local[{cores}].
 
 | variant | wall (s) |
 |---|---|
-| in-UDF unique-per-chunk sampling (current, with fused-log Gamma) | {wall_udf:.1f} |
+| in-UDF unique-per-chunk sampling (current) | {wall_udf:.1f} |
 | precomputed sample table: build | {table_build:.1f} |
 | precomputed sample table: join + posexplode + min_by reduction | {wall_table:.1f} |
 
 **{verdict}** — the relational reduction multiplies the membership relation
 by num_perms ({n_m:,} → {n_m * NUM_PERMS:,} rows through the exchange), so
-the shuffle cost dwarfs the sampling FLOPs it saves; the in-UDF path also
-got 2.5x cheaper sampling this round by drawing Gamma(2,1) as -ln(u1*u2)
-(one log instead of two). Re-try the table only if num_perms shrinks
-drastically or element repetition across chunks grows far beyond the
-boilerplate corpora measured here.
+the shuffle cost dwarfs the sampling FLOPs it saves. (A fused-log Gamma
+draw -ln(u1*u2) was ALSO tried and reverted: a contended microbench said
+2.5x faster, an isolated single-threaded rerun said 14% slower — the
+two-log r4 form stays, and so do the r4 signature bits.) Re-try the table
+only if num_perms shrinks drastically or element repetition across chunks
+grows far beyond the boilerplate corpora measured here.
 """)
     spark.stop()
     return 0

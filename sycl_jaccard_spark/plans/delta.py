@@ -90,7 +90,27 @@ class DeltaDedup:
     the whole edge store (the equivalence test runs both and asserts equal
     labels). Both scale with the DUP GRAPH, not the corpus; incremental
     additionally scales star rounds with the touched subgraph only.
+
+    Long-lived stores accumulate one ``batch=N`` partition per delivery; at
+    daily cadence that is thousands of directories of small files, and the
+    candidate join's scan planning (file listing + footer reads) starts to
+    cost more than the data. :meth:`compact` folds every batch partition of
+    each additive relation into one consolidated partition — rows preserved
+    verbatim, labels untouched — and closes the replay window for the
+    pre-compaction batch ids (guarded, not just documented: ``add_batch``
+    refuses a ``batch_id`` at or below the compaction horizon, since its
+    rows now live inside the consolidated partition and an overwrite-replay
+    would duplicate them).
     """
+
+    # additive relations (partitioned by batch=N) and their schemas — the
+    # single source of truth for _read/compact
+    _RELATIONS = {
+        "files": "id long, sha256 string, is_rep boolean",
+        "shingles": "id long, shingle_hashes array<long>",
+        "banded": "id long, band int, band_hash long",
+        "edges": "a long, b long, jaccard double",
+    }
 
     def __init__(
         self,
@@ -113,6 +133,13 @@ class DeltaDedup:
         self.enable_simhash = enable_simhash
         self.cc_mode = cc_mode
         self.metrics: list[dict] = []
+        if self._exists(f"{self.root}/_compact_tmp"):
+            raise ValueError(
+                f"delta store {self.root} has a leftover _compact_tmp — a "
+                "compaction was interrupted before the swap completed; "
+                "inspect which relations were already swapped (the tmp dir "
+                "holds complete consolidated copies) before deleting it"
+            )
         self._check_config()
 
     # ---- store plumbing ----
@@ -217,6 +244,14 @@ class DeltaDedup:
         cfg = self.cfg
         existing = self.batch_ids()
         bid = batch_id if batch_id is not None else (existing[-1] + 1 if existing else 0)
+        horizon = self.compacted_through()
+        if bid <= horizon:
+            raise ValueError(
+                f"batch_id {bid} is at or below the compaction horizon "
+                f"({horizon}): its rows were folded into the consolidated "
+                "partition, so an overwrite-replay would duplicate them — "
+                "compact() closes the replay window for prior batch ids"
+            )
         t0 = time.monotonic()
         t_start = t0
 
@@ -397,6 +432,78 @@ class DeltaDedup:
         kept = old_labels.join(F.broadcast(affected), "label", "left_anti")
         return kept.unionByName(sub_labels)
 
+    # ---- store maintenance ----
+
+    def compacted_through(self) -> int:
+        """Highest batch id folded into a consolidated partition by
+        :meth:`compact`; -1 when the store has never been compacted.
+        ``add_batch`` refuses batch ids at or below this horizon."""
+        path = f"{self.root}/_compacted_through"
+        if not self._exists(path):
+            return -1
+        row = self.spark.read.text(path).first()
+        return int(row.value) if row is not None else -1
+
+    def compact(self, files_per_relation: int = 32) -> dict:
+        """Fold every ``batch=N`` partition of each additive relation into
+        ONE consolidated partition (``batch=<max existing id>``), rows
+        preserved verbatim, ``labels/`` untouched. Future ``add_batch``
+        calls continue from max+1 exactly as before; replays of
+        pre-compaction batch ids are refused (see class docstring).
+
+        Run it when the store is quiescent (no live stream mid-epoch): the
+        streaming leg's at-least-once window only ever spans the LAST
+        epoch, whose id equals the compaction target, so a stream restarted
+        from its checkpoint resumes at target+1 and never collides.
+
+        Two-phase: all consolidated copies are written to
+        ``_compact_tmp/`` first, then each relation directory is swapped
+        via delete+rename. A crash mid-swap leaves ``_compact_tmp`` in
+        place (complete copies of every relation) and the constructor
+        refuses the store until it is resolved — no window loses rows.
+
+        ``files_per_relation`` bounds the output file count per relation
+        (the point of compacting: O(batches × partitions) small files →
+        O(1) right-sized ones)."""
+        bids = self.batch_ids()
+        t0 = time.monotonic()
+        if len(bids) <= 1:
+            return {"compacted": False, "n_batches": len(bids)}
+        target = bids[-1]
+        summary: dict = {
+            "compacted": True,
+            "into_batch": target,
+            "n_batches": len(bids),
+            "rows": {},
+        }
+        # phase 1: write every consolidated copy (no destructive step yet)
+        for name, schema in self._RELATIONS.items():
+            tmp = f"{self.root}/_compact_tmp/{name}/batch={target}"
+            (
+                self._read(name, schema)
+                .drop("batch")
+                .repartition(files_per_relation)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            summary["rows"][name] = self.spark.read.parquet(tmp).count()
+        # phase 2: swap directories (metadata-only; crash leaves tmp intact)
+        for name in self._RELATIONS:
+            fs, old = self._fs(f"{self.root}/{name}")
+            fs.delete(old, True)
+            _, tmp_path = self._fs(f"{self.root}/_compact_tmp/{name}")
+            fs.rename(tmp_path, old)
+            self.spark.catalog.refreshByPath(f"{self.root}/{name}")
+        fs, tmp_root = self._fs(f"{self.root}/_compact_tmp")
+        fs.delete(tmp_root, True)
+        self.spark.createDataFrame([(str(target),)], "value string").coalesce(
+            1
+        ).write.mode("overwrite").text(f"{self.root}/_compacted_through")
+        summary["wall_s"] = round(time.monotonic() - t0, 3)
+        self._write_lineage("edges", target, {"compaction": summary})
+        self.metrics.append({"stage": "compact", **summary})
+        return summary
+
     # ---- outputs ----
 
     def edges(self) -> DataFrame:
@@ -414,6 +521,26 @@ class DeltaDedup:
         )
         return files.join(labels, files.id == labels.node, "left").select(
             "id", F.coalesce("label", F.col("id")).alias("cluster")
+        )
+
+    def deduplicate(
+        self,
+        files: DataFrame,
+        strategy: str = "longest",
+        id_col: str = "id",
+        content_col: str = "content",
+    ) -> tuple[DataFrame, DataFrame]:
+        """Corpus-level dedup ACTION over the store's current labels — the
+        same (kept_files, manifest) contract as the batch pipeline's
+        :func:`~sycl_jaccard_spark.operators.representatives.deduplicate_corpus`.
+        The store keeps identity (sha256/shingles/edges/labels), not
+        content, so pass the corpus ``files`` relation (id, content) —
+        typically the same Iceberg/parquet table the deliveries were
+        ingested from. ``strategy="min_id"`` needs no content column."""
+        from sycl_jaccard_spark.operators.representatives import deduplicate_corpus
+
+        return deduplicate_corpus(
+            files, self.clusters(), strategy, id_col=id_col, content_col=content_col
         )
 
     def write_metrics(self, path: str) -> None:

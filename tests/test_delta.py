@@ -149,3 +149,68 @@ def test_delta_config_mismatch_refuses(spark, tmp_path, corpus):
 def test_delta_rejects_weighted_mode(spark, tmp_path):
     with pytest.raises(ValueError, match="candidate_weights"):
         DeltaDedup(spark, str(tmp_path / "s"), PipelineConfig(candidate_weights="idf"))
+
+
+def test_compact_preserves_state_and_continues(spark, tmp_path, corpus):
+    """compact() folds batch partitions without changing any observable:
+    clusters and edges identical before/after, and a post-compaction
+    delivery still reproduces the full batch pipeline label-for-label."""
+    b = _batches(corpus, 4)
+    store = DeltaDedup(spark, str(tmp_path / "store"), CFG)
+    for batch in b[:3]:
+        store.add_batch(batch)
+    before_c = _clusters(store.clusters())
+    before_e = {(r["a"], r["b"]) for r in store.edges().collect()}
+    summary = store.compact(files_per_relation=4)
+    assert summary["compacted"] and summary["n_batches"] == 3
+    assert store.batch_ids() == [2]
+    assert store.compacted_through() == 2
+    assert _clusters(store.clusters()) == before_c
+    assert {(r["a"], r["b"]) for r in store.edges().collect()} == before_e
+    store.add_batch(b[3])
+    full = DedupPipeline(spark, CFG, enable_substring=False).run(corpus)
+    assert _clusters(store.clusters()) == _clusters(full.clusters)
+
+
+def test_compact_reduces_file_count_and_closes_replay_window(
+    spark, tmp_path, corpus
+):
+    store = DeltaDedup(spark, str(tmp_path / "store"), CFG)
+    b0, b1, _ = _batches(corpus, 3)
+    store.add_batch(b0, batch_id=0)
+    store.add_batch(b1, batch_id=1)
+    root = tmp_path / "store"
+    n_before = len(list((root / "banded").glob("**/part-*.parquet")))
+    store.compact(files_per_relation=2)
+    n_after = len(list((root / "banded").glob("**/part-*.parquet")))
+    assert n_after == 2 < n_before
+    # replaying a folded batch id must refuse (its rows now live in the
+    # consolidated partition — an overwrite would duplicate them)
+    with pytest.raises(ValueError, match="compaction horizon"):
+        store.add_batch(b0, batch_id=1)
+    # idempotent no-op on an already-single-batch store
+    assert store.compact() == {"compacted": False, "n_batches": 1}
+
+
+def test_interrupted_compaction_refused(spark, tmp_path, corpus):
+    store = DeltaDedup(spark, str(tmp_path / "store"), CFG)
+    store.add_batch(_batches(corpus, 3)[0])
+    (tmp_path / "store" / "_compact_tmp").mkdir()
+    with pytest.raises(ValueError, match="_compact_tmp"):
+        DeltaDedup(spark, str(tmp_path / "store"), CFG)
+
+
+def test_store_deduplicate_matches_batch_action(spark, tmp_path, corpus):
+    """The store's corpus-level dedup ACTION must agree with the batch
+    operator run over the equivalent full-pipeline clusters."""
+    from sycl_jaccard_spark.operators.representatives import deduplicate_corpus
+
+    store = DeltaDedup(spark, str(tmp_path / "store"), CFG)
+    for batch in _batches(corpus, 3):
+        store.add_batch(batch)
+    kept_s, man_s = store.deduplicate(corpus)
+    full = DedupPipeline(spark, CFG, enable_substring=False).run(corpus)
+    kept_b, man_b = deduplicate_corpus(corpus, full.clusters)
+    assert {r["id"] for r in kept_s.collect()} == {r["id"] for r in kept_b.collect()}
+    rows = lambda df: {tuple(r) for r in df.select("id", "cluster", "rep_id", "kept").collect()}
+    assert rows(man_s) == rows(man_b)
