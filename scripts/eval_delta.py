@@ -50,7 +50,7 @@ def main() -> int:
         files, _ = synth_source_files(spark, spec)
         segs.append(
             with_file_id(files).select(
-                (F.col("id") + F.lit(i * (1 << 45))).alias("id"), "content"
+                F.col("id").bitwiseXOR(F.lit(i * (1 << 45))).alias("id"), "content"
             ).localCheckpoint(eager=True)
         )
 
@@ -60,7 +60,7 @@ def main() -> int:
         return (
             seg.limit(n_probe)
             .select(
-                (F.col("id") + F.lit((10 + j) * (1 << 41))).alias("id"),
+                F.col("id").bitwiseXOR(F.lit((10 + j) * (1 << 41))).alias("id"),
                 F.concat(F.col("content"), F.lit(f"\nprobe = {j}")).alias("content"),
             )
             .localCheckpoint(eager=True)
@@ -75,10 +75,15 @@ def main() -> int:
         store.add_batch(seg)
         grow_wall = time.monotonic() - t0
         corpus_size += n_seg
-        t0 = time.monotonic()
-        summary = store.add_batch(probe_batch(seg, i))
-        probe_wall = time.monotonic() - t0
-        corpus_size += n_probe
+        # best-of-2 probes per store size (min-estimator discipline — noise
+        # on this shared box only ever ADDS wall time; single observations
+        # carry a 1.5x swing that would dominate the growth ratio)
+        probe_wall = float("inf")
+        for rep in range(2):
+            t0 = time.monotonic()
+            summary = store.add_batch(probe_batch(seg, 2 * i + rep))
+            probe_wall = min(probe_wall, time.monotonic() - t0)
+            corpus_size += n_probe
         rows.append((corpus_size, n_seg, grow_wall, n_probe, probe_wall, summary["n_new_edges"]))
         print(f"store={corpus_size}: grow({n_seg})={grow_wall:.1f}s probe({n_probe})={probe_wall:.1f}s")
 
@@ -91,7 +96,51 @@ def main() -> int:
     res = DedupPipeline(spark, cfg, count_rows=False).run(full_corpus)
     res.clusters.count()
     full_wall = time.monotonic() - t0
-    print(f"full pipeline over {corpus_size - 3 * n_probe} files: {full_wall:.1f}s")
+    print(f"full pipeline over {3 * n_seg} files: {full_wall:.1f}s")
+
+    # -- compaction payoff: fragment the store with many tiny deliveries
+    # (the daily-cadence shape), CLONE it, compact only the clone, then
+    # deliver IDENTICAL probe batches to both stores interleaved (order
+    # alternated per round, best-of-2 each) — the wall delta is pure
+    # store-layout cost, with session drift cancelled by interleaving --
+    n_tiny = int(os.environ.get("SPARK_GRAFT_DELTA_TINY_BATCHES", "20"))
+    for j in range(n_tiny):
+        store.add_batch(
+            segs[j % 3].limit(200).select(
+                F.col("id").bitwiseXOR(F.lit((100 + j) * (1 << 41))).alias("id"),
+                F.concat(F.col("content"), F.lit(f"\ntiny = {j}")).alias("content"),
+            )
+        )
+
+    def count_part_files(root: str) -> int:
+        n = 0
+        for _dirpath, _dirs, fnames in os.walk(root):
+            n += sum(1 for f in fnames if f.startswith("part-") and f.endswith(".parquet"))
+        return n
+
+    clone = f"{store_dir}/clone"
+    shutil.copytree(f"{store_dir}/store", clone)
+    cstore = DeltaDedup(spark, clone, cfg)
+    csum = cstore.compact()
+    files_before = count_part_files(f"{store_dir}/store")
+    files_after = count_part_files(clone)
+    walls: dict[str, list[float]] = {"frag": [], "compact": []}
+    for rnd in range(2):
+        pb = probe_batch(segs[rnd], 20 + rnd)
+        order = [("frag", store), ("compact", cstore)]
+        if rnd % 2:
+            order.reverse()
+        for name, st in order:
+            t0 = time.monotonic()
+            st.add_batch(pb)
+            walls[name].append(time.monotonic() - t0)
+    frag_probe_wall = min(walls["frag"])
+    compact_probe_wall = min(walls["compact"])
+    print(
+        f"compaction: {files_before} part files -> {files_after}; probe "
+        f"{frag_probe_wall:.1f}s (fragmented, {csum['n_batches']} batches) vs "
+        f"{compact_probe_wall:.1f}s (compacted); fold wall {csum['wall_s']}s"
+    )
 
     probe_walls = [r[4] for r in rows]
     growth = probe_walls[-1] / probe_walls[0] if probe_walls[0] else float("inf")
@@ -107,18 +156,32 @@ def main() -> int:
 
 local[{cores}], config defaults (MinHash 128, LSH 32x4, SimHash on). Probe
 batches are {n_probe:,} near-dups of STORED content (worst case: every probe
-file touches stored buckets). Corpus grew {corpus_growth:.1f}x across probes;
-probe wall grew {growth:.2f}x -> **{verdict}** (per-batch cost tracks batch
-size, not corpus size).
+file touches stored buckets); probe walls are best-of-2 (min-estimator —
+single observations on this box carry a 1.5x swing). Corpus grew
+{corpus_growth:.1f}x across probes; probe wall grew {growth:.2f}x ->
+**{verdict}** (per-batch cost tracks batch size, not corpus size).
 
 | store size after | growth batch | wall (s) | probe batch | probe wall (s) |
 |---|---|---|---|---|
 {lines}
 
-One FULL pipeline run over the final {corpus_size - 3 * n_probe:,}-file corpus
+One FULL pipeline run over the final {3 * n_seg:,}-file corpus
 (what a batch-only engine pays per delivery): **{full_wall:.1f} s** vs
 **{probe_walls[-1]:.1f} s** for the delta probe at the same store size —
 **{full_wall / probe_walls[-1]:.1f}x** cheaper per delivery.
+
+### Compaction (store.compact())
+
+After {n_tiny} additional tiny (200-file) deliveries — the daily-cadence
+fragmentation shape — the store held {csum["n_batches"]} batch partitions /
+{files_before:,} parquet part files; compact() on a cloned copy folded them
+to {files_after:,} files in {csum["wall_s"]:.1f} s. IDENTICAL probe batches
+delivered to both stores, interleaved, order alternated, best-of-2:
+**{frag_probe_wall:.1f} s fragmented vs {compact_probe_wall:.1f} s
+compacted**. At sandbox scale the listing/footer cost the fold removes is
+small — the operational case is object storage at thousands of batches,
+where per-file LIST/GET dominates scan planning; rows and labels are
+proven invariant in tests/test_delta.py.
 """)
     shutil.rmtree(store_dir, ignore_errors=True)
     spark.stop()

@@ -438,7 +438,9 @@ class DeltaDedup:
         """Highest batch id folded into a consolidated partition by
         :meth:`compact`; -1 when the store has never been compacted.
         ``add_batch`` refuses batch ids at or below this horizon."""
-        path = f"{self.root}/_compacted_through"
+        # NOT underscore-prefixed: Spark file sources treat _-prefixed
+        # paths as hidden (explicit top-level reads work but WARN)
+        path = f"{self.root}/compaction_horizon"
         if not self._exists(path):
             return -1
         row = self.spark.read.text(path).first()
@@ -498,7 +500,7 @@ class DeltaDedup:
         fs.delete(tmp_root, True)
         self.spark.createDataFrame([(str(target),)], "value string").coalesce(
             1
-        ).write.mode("overwrite").text(f"{self.root}/_compacted_through")
+        ).write.mode("overwrite").text(f"{self.root}/compaction_horizon")
         summary["wall_s"] = round(time.monotonic() - t0, 3)
         self._write_lineage("edges", target, {"compaction": summary})
         self.metrics.append({"stage": "compact", **summary})

@@ -185,7 +185,9 @@ def test_compact_reduces_file_count_and_closes_replay_window(
     n_after = len(list((root / "banded").glob("**/part-*.parquet")))
     assert n_after == 2 < n_before
     # replaying a folded batch id must refuse (its rows now live in the
-    # consolidated partition — an overwrite would duplicate them)
+    # consolidated partition — an overwrite would duplicate them), and the
+    # horizon must survive a store reopen from disk
+    assert DeltaDedup(spark, str(root), CFG).compacted_through() == 1
     with pytest.raises(ValueError, match="compaction horizon"):
         store.add_batch(b0, batch_id=1)
     # idempotent no-op on an already-single-batch store
