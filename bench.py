@@ -60,8 +60,8 @@ def run_flagship(spark, sf_dir: str) -> tuple[float, int]:
     return min(walls), n
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
-    """Headline per-query wall times (seconds)."""
+def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]:
+    """Headline per-query wall times (seconds) + per-query memo-reuse counts."""
     import __spark_entry__ as entrymod
 
     names = [

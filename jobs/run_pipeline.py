@@ -84,8 +84,9 @@ def parse_args(argv=None):
     )
     p.add_argument(
         "--delta-batch-id", type=int, default=None,
-        help="explicit batch id for --delta-store (replaying an id "
-             "overwrites its partitions — at-least-once safe); default: next",
+        help="explicit batch id for --delta-store (replaying the LATEST id "
+             "overwrites its partitions — at-least-once safe; earlier ids "
+             "are refused); default: next",
     )
     p.add_argument(
         "--shingle-mode", choices=["token", "char"], default="token",
@@ -107,6 +108,9 @@ def parse_args(argv=None):
         ):
             if val != default:
                 p.error(f"{flag} is not available in --delta-store mode")
+    elif args.delta_batch_id is not None:
+        p.error("--delta-batch-id only applies with --delta-store "
+                "(a batch id is meaningless for a one-shot pipeline run)")
     return args
 
 

@@ -206,6 +206,20 @@ class DeltaDedup:
                 out.append(int(name.split("=", 1)[1]))
         return sorted(out)
 
+    def incomplete_batch_ids(self) -> list[int]:
+        """Batches whose ``files/`` partition exists but whose ``edges/``
+        lineage (written LAST in ``add_batch``) is missing — the signature
+        of a crash mid-ingest. Such a batch holds ``is_rep`` rows whose
+        content was never shingled/signed, so later batches would silently
+        treat it as already-stored and lose every near-dup edge to it;
+        ``add_batch`` refuses NEW batches until the incomplete one is
+        replayed (replaying it overwrites its partitions — at-least-once)."""
+        return [
+            bid
+            for bid in self.batch_ids()
+            if not self._exists(f"{self.root}/edges/batch={bid}/_lineage.json")
+        ]
+
     def _write_batch(self, name: str, df: DataFrame, bid: int) -> DataFrame:
         path = f"{self.root}/{name}/batch={bid}"
         df.write.mode("overwrite").parquet(path)
@@ -239,8 +253,10 @@ class DeltaDedup:
         batch_id: int | None = None,
     ) -> dict:
         """Ingest one delivery. Returns the batch summary dict (also appended
-        to ``self.metrics``). Replaying a ``batch_id`` overwrites that
-        batch's partitions — at-least-once safe."""
+        to ``self.metrics``). Replaying the LATEST ``batch_id`` overwrites
+        that batch's partitions — at-least-once safe; earlier batch ids are
+        refused (later batches already verified cross-batch pairs against
+        their rows, so a re-run would duplicate those edges)."""
         cfg = self.cfg
         existing = self.batch_ids()
         bid = batch_id if batch_id is not None else (existing[-1] + 1 if existing else 0)
@@ -252,13 +268,46 @@ class DeltaDedup:
                 "partition, so an overwrite-replay would duplicate them — "
                 "compact() closes the replay window for prior batch ids"
             )
+        if existing and bid < existing[-1]:
+            raise ValueError(
+                f"batch_id {bid} precedes the latest stored batch "
+                f"({existing[-1]}): later batches already verified their "
+                "pairs against this batch's rows, so re-running it would "
+                "re-emit those cross-batch edges into a second partition — "
+                "only the LATEST batch id is replayable (the at-least-once "
+                "window); new deliveries must use a higher id"
+            )
+        stale = [x for x in self.incomplete_batch_ids() if x != bid]
+        if stale:
+            raise ValueError(
+                f"delta store {self.root} has incomplete batch(es) {stale}: "
+                "a prior add_batch crashed after writing files/ but before "
+                "edges/ completed, leaving reps that were never signed — "
+                "replay exactly that batch_id (same delivery) to heal the "
+                "store before adding new batches"
+            )
         t0 = time.monotonic()
         t_start = t0
 
         new = files.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
 
         # -- exact dedup: within the batch, then against the store --
-        hashed = new.select("id", "content", F.sha2("content", 256).alias("sha256"))
+        # ONE scan of the delivery, ever: sha256 over content is the dominant
+        # per-batch CPU, and every write/count below is its own job that
+        # would otherwise re-run the input DAG (scan + hash) from scratch
+        hashed = new.select(
+            "id", "content", F.sha2("content", 256).alias("sha256")
+        ).localCheckpoint(eager=True)
+        # drop ids the store already ingested in OTHER batches (crawler
+        # revisit / re-pushed delivery): files/ is append-only corpus
+        # identity, so a re-delivered id would duplicate rows there and fan
+        # out every clusters()/deduplicate() join downstream. First write
+        # wins; the drop count is surfaced in the batch summary.
+        stored_files = self._read("files", self._RELATIONS["files"]).filter(
+            F.col("batch") != bid
+        )
+        n_delivered = hashed.count()
+        hashed = hashed.join(stored_files.select("id"), "id", "left_anti")
         reps_b = hashed.groupBy("sha256").agg(F.min("id").alias("rep"))
         with_rep = hashed.join(reps_b, "sha256")
         batch_exact = with_rep.filter(F.col("id") != F.col("rep")).select(
@@ -266,16 +315,14 @@ class DeltaDedup:
         )
         batch_uniq = with_rep.filter(F.col("id") == F.col("rep")).drop("rep")
 
-        # exclude the batch being (re)written: a REPLAY must see the same
-        # store view as the original run — its own earlier incarnation would
-        # otherwise classify every replayed file as already-stored (and the
-        # lazy read would race the partition overwrite below). The batch
-        # filter is on the partition column, so pruning skips those files.
-        stored_reps = (
-            self._read("files", "id long, sha256 string, is_rep boolean")
-            .filter(F.col("batch") != bid)
-            .filter("is_rep")
-            .select("sha256", F.col("id").alias("old_rep"))
+        # stored_files excludes the batch being (re)written: a REPLAY must
+        # see the same store view as the original run — its own earlier
+        # incarnation would otherwise classify every replayed file as
+        # already-stored (and the lazy read would race the partition
+        # overwrite below). The batch filter is on the partition column, so
+        # pruning skips those files.
+        stored_reps = stored_files.filter("is_rep").select(
+            "sha256", F.col("id").alias("old_rep")
         )
         ju = batch_uniq.join(stored_reps, "sha256", "left")
         cross_exact = ju.filter(F.col("old_rep").isNotNull()).select(
@@ -285,7 +332,7 @@ class DeltaDedup:
         new_uniques = ju.filter(F.col("old_rep").isNull()).drop("old_rep")
 
         file_rows = (
-            hashed.join(reps_b, "sha256")
+            with_rep
             .join(stored_reps, "sha256", "left")
             .select(
                 "id",
@@ -374,6 +421,7 @@ class DeltaDedup:
         summary = {
             "batch": bid,
             "n_files": n_files,
+            "n_redelivered": n_delivered - n_files,
             "n_new_uniques": n_new_uniques,
             "n_new_edges": n_new_edges,
             "cc": cc_stats,
@@ -489,6 +537,16 @@ class DeltaDedup:
                 .parquet(tmp)
             )
             summary["rows"][name] = self.spark.read.parquet(tmp).count()
+        # advance the horizon BEFORE any destructive swap: a crash between
+        # the swap and a trailing horizon write would silently reopen the
+        # replay window for folded batch ids (a replay would then duplicate
+        # rows already inside the consolidated partition). Advancing early
+        # errs the safe way — a crash before the swap leaves replays of
+        # still-unfolded ids refused, and the constructor's _compact_tmp
+        # guard forces manual resolution there anyway.
+        self.spark.createDataFrame([(str(target),)], "value string").coalesce(
+            1
+        ).write.mode("overwrite").text(f"{self.root}/compaction_horizon")
         # phase 2: swap directories (metadata-only; crash leaves tmp intact)
         for name in self._RELATIONS:
             fs, old = self._fs(f"{self.root}/{name}")
@@ -498,9 +556,6 @@ class DeltaDedup:
             self.spark.catalog.refreshByPath(f"{self.root}/{name}")
         fs, tmp_root = self._fs(f"{self.root}/_compact_tmp")
         fs.delete(tmp_root, True)
-        self.spark.createDataFrame([(str(target),)], "value string").coalesce(
-            1
-        ).write.mode("overwrite").text(f"{self.root}/compaction_horizon")
         summary["wall_s"] = round(time.monotonic() - t0, 3)
         self._write_lineage("edges", target, {"compaction": summary})
         self.metrics.append({"stage": "compact", **summary})

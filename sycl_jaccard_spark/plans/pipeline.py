@@ -218,6 +218,15 @@ class DedupPipeline:
             if bucketed:
                 tbl = self._bucket_table(name)
                 self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+                # a crashed prior write leaves a non-empty dir without
+                # _SUCCESS; CTAS into a non-empty external location throws
+                # (allowNonEmptyLocationInCTAS defaults false) — clear it,
+                # matching the plain path's overwrite-recovery semantics
+                jvm = self.spark._jvm
+                hpath = jvm.org.apache.hadoop.fs.Path(path)
+                fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+                if fs.exists(hpath):
+                    fs.delete(hpath, True)
                 (
                     df.write.mode("overwrite")
                     .format("parquet")

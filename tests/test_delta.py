@@ -216,3 +216,87 @@ def test_store_deduplicate_matches_batch_action(spark, tmp_path, corpus):
     assert {r["id"] for r in kept_s.collect()} == {r["id"] for r in kept_b.collect()}
     rows = lambda df: {tuple(r) for r in df.select("id", "cluster", "rep_id", "kept").collect()}
     assert rows(man_s) == rows(man_b)
+
+
+def test_non_latest_replay_refused(spark, tmp_path, corpus):
+    """Replaying any batch EXCEPT the latest must refuse: later batches
+    already verified cross-batch pairs against its rows, so a re-run would
+    re-emit those edges into a second partition (double-counted edges())."""
+    store = DeltaDedup(spark, str(tmp_path / "store"), CFG)
+    b0, b1, _ = _batches(corpus, 3)
+    store.add_batch(b0, batch_id=0)
+    store.add_batch(b1, batch_id=1)
+    with pytest.raises(ValueError, match="precedes the latest"):
+        store.add_batch(b0, batch_id=0)
+
+
+def test_incomplete_batch_blocks_new_and_heals_on_replay(spark, tmp_path, corpus):
+    """Crash between the files/ write and edges/ completion must be
+    detected (reps that were never signed would silently lose every future
+    near-dup edge), block NEW batches, and heal when the same batch id is
+    replayed."""
+    import shutil
+
+    root = tmp_path / "store"
+    store = DeltaDedup(spark, str(root), CFG)
+    b0, b1, b2 = _batches(corpus, 3)
+    store.add_batch(b0, batch_id=0)
+    store.add_batch(b1, batch_id=1)
+    reference = _clusters(store.clusters())
+    # simulate the crash: batch 1's files/ landed but edges/ never completed
+    shutil.rmtree(root / "edges" / "batch=1")
+    assert store.incomplete_batch_ids() == [1]
+    with pytest.raises(ValueError, match="incomplete batch"):
+        store.add_batch(b2, batch_id=2)
+    # replaying exactly the incomplete id overwrites its partitions and heals
+    store.add_batch(b1, batch_id=1)
+    assert store.incomplete_batch_ids() == []
+    assert _clusters(store.clusters()) == reference
+    store.add_batch(b2, batch_id=2)  # and the store accepts new batches again
+
+
+def test_redelivered_ids_dropped_first_write_wins(spark, tmp_path, corpus):
+    """A file id delivered again in a LATER batch (crawler revisit,
+    re-pushed delivery) must not duplicate rows in files/ — clusters()
+    stays one row per id and the drop is surfaced in the summary."""
+    store = DeltaDedup(spark, str(tmp_path / "store"), CFG)
+    b0, b1, _ = _batches(corpus, 3)
+    store.add_batch(b0)
+    n0 = b0.count()
+    redelivery = b1.unionByName(b0.limit(5))  # 5 already-stored ids
+    summary = store.add_batch(redelivery)
+    assert summary["n_redelivered"] == 5
+    assert summary["n_files"] == b1.count()
+    clusters = store.clusters()
+    assert clusters.count() == n0 + b1.count()
+    assert clusters.select("id").distinct().count() == clusters.count()
+
+
+def test_compact_horizon_written_before_swap(spark, tmp_path, corpus):
+    """The compaction horizon must already be on disk when the destructive
+    swap begins — a crash mid-swap with no horizon would silently reopen
+    the replay window for folded batch ids (duplicated rows on replay).
+    Inject a crash at the swap's first _compact_tmp lookup (phase 2 only
+    touches that path) and assert the horizon is already advanced and the
+    constructor refuses the half-swapped store."""
+    store = DeltaDedup(spark, str(tmp_path / "store"), CFG)
+    b0, b1, _ = _batches(corpus, 3)
+    store.add_batch(b0, batch_id=0)
+    store.add_batch(b1, batch_id=1)
+
+    orig = DeltaDedup._fs
+
+    def crashing_fs(self, path):
+        if path.endswith("_compact_tmp/files"):
+            raise RuntimeError("injected crash before first rename")
+        return orig(self, path)
+
+    DeltaDedup._fs = crashing_fs
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            store.compact()
+    finally:
+        DeltaDedup._fs = orig
+    assert store.compacted_through() == 1
+    with pytest.raises(ValueError, match="_compact_tmp"):
+        DeltaDedup(spark, str(tmp_path / "store"), CFG)

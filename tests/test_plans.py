@@ -219,3 +219,30 @@ def test_bucketed_shingles_checkpoint_avoids_items_exchange(spark, tmp_path):
     scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
     assert len(scans) == 2 and all("Bucketed: true" in ln for ln in scans), scans
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_bucketed_checkpoint_recovers_from_crashed_write(spark, tmp_path):
+    """A killed run leaves the bucketed stage dir non-empty without _SUCCESS;
+    the rerun's CTAS must clear it first (Spark refuses CTAS into a
+    non-empty external location) — same recovery semantics as the plain
+    parquet overwrite path."""
+    from sycl_jaccard_spark.config import PipelineConfig
+    from sycl_jaccard_spark.plans.pipeline import DedupPipeline
+
+    files = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta file{i} body{i % 7}") for i in range(50)],
+        "id long, content string",
+    )
+    cfg = PipelineConfig(shingle_buckets=4)
+    ckpt = tmp_path / "ckpt"
+    pipe = DedupPipeline(spark, cfg, checkpoint_dir=str(ckpt))
+    expected = {r["id"]: r["cluster"] for r in pipe.run(files).clusters.collect()}
+    # simulate the crash: stage files present, completion marker missing
+    stage = ckpt / "stage=shingles"
+    (stage / "_SUCCESS").unlink()
+    spark.sql(f"DROP TABLE IF EXISTS {pipe._bucket_table('shingles')}")
+    rerun = DedupPipeline(spark, cfg, checkpoint_dir=str(ckpt))
+    got = {r["id"]: r["cluster"] for r in rerun.run(files).clusters.collect()}
+    assert got == expected
+    shingle_metric = next(m for m in rerun.metrics if m["stage"] == "shingles")
+    assert shingle_metric["resumed"] is False  # the crashed stage re-ran, not resumed
