@@ -58,7 +58,7 @@ def worker(cores: int, store_src: str, probe_path: str) -> None:
     )
     minhash_signatures(warm, PipelineConfig()).count()
 
-    walls = []
+    walls, stages_best = [], {}
     for rep in range(REPEATS_PER_WORKER):
         clone = tempfile.mkdtemp(prefix=f"delta_scale_{cores}_{rep}_")
         shutil.rmtree(clone)
@@ -66,11 +66,20 @@ def worker(cores: int, store_src: str, probe_path: str) -> None:
         store = DeltaDedup(spark, clone, PipelineConfig())
         t0 = time.monotonic()
         store.add_batch(probe)
-        walls.append(time.monotonic() - t0)
+        wall = time.monotonic() - t0
+        if not walls or wall < min(walls):
+            stages_best = {
+                m["stage"]: m["wall_s"]
+                for m in store.metrics
+                if m["stage"] != "batch_total"
+            }
+        walls.append(wall)
         shutil.rmtree(clone, ignore_errors=True)
         spark._jvm.System.gc()
     spark.stop()
-    print(json.dumps({"wall_s": min(walls), "runs": walls, "n_probe": n}))
+    print(json.dumps(
+        {"wall_s": min(walls), "runs": walls, "n_probe": n, "stages": stages_best}
+    ))
 
 
 def main() -> int:
@@ -130,6 +139,7 @@ def main() -> int:
     gen.stop()
 
     all_walls: dict[int, list[float]] = {}
+    best_stages: dict[int, dict] = {}
     for _round in range(n_rounds):
         for cores in levels:
             out = subprocess.run(
@@ -141,6 +151,9 @@ def main() -> int:
                 cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             )
             r = json.loads(out.stdout.strip().splitlines()[-1])
+            prev_best = min(all_walls.get(cores, [float("inf")]))
+            if r["wall_s"] < prev_best:
+                best_stages[cores] = r["stages"]
             all_walls.setdefault(cores, []).extend(r["runs"])
             print(f"local[{cores}] walls so far: "
                   + ", ".join(f"{w:.1f}" for w in sorted(all_walls[cores])))
@@ -175,6 +188,22 @@ def main() -> int:
         " (north-rule target >= 0.8 — the incremental path is the same\n"
         "broadcast-pruned DataFrame plan as the batch stages, just over\n"
         "Δ-sized inputs).\n\n"
+        "Per-stage wall seconds (best run per level):\n\n"
+        "| stage | " + " | ".join(f"local[{c}]" for c in levels) + " | ratio |\n"
+        "|---|" + "---|" * (len(levels) + 1) + "\n"
+        + "".join(
+            f"| {stage} | "
+            + " | ".join(f"{best_stages[c].get(stage, 0.0):.2f}" for c in levels)
+            + " | "
+            + (
+                f"{best_stages[n_lo].get(stage, 0.0) / best_stages[n_hi][stage]:.2f}"
+                if best_stages[n_hi].get(stage, 0.0) >= 0.5
+                else "— (sub-1s)"
+            )
+            + " |\n"
+            for stage in best_stages.get(n_lo, {})
+        )
+        + "\n"
     )
     replace_section(report_md, marker, section)
     print(json.dumps({"best": best, "throughput": thr, "efficiency": eff}))

@@ -26,6 +26,8 @@ streaming leg, ``streaming/ingest.py``):
     banded/batch=N/         (id, band, band_hash)   — LSH ∪ SimHash bands
     edges/batch=N/          (a, b, jaccard)         — verified + exact edges
     labels/                 (node, label)           — current CC snapshot
+    idf/                    (elem, w)               — frozen snapshot (weighted mode)
+    volumes/batch=N/        (id, vol)               — per-rep Σw (weighted mode)
 
 Correctness contract (tested label-for-label in ``tests/test_delta.py``):
 running batches B1..Bk through ``add_batch`` yields the SAME cluster
@@ -51,10 +53,19 @@ parity there is approximate (the other bands + SimHash recover, same as
 cross-salt pairs within one run). The label-for-label guarantee is for
 ``skew_mode="cap"`` (exact when no bucket exceeds the cap).
 
-The weighted (IDF/CWS) mode is intentionally NOT offered here: corpus IDF
-drifts as batches arrive, so delta signatures would not be comparable with
-stored ones. Train IDF in batch and re-sign (or use the streaming leg's
-static-snapshot semantics) when boilerplate-robust candidates are needed.
+The weighted (IDF/CWS) mode runs against a FROZEN IDF snapshot, the same
+static-snapshot semantics as the streaming leg
+(``streaming/ingest.py:weighted_signature_batch_writer``): corpus IDF drifts
+as batches arrive, so signatures trained per-batch would not be comparable
+with stored ones. Construct the store with ``idf_snapshot=`` (an
+``idf_weights`` relation, persisted under ``store/idf`` and
+fingerprint-checked on reopen); shingles the snapshot has never seen get the
+snapshot's max weight (unseen = at least as rare as the rarest seen), and
+every batch summary carries an ``idf_drift`` block (fraction of the batch's
+distinct shingles absent from the snapshot) — the operational retrain
+signal. When drift exceeds tolerance, retrain IDF in batch and re-ingest
+into a NEW store: stored CWS signatures and verify scores are definitionally
+as-of their snapshot, so a store never silently re-weights history.
 """
 
 from __future__ import annotations
@@ -72,6 +83,7 @@ from sycl_jaccard_spark.functions.shingles import doc_shingle_hashes
 from sycl_jaccard_spark.operators.components import connected_components
 from sycl_jaccard_spark.operators.lsh import candidate_pairs
 from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs
+from sycl_jaccard_spark.operators.weighted_dedup import weighted_signatures
 from sycl_jaccard_spark.plans.pipeline import banded_relation
 
 _LABEL_SCHEMA = T.StructType(
@@ -104,7 +116,9 @@ class DeltaDedup:
     """
 
     # additive relations (partitioned by batch=N) and their schemas — the
-    # single source of truth for _read/compact
+    # single source of truth for _read/compact. Weighted stores add
+    # "volumes" (per-rep Σw, computed free inside the signing UDF and read
+    # back by every later batch's verify) — see __init__.
     _RELATIONS = {
         "files": "id long, sha256 string, is_rep boolean",
         "shingles": "id long, shingle_hashes array<long>",
@@ -119,14 +133,18 @@ class DeltaDedup:
         cfg: PipelineConfig | None = None,
         enable_simhash: bool = True,
         cc_mode: str = "incremental",
+        idf_snapshot: DataFrame | None = None,
     ):
         self.spark = spark
         self.root = store_dir.rstrip("/")
         self.cfg = cfg or PipelineConfig()
-        if self.cfg.candidate_weights != "none":
+        self._weighted = self.cfg.candidate_weights == "idf"
+        self._relations = dict(self._RELATIONS)
+        if self._weighted:
+            self._relations["volumes"] = "id long, vol double"
+        elif idf_snapshot is not None:
             raise ValueError(
-                "DeltaDedup supports candidate_weights='none' only — corpus "
-                "IDF drifts per batch; see module docstring"
+                "idf_snapshot is only meaningful with candidate_weights='idf'"
             )
         if cc_mode not in ("incremental", "full"):
             raise ValueError(f"unknown cc_mode {cc_mode!r}")
@@ -141,8 +159,60 @@ class DeltaDedup:
                 "holds complete consolidated copies) before deleting it"
             )
         self._check_config()
+        self._idf: DataFrame | None = None
+        self._novel_weight: float | None = None
+        if self._weighted:
+            self._init_idf_snapshot(idf_snapshot)
 
     # ---- store plumbing ----
+
+    def _idf_fingerprint(self, idf: DataFrame) -> tuple[int, int]:
+        """(row count, order-free content hash) of a snapshot — doubles
+        round-trip parquet exactly, so the hash is stable across persist/
+        reload. One agg job, run only at store creation / reopen-with-arg.
+        bit_xor (not sum) as the combiner: order-free like sum, but cannot
+        overflow under ANSI mode."""
+        row = idf.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("elem", "w")).alias("h"),
+        ).first()
+        return int(row["n"]), int(row["h"] or 0)
+
+    def _init_idf_snapshot(self, idf_snapshot: DataFrame | None) -> None:
+        """Load (and on first use persist) the frozen IDF snapshot the store
+        signs against. The snapshot is corpus state exactly like the config
+        fingerprint: reopening with a DIFFERENT snapshot is refused — stored
+        CWS signatures would be incomparable with new ones."""
+        path = f"{self.root}/idf"
+        if self._exists(f"{path}/_SUCCESS"):
+            stored = self.spark.read.parquet(path)
+            if idf_snapshot is not None and self._idf_fingerprint(
+                idf_snapshot.select("elem", "w")
+            ) != self._idf_fingerprint(stored):
+                raise ValueError(
+                    f"delta store {self.root} was created with a different "
+                    "IDF snapshot; stored CWS signatures are as-of that "
+                    "snapshot — retrain + re-ingest into a new store instead"
+                )
+            self._idf = stored
+        else:
+            if idf_snapshot is None:
+                raise ValueError(
+                    "candidate_weights='idf' requires idf_snapshot= on a new "
+                    "store (an idf_weights relation trained on a batch "
+                    "corpus; see module docstring)"
+                )
+            idf_snapshot.select("elem", "w").write.mode("overwrite").parquet(path)
+            self._idf = self.spark.read.parquet(path)
+        # unseen shingles are by definition at least as rare as the rarest
+        # seen one — same default as the streaming leg
+        max_w = self._idf.agg(F.max("w")).first()[0]
+        if max_w is None:
+            raise ValueError(
+                "empty IDF snapshot — train idf_weights on a non-empty "
+                "corpus before opening a weighted delta store"
+            )
+        self._novel_weight = float(max_w)
 
     def _fs(self, path: str):
         jvm = self.spark._jvm
@@ -243,6 +313,80 @@ class DeltaDedup:
         )
         return now
 
+    # ---- weighted (frozen-snapshot) legs ----
+
+    def _weighted_sign(self, shingled: DataFrame, bid: int, drift_out: dict) -> DataFrame:
+        """CWS-sign this batch's never-seen contents against the frozen IDF
+        snapshot. Returns the checkpointed (id, sig[, sim]) relation, writes
+        the per-rep ``volumes`` partition (Σw rides free inside the signing
+        UDF; every LATER batch's verify reads it back instead of re-exploding
+        stored shingle arrays), and fills ``drift_out`` with the snapshot
+        drift counters."""
+        cfg = self.cfg
+        exploded = shingled.select(
+            "id", F.explode("shingle_hashes").alias("elem")
+        ).dropDuplicates(["id", "elem"])
+        mem = exploded.join(self._idf.select("elem", "w"), "elem", "left").select(
+            "id",
+            "elem",
+            F.col("w").isNull().alias("novel"),
+            F.coalesce("w", F.lit(self._novel_weight)).alias("w"),
+        )
+        # Δ-sized, consumed twice (drift agg + signature groupBy): one
+        # checkpoint buys ONE scan of the corpus-sized snapshot per batch.
+        # (The batch pipeline measured the same materialization SLOWER —
+        # there the relation is corpus-sized; here it is delivery-sized.)
+        mem = mem.localCheckpoint(eager=True)
+        row = mem.agg(
+            F.countDistinct("elem").alias("n_elems"),
+            F.countDistinct(F.when(F.col("novel"), F.col("elem"))).alias("n_novel"),
+        ).first()
+        n_elems, n_novel = int(row["n_elems"]), int(row["n_novel"])
+        drift_out.update(
+            {
+                "n_elems": n_elems,
+                "n_novel_elems": n_novel,
+                "novel_elem_frac": round(n_novel / n_elems, 6) if n_elems else 0.0,
+            }
+        )
+        signed = weighted_signatures(
+            shingled,
+            self._idf,
+            cfg.num_perms,
+            cfg.seed,
+            materialize=True,
+            with_simhash=self.enable_simhash,
+            with_volume=True,
+            memberships=mem.select("id", "elem", "w"),
+        )
+        self._write_batch("volumes", signed.select("id", "vol"), bid)
+        return signed.drop("vol")
+
+    def _weighted_verify(self, items: DataFrame, cands: DataFrame) -> DataFrame:
+        """Exact weighted Jaccard over the candidate-touched items. The
+        weight relation is the frozen snapshot extended with the novel-weight
+        default over exactly the elements these items carry (the arrays-impl
+        equivalence requires a TOTAL relation); volumes are read back from
+        the store — computed once at signing, never re-derived."""
+        from sycl_jaccard_spark.operators.pair_jaccard import (
+            jaccard_pairs_weighted_arrays,
+        )
+
+        w_needed = (
+            items.select(F.explode("set").alias("elem"))
+            .distinct()
+            .join(self._idf.select("elem", "w"), "elem", "left")
+            .select("elem", F.coalesce("w", F.lit(self._novel_weight)).alias("w"))
+        )
+        vols = (
+            self._read("volumes", self._relations["volumes"])
+            .join(items.select("id"), "id", "left_semi")
+            .select("id", "vol")
+        )
+        return jaccard_pairs_weighted_arrays(
+            items, w_needed, cands, id_col="id", set_col="set", volumes=vols
+        )
+
     # ---- the per-batch run ----
 
     def add_batch(
@@ -303,7 +447,7 @@ class DeltaDedup:
         # identity, so a re-delivered id would duplicate rows there and fan
         # out every clusters()/deduplicate() join downstream. First write
         # wins; the drop count is surfaced in the batch summary.
-        stored_files = self._read("files", self._RELATIONS["files"]).filter(
+        stored_files = self._read("files", self._relations["files"]).filter(
             F.col("batch") != bid
         )
         n_delivered = hashed.count()
@@ -352,18 +496,25 @@ class DeltaDedup:
         n_new_uniques = shingled.count()
         t0 = self._mark("shingles", t0, rows=n_new_uniques, batch=bid)
 
-        if self.enable_simhash:
-            fused = minhash_simhash_udf(cfg.num_perms, cfg.seed)
-            signed = shingled.select("id", fused(F.col("shingle_hashes")).alias("ms")).select(
-                "id", F.col("ms.sig").alias("sig"), F.col("ms.sim").alias("sim")
-            )
+        idf_drift: dict = {}
+        if self._weighted:
+            # CWS against the frozen snapshot; returns checkpointed
+            # (id, sig[, sim]), persists per-rep volumes, fills idf_drift
+            signed = self._weighted_sign(shingled, bid, idf_drift)
         else:
-            signed = shingled.select(
-                "id", minhash_udf(cfg.num_perms, cfg.seed)(F.col("shingle_hashes")).alias("sig")
-            )
-        # materialize before banding: a pandas-UDF column cannot feed the
-        # banding explode (Catalyst cannot host Python UDFs in a generator)
-        signed = signed.localCheckpoint(eager=True)
+            if self.enable_simhash:
+                fused = minhash_simhash_udf(cfg.num_perms, cfg.seed)
+                signed = shingled.select(
+                    "id", fused(F.col("shingle_hashes")).alias("ms")
+                ).select("id", F.col("ms.sig").alias("sig"), F.col("ms.sim").alias("sim"))
+            else:
+                signed = shingled.select(
+                    "id",
+                    minhash_udf(cfg.num_perms, cfg.seed)(F.col("shingle_hashes")).alias("sig"),
+                )
+            # materialize before banding: a pandas-UDF column cannot feed the
+            # banding explode (Catalyst cannot host Python UDFs in a generator)
+            signed = signed.localCheckpoint(eager=True)
         new_banded = banded_relation(signed, cfg, self.enable_simhash)
         self._write_batch("banded", new_banded, bid)
         t0 = self._mark("banding", t0, batch=bid)
@@ -398,10 +549,20 @@ class DeltaDedup:
         items = shingle_store.join(ids_needed, "id", "left_semi").select(
             "id", F.col("shingle_hashes").alias("set")
         )
-        scored = jaccard_pairs(items, cands, id_col="id", set_col="set", impl="arrays")
-        verified = scored.filter(F.col("jaccard") >= cfg.verify_threshold).select(
-            "a", "b", "jaccard"
-        )
+        if self._weighted:
+            # exact WEIGHTED Jaccard over the same frozen weights the
+            # signatures sampled — candidate and verify agree on what
+            # "similar" means, exactly as in the batch pipeline's idf route
+            scored = self._weighted_verify(items, cands)
+            thr = (
+                cfg.weighted_verify_threshold
+                if cfg.weighted_verify_threshold is not None
+                else cfg.verify_threshold
+            )
+        else:
+            scored = jaccard_pairs(items, cands, id_col="id", set_col="set", impl="arrays")
+            thr = cfg.verify_threshold
+        verified = scored.filter(F.col("jaccard") >= thr).select("a", "b", "jaccard")
 
         new_edges = verified.unionByName(
             batch_exact.select("a", "b", F.lit(1.0).alias("jaccard"))
@@ -427,6 +588,11 @@ class DeltaDedup:
             "cc": cc_stats,
             "wall_s": round(time.monotonic() - t_start, 3),
         }
+        if self._weighted:
+            # retrain signal: when the fraction of never-snapshotted shingles
+            # grows past tolerance, the frozen weights have drifted from the
+            # corpus — retrain idf_weights in batch and re-ingest (new store)
+            summary["idf_drift"] = idf_drift
         self._write_lineage("edges", bid, {**summary, "config": json.loads(self._config_fingerprint())})
         self.metrics.append({"stage": "batch_total", **summary})
         return summary
@@ -527,7 +693,7 @@ class DeltaDedup:
             "rows": {},
         }
         # phase 1: write every consolidated copy (no destructive step yet)
-        for name, schema in self._RELATIONS.items():
+        for name, schema in self._relations.items():
             tmp = f"{self.root}/_compact_tmp/{name}/batch={target}"
             (
                 self._read(name, schema)
@@ -548,7 +714,7 @@ class DeltaDedup:
             1
         ).write.mode("overwrite").text(f"{self.root}/compaction_horizon")
         # phase 2: swap directories (metadata-only; crash leaves tmp intact)
-        for name in self._RELATIONS:
+        for name in self._relations:
             fs, old = self._fs(f"{self.root}/{name}")
             fs.delete(old, True)
             _, tmp_path = self._fs(f"{self.root}/_compact_tmp/{name}")

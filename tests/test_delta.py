@@ -15,6 +15,23 @@ from sycl_jaccard_spark.sources.corpus import CorpusSpec, synth_source_files
 from sycl_jaccard_spark.sources.tables import with_file_id
 
 CFG = PipelineConfig()
+WCFG = PipelineConfig(candidate_weights="idf")
+
+
+def _train_idf(spark, files, cfg=WCFG):
+    """Exactly the batch pipeline's IDF training input: shingles of the
+    post-exact-dedup uniques (idf_weights is deterministic, so this snapshot
+    equals the one DedupPipeline trains internally — the weighted parity
+    tests depend on that)."""
+    from sycl_jaccard_spark.functions.shingles import doc_shingle_hashes
+    from sycl_jaccard_spark.operators.exact_dedup import dedup_exact, with_sha256
+    from sycl_jaccard_spark.operators.weighted_dedup import idf_weights
+
+    uniques, _ = dedup_exact(with_sha256(files), "id", "content")
+    shingled = uniques.select(
+        "id", doc_shingle_hashes(F.col("content"), cfg).alias("shingle_hashes")
+    )
+    return idf_weights(shingled).localCheckpoint(eager=True)
 
 
 def _corpus(spark, n_files=240, seed=7, exact_dup_rate=0.3):
@@ -146,9 +163,18 @@ def test_delta_config_mismatch_refuses(spark, tmp_path, corpus):
         DeltaDedup(spark, str(tmp_path / "store"), PipelineConfig(shingle_k=7))
 
 
-def test_delta_rejects_weighted_mode(spark, tmp_path):
+def test_weighted_delta_requires_snapshot(spark, tmp_path):
+    """Weighted mode needs a frozen IDF snapshot on a NEW store (per-batch
+    IDF would drift and make stored CWS signatures incomparable); a snapshot
+    on an unweighted store is meaningless and refused."""
+    with pytest.raises(ValueError, match="idf_snapshot"):
+        DeltaDedup(spark, str(tmp_path / "s"), WCFG)
+    dummy = spark.range(1).select(F.col("id").alias("elem"), F.lit(1.0).alias("w"))
     with pytest.raises(ValueError, match="candidate_weights"):
-        DeltaDedup(spark, str(tmp_path / "s"), PipelineConfig(candidate_weights="idf"))
+        DeltaDedup(spark, str(tmp_path / "s2"), CFG, idf_snapshot=dummy)
+    empty = spark.createDataFrame([], "elem long, w double")
+    with pytest.raises(ValueError, match="empty IDF"):
+        DeltaDedup(spark, str(tmp_path / "s3"), WCFG, idf_snapshot=empty)
 
 
 def test_compact_preserves_state_and_continues(spark, tmp_path, corpus):
@@ -300,3 +326,130 @@ def test_compact_horizon_written_before_swap(spark, tmp_path, corpus):
     assert store.compacted_through() == 1
     with pytest.raises(ValueError, match="_compact_tmp"):
         DeltaDedup(spark, str(tmp_path / "store"), CFG)
+
+
+# ---- weighted (frozen-IDF-snapshot) mode ----
+
+
+def test_weighted_delta_equals_full_run(spark, tmp_path, corpus):
+    """Three weighted deliveries against a snapshot trained on the union ==
+    one weighted batch pipeline over the union, label for label (the
+    pipeline trains the identical IDF internally — idf_weights is
+    deterministic over the same uniques)."""
+    idf = _train_idf(spark, corpus)
+    store = DeltaDedup(spark, str(tmp_path / "store"), WCFG, idf_snapshot=idf)
+    for batch in _batches(corpus, 3):
+        summary = store.add_batch(batch)
+        assert "idf_drift" in summary
+    delta = _clusters(store.clusters())
+
+    full = DedupPipeline(spark, WCFG, enable_substring=False).run(corpus)
+    assert delta == _clusters(full.clusters)
+    assert len(delta) == corpus.count()
+
+
+def test_weighted_delta_boilerplate_discrimination(spark, tmp_path):
+    """The delta store inherits the weighted mode's boilerplate robustness:
+    planted pairs split ACROSS deliveries are all found (cross-batch weighted
+    candidates + verify), with zero false merges — while the unweighted store
+    on the same corpus demonstrably over-merges header-only pairs."""
+    from test_dedup_pipeline import _boilerplate_corpus, _cluster_pairs
+
+    files, planted = _boilerplate_corpus(spark)
+    files = files.localCheckpoint(eager=True)
+    idf = _train_idf(spark, files)
+    b0 = files.filter(F.col("id") % 2 == 0)  # routes each planted pair's
+    b1 = files.filter(F.col("id") % 2 == 1)  # members to DIFFERENT batches
+    store = DeltaDedup(spark, str(tmp_path / "w"), WCFG, idf_snapshot=idf)
+    store.add_batch(b0)
+    store.add_batch(b1)
+    pred = _cluster_pairs(store.clusters())
+    assert pred == planted, (
+        f"missing {sorted(planted - pred)[:5]} false {sorted(pred - planted)[:5]}"
+    )
+
+    unweighted = DeltaDedup(spark, str(tmp_path / "u"), CFG)
+    unweighted.add_batch(b0)
+    unweighted.add_batch(b1)
+    assert _cluster_pairs(unweighted.clusters()) - planted, (
+        "corpus no longer discriminates: unweighted delta had no false merges"
+    )
+
+
+def test_weighted_delta_novel_content_signed_and_drift_reported(spark, tmp_path, corpus):
+    """Content the snapshot has never seen still gets signed (novel shingles
+    take the max-rarity default, same as the streaming leg) and a fully-novel
+    near-dup pair clusters; idf_drift quantifies the retrain signal."""
+    idf = _train_idf(spark, corpus)
+    store = DeltaDedup(spark, str(tmp_path / "store"), WCFG, idf_snapshot=idf)
+    s0 = store.add_batch(corpus)
+    assert s0["idf_drift"]["novel_elem_frac"] == 0.0
+
+    body = "zq wv xr qj kx " * 30 + "alpha beta gamma delta epsilon " * 20
+    novel = spark.createDataFrame(
+        [(10_000_001, body), (10_000_002, body + " trailing extra bits")],
+        "id long, content string",
+    )
+    s1 = store.add_batch(novel)
+    assert s1["idf_drift"]["novel_elem_frac"] > 0.9
+    assert s1["n_new_uniques"] == 2
+    c = _clusters(store.clusters())
+    assert c[10_000_001] == c[10_000_002]
+
+
+def test_weighted_delta_replay_idempotent(spark, tmp_path, corpus):
+    """Replaying the latest batch id leaves clusters, edges AND the volumes
+    relation bit-identical (overwrite-by-partition covers the weighted-only
+    relation too)."""
+    idf = _train_idf(spark, corpus)
+    store = DeltaDedup(spark, str(tmp_path / "store"), WCFG, idf_snapshot=idf)
+    b0, b1, _ = _batches(corpus, 3)
+    store.add_batch(b0, batch_id=0)
+    store.add_batch(b1, batch_id=1)
+    before = _clusters(store.clusters())
+    vols_before = sorted(
+        (r["id"], r["vol"]) for r in spark.read.parquet(store.root + "/volumes").collect()
+    )
+    store.add_batch(b1, batch_id=1)  # replay
+    assert _clusters(store.clusters()) == before
+    vols_after = sorted(
+        (r["id"], r["vol"]) for r in spark.read.parquet(store.root + "/volumes").collect()
+    )
+    assert vols_after == vols_before
+
+
+def test_weighted_delta_snapshot_identity(spark, tmp_path, corpus):
+    """Reopening without a snapshot loads the persisted one; reopening with a
+    DIFFERENT snapshot is refused (stored CWS signatures are as-of their
+    snapshot)."""
+    idf = _train_idf(spark, corpus)
+    path = str(tmp_path / "store")
+    store = DeltaDedup(spark, path, WCFG, idf_snapshot=idf)
+    store.add_batch(_batches(corpus, 3)[0])
+
+    reopened = DeltaDedup(spark, path, WCFG)
+    assert reopened._novel_weight == store._novel_weight
+    reopened_same = DeltaDedup(spark, path, WCFG, idf_snapshot=idf)
+    assert reopened_same._novel_weight == store._novel_weight
+
+    other = idf.select("elem", (F.col("w") * 2).alias("w"))
+    with pytest.raises(ValueError, match="different IDF snapshot"):
+        DeltaDedup(spark, path, WCFG, idf_snapshot=other)
+
+
+def test_weighted_delta_compact_preserves_and_continues(spark, tmp_path, corpus):
+    """compact() folds the weighted-only volumes relation too: clusters
+    unchanged, and a post-compaction delivery still reproduces the weighted
+    batch pipeline label-for-label."""
+    idf = _train_idf(spark, corpus)
+    b = _batches(corpus, 3)
+    store = DeltaDedup(spark, str(tmp_path / "s"), WCFG, idf_snapshot=idf)
+    store.add_batch(b[0])
+    store.add_batch(b[1])
+    before = _clusters(store.clusters())
+    summary = store.compact()
+    assert summary["compacted"] and "volumes" in summary["rows"]
+    assert _clusters(store.clusters()) == before
+    store.add_batch(b[2])
+    full = DedupPipeline(spark, WCFG, enable_substring=False).run(corpus)
+    assert _clusters(store.clusters()) == _clusters(full.clusters)
