@@ -535,7 +535,16 @@ class DeltaDedup:
             pruned = all_banded.join(new_keys, ["band", "band_hash"], "left_semi")
         else:
             pruned = all_banded  # bootstrap: every row is new, prune is identity
-        cands = candidate_pairs(pruned, cfg, "id", skew_mode=cfg.skew_mode, new_col="is_new")
+        # cands is a MULTI-consumer intermediate (ids_needed + the pairs side
+        # of verify): left lazy, the whole candidate DAG — stored-banded scan,
+        # bucket-gain prune, rank window, self-join, cross-band dedup — would
+        # recompute once per consumer (measured: verify wall ~2x). Δ-sized
+        # (pairs touching this batch), so the checkpoint is cheap; a durable
+        # cluster run would persist()/write the same relation.
+        cands = candidate_pairs(
+            pruned, cfg, "id", skew_mode=cfg.skew_mode, new_col="is_new"
+        ).localCheckpoint(eager=True)
+        t0 = self._mark("candidates", t0, rows=cands.count(), batch=bid)
 
         # -- verify: shingle sets fetched from the store for exactly the ids
         # the candidate pairs touch (old sides read back; new sides are in
@@ -546,8 +555,14 @@ class DeltaDedup:
             .union(cands.select(F.col("b").alias("id")))
             .distinct()
         )
-        items = shingle_store.join(ids_needed, "id", "left_semi").select(
-            "id", F.col("shingle_hashes").alias("set")
+        # items feeds BOTH sides of the verify join (and, weighted, the
+        # novel-weight relation + the volumes semi-join) — materialize or the
+        # store-sized semi-join re-runs per consumer. Candidate-touched ids
+        # only, so this is Δ-sized, not corpus-sized.
+        items = (
+            shingle_store.join(ids_needed, "id", "left_semi")
+            .select("id", F.col("shingle_hashes").alias("set"))
+            .localCheckpoint(eager=True)
         )
         if self._weighted:
             # exact WEIGHTED Jaccard over the same frozen weights the
