@@ -111,32 +111,44 @@ def main() -> int:
     n_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
     os.environ.setdefault("SPARK_GRAFT_AQE", "false")
 
-    work_dir = tempfile.mkdtemp(prefix="delta_scaling_")
-    store_src = f"{work_dir}/store"
-    probe_path = f"{work_dir}/probe.parquet"
+    # A pre-built fixture (store/ + probe.parquet, same generator code below)
+    # lets repeated measurement skip the multi-minute bootstrap — the fixture
+    # dir is reused read-only (workers clone the store per observation).
+    fixture = os.environ.get("SPARK_GRAFT_DELTA_FIXTURE")
+    if fixture:
+        work_dir = None
+        store_src = f"{fixture}/store"
+        probe_path = f"{fixture}/probe.parquet"
+        if not (os.path.isdir(store_src) and os.path.exists(probe_path)):
+            print(json.dumps({"error": f"fixture {fixture} missing store/ or probe.parquet"}))
+            return 2
+    else:
+        work_dir = tempfile.mkdtemp(prefix="delta_scaling_")
+        store_src = f"{work_dir}/store"
+        probe_path = f"{work_dir}/probe.parquet"
 
-    # bootstrap once (its wall is NOT part of the measurement): a planted-
-    # cluster corpus ingested as batch 0, plus one probe delivery of
-    # near-dups of stored content written to parquet
-    gen = get_spark("delta_scale_gen", cores=8, shuffle_partitions=8)
-    spec = CorpusSpec(
-        n_files=n_store, n_clusters=n_store // 8, cluster_min=2, cluster_max=6,
-        edit_rate=0.06, exact_dup_rate=0.25, seed=777,
-    )
-    files, _ = synth_source_files(gen, spec)
-    files = with_file_id(files).localCheckpoint(eager=True)
-    DeltaDedup(gen, store_src, PipelineConfig()).add_batch(files)
-    (
-        files.limit(n_probe)
-        .select(
-            F.col("id").bitwiseXOR(F.lit(1 << 41)).alias("id"),
-            F.concat(F.col("content"), F.lit("\nprobe = scale")).alias("content"),
+        # bootstrap once (its wall is NOT part of the measurement): a planted-
+        # cluster corpus ingested as batch 0, plus one probe delivery of
+        # near-dups of stored content written to parquet
+        gen = get_spark("delta_scale_gen", cores=8, shuffle_partitions=8)
+        spec = CorpusSpec(
+            n_files=n_store, n_clusters=n_store // 8, cluster_min=2, cluster_max=6,
+            edit_rate=0.06, exact_dup_rate=0.25, seed=777,
         )
-        .repartition(32)
-        .write.mode("overwrite")
-        .parquet(probe_path)
-    )
-    gen.stop()
+        files, _ = synth_source_files(gen, spec)
+        files = with_file_id(files).localCheckpoint(eager=True)
+        DeltaDedup(gen, store_src, PipelineConfig()).add_batch(files)
+        (
+            files.limit(n_probe)
+            .select(
+                F.col("id").bitwiseXOR(F.lit(1 << 41)).alias("id"),
+                F.concat(F.col("content"), F.lit("\nprobe = scale")).alias("content"),
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(probe_path)
+        )
+        gen.stop()
 
     all_walls: dict[int, list[float]] = {}
     best_stages: dict[int, dict] = {}
@@ -163,7 +175,8 @@ def main() -> int:
     thr = {c: n_probe / best[c] for c in best}
     ratio = n_hi // n_lo
     eff = thr[n_hi] / (ratio * thr[n_lo])
-    shutil.rmtree(work_dir, ignore_errors=True)
+    if work_dir:
+        shutil.rmtree(work_dir, ignore_errors=True)
 
     marker = "## Delta scaling"
     section = (
