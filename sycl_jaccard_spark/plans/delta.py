@@ -522,9 +522,20 @@ class DeltaDedup:
         # -- candidates: all banded rows, pruned to buckets that gained a
         # member this batch (the new batch's bucket keys are small —
         # broadcast), capped/salted over the FULL current membership, pairs
-        # filtered to those touching >=1 new id --
-        all_banded = self._read("banded", "id long, band int, band_hash long").withColumn(
-            "is_new", F.col("batch") == bid
+        # filtered to those touching >=1 new id. The new side is the
+        # in-session relation (a cheap explode of the checkpointed
+        # signatures) rather than a read-back of the partition just written —
+        # one less store round-trip per delivery; replay semantics are
+        # unchanged because the stored side excludes this batch id either way.
+        all_banded = (
+            self._read("banded", "id long, band int, band_hash long")
+            .filter(F.col("batch") != bid)
+            .select("id", "band", "band_hash", F.lit(False).alias("is_new"))
+            .unionByName(
+                new_banded.select(
+                    "id", "band", "band_hash", F.lit(True).alias("is_new")
+                )
+            )
         )
         if existing:
             # prune the stored scan to buckets that gained a member: the new
@@ -627,39 +638,52 @@ class DeltaDedup:
                 checkpoint_every=cfg.checkpoint_every, stats=stats,
             )
 
-        # incremental: only components containing a node touched by a new
-        # edge can change; rerun CC on (new edges ∪ their components' old
-        # edges), keep every other label verbatim. Touched-label set is
-        # small (dup components are tiny next to the corpus) — broadcast.
+        # incremental: CC over the CONTRACTED graph. A stored label is by
+        # construction the MIN NODE of its component, so mapping each new
+        # edge's endpoints through the old labels (identity for never-seen
+        # nodes) yields a Δ-sized super-node graph whose components are
+        # exactly the merged ones, and whose min-node labels are the correct
+        # global minima (every old member is >= its component's label).
+        # Edges only ever accumulate — components merge, never split — so
+        # the old EDGES are never re-read: the one remaining corpus-sized
+        # scan per delivery is gone. Labels are Δ-rewritten via a broadcast
+        # remap (affected old labels -> merged label); everything else is
+        # kept verbatim.
         stats["mode"] = "incremental"
-        old_edges = (
-            self._read("edges", "a long, b long, jaccard double")
-            .filter(F.col("batch") != bid)
-            .select("a", "b")
-        )
-        touched = (
-            new_edges.select(F.col("a").alias("node"))
-            .union(new_edges.select(F.col("b").alias("node")))
-            .distinct()
-        )
-        affected = (
-            old_labels.join(touched, "node", "left_semi").select("label").distinct()
-        )
-        aff_edges = (
-            old_edges.join(
-                old_labels.select(F.col("node").alias("a"), "label"), "a"
+        la = old_labels.select(F.col("node").alias("a"), F.col("label").alias("la"))
+        lb = old_labels.select(F.col("node").alias("b"), F.col("label").alias("lb"))
+        contracted = (
+            new_edges.join(la, "a", "left")
+            .join(lb, "b", "left")
+            .select(
+                F.coalesce("la", "a").alias("a"),
+                F.coalesce("lb", "b").alias("b"),
             )
-            .join(F.broadcast(affected), "label", "left_semi")
-            .select("a", "b")
+            # Δ-sized, two consumers inside connected_components (count +
+            # collect/star rounds) — materialize so the labels join runs once
+            .localCheckpoint(eager=True)
         )
         sub_labels = connected_components(
-            new_edges.union(aff_edges),
+            contracted,
             max_iterations=cfg.max_cc_iterations,
             checkpoint_every=cfg.checkpoint_every,
             stats=stats,
         )
-        kept = old_labels.join(F.broadcast(affected), "label", "left_anti")
-        return kept.unionByName(sub_labels)
+        # Δ-sized by construction (touched super-nodes only) — broadcast
+        remap = sub_labels.select(
+            F.col("node").alias("label"), F.col("label").alias("new_label")
+        )
+        relabeled = (
+            old_labels.join(F.broadcast(remap), "label", "left")
+            .select("node", F.coalesce("new_label", "label").alias("label"))
+        )
+        # nodes entering the edge graph this delivery (no stored label):
+        # their super-node is themselves, so sub_labels already carries
+        # their final label
+        entering = sub_labels.join(
+            old_labels.select("node"), "node", "left_anti"
+        )
+        return relabeled.unionByName(entering)
 
     # ---- store maintenance ----
 
