@@ -25,9 +25,23 @@ streaming leg, ``streaming/ingest.py``):
     shingles/batch=N/       (id, shingle_hashes)    — reps only, signed once
     banded/batch=N/         (id, band, band_hash)   — LSH ∪ SimHash bands
     edges/batch=N/          (a, b, jaccard)         — verified + exact edges
-    labels/                 (node, label)           — current CC snapshot
+    label_base/batch=N/     (node, label)           — label AT ENTRY, append-only
+    label_remaps/           (old_label, new_label)  — folded merge closure
     idf/                    (elem, w)               — frozen snapshot (weighted mode)
     volumes/batch=N/        (id, vol)               — per-rep Σw (weighted mode)
+
+Labels are an OVERLAY, not a snapshot: a node's base row is written once, in
+the batch it first enters the edge graph, carrying the min-node label of its
+component at that moment; later merges append (old_label → new_label) rows
+to a folded remap closure instead of rewriting every member's row. Current
+label = ``coalesce(closure[base_label], base_label)`` — one hop, because the
+closure is kept folded (a batch that merges X into Y also redirects every
+stored ``* → X`` row to Y, and Y is final within its own batch by
+construction). The per-delivery label cost is therefore O(Δ edges + closure
+size): no corpus-sized label relation is ever rewritten, and none is
+shuffled (the base probe is a broadcast semi-join). ``compact()`` folds the
+closure back into the base and empties it, so the closure stays bounded by
+the merge events since the last compaction.
 
 Correctness contract (tested label-for-label in ``tests/test_delta.py``):
 running batches B1..Bk through ``add_batch`` yields the SAME cluster
@@ -75,7 +89,6 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from sycl_jaccard_spark.config import PipelineConfig
 from sycl_jaccard_spark.functions.minhash import minhash_simhash_udf, minhash_udf
@@ -85,14 +98,6 @@ from sycl_jaccard_spark.operators.lsh import candidate_pairs
 from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs
 from sycl_jaccard_spark.operators.weighted_dedup import weighted_signatures
 from sycl_jaccard_spark.plans.pipeline import banded_relation
-
-_LABEL_SCHEMA = T.StructType(
-    [
-        T.StructField("node", T.LongType(), False),
-        T.StructField("label", T.LongType(), False),
-    ]
-)
-
 
 class DeltaDedup:
     """Persistent incremental dedup over a growing corpus.
@@ -124,7 +129,9 @@ class DeltaDedup:
         "shingles": "id long, shingle_hashes array<long>",
         "banded": "id long, band int, band_hash long",
         "edges": "a long, b long, jaccard double",
+        "label_base": "node long, label long",
     }
+    _CLOSURE_SCHEMA = "old_label long, new_label long"
 
     def __init__(
         self,
@@ -597,12 +604,9 @@ class DeltaDedup:
         n_new_edges = new_edges.count()
         t0 = self._mark("verify", t0, rows=n_new_edges, batch=bid)
 
-        # -- labels: incremental (affected components only) or full CC --
+        # -- labels: incremental (Δ-sized overlay update) or full CC --
         cc_stats: dict = {}
-        labels = self._update_labels(new_edges.select("a", "b"), bid, cc_stats)
-        labels = labels.localCheckpoint(eager=True)  # cut lineage to labels/ before overwrite
-        labels.write.mode("overwrite").parquet(f"{self.root}/labels")
-        self.spark.catalog.refreshByPath(f"{self.root}/labels")
+        self._update_labels(new_edges.select("a", "b"), bid, cc_stats)
         t0 = self._mark("connected_components", t0, batch=bid, **cc_stats)
 
         summary = {
@@ -623,44 +627,89 @@ class DeltaDedup:
         self.metrics.append({"stage": "batch_total", **summary})
         return summary
 
-    def _update_labels(self, new_edges: DataFrame, bid: int, stats: dict) -> DataFrame:
+    def _closure(self) -> DataFrame:
+        """The folded (old_label → new_label) merge closure; empty on a
+        store that has never merged across batches."""
+        path = f"{self.root}/label_remaps"
+        if self._exists(f"{path}/_SUCCESS"):
+            return self.spark.read.parquet(path)
+        return self.spark.createDataFrame([], self._CLOSURE_SCHEMA)
+
+    def _write_closure(self, closure: DataFrame) -> None:
+        # cut lineage first: the new closure is derived from the parquet
+        # directory the write below overwrites
+        closure = closure.localCheckpoint(eager=True)
+        closure.write.mode("overwrite").parquet(f"{self.root}/label_remaps")
+        self.spark.catalog.refreshByPath(f"{self.root}/label_remaps")
+
+    def _update_labels(self, new_edges: DataFrame, bid: int, stats: dict) -> None:
         cfg = self.cfg
-        old_labels = (
-            self.spark.read.parquet(f"{self.root}/labels")
-            if self._exists(f"{self.root}/labels/_SUCCESS")
-            else self.spark.createDataFrame([], _LABEL_SCHEMA)
-        )
         if self.cc_mode == "full":
+            # O(edge store) by declaration: recompute every label, rewrite the
+            # base as one partition, clear the closure (the equivalence tests
+            # run this mode side-by-side with incremental stores)
             all_edges = self._read("edges", "a long, b long, jaccard double").select("a", "b")
             stats["mode"] = "full"
-            return connected_components(
+            labels = connected_components(
                 all_edges, max_iterations=cfg.max_cc_iterations,
                 checkpoint_every=cfg.checkpoint_every, stats=stats,
-            )
+            ).localCheckpoint(eager=True)  # cut lineage to edges/ + old base
+            fs, base_dir = self._fs(f"{self.root}/label_base")
+            fs.delete(base_dir, True)
+            self._write_batch("label_base", labels, bid)
+            self._write_closure(self.spark.createDataFrame([], self._CLOSURE_SCHEMA))
+            return
 
         # incremental: CC over the CONTRACTED graph. A stored label is by
         # construction the MIN NODE of its component, so mapping each new
-        # edge's endpoints through the old labels (identity for never-seen
-        # nodes) yields a Δ-sized super-node graph whose components are
-        # exactly the merged ones, and whose min-node labels are the correct
-        # global minima (every old member is >= its component's label).
-        # Edges only ever accumulate — components merge, never split — so
-        # the old EDGES are never re-read: the one remaining corpus-sized
-        # scan per delivery is gone. Labels are Δ-rewritten via a broadcast
-        # remap (affected old labels -> merged label); everything else is
-        # kept verbatim.
+        # edge's endpoints through their current labels (identity for
+        # never-seen nodes) yields a Δ-sized super-node graph whose
+        # components are exactly the merged ones, and whose min-node labels
+        # are the correct global minima (every old member is >= its
+        # component's label). Edges accumulate — components merge, never
+        # split — so neither the edge store nor any corpus-sized label
+        # relation is re-read or re-written: the endpoint set is Δ-sized and
+        # broadcast into a semi-join probe of the base (scan, no shuffle),
+        # and the merge outcome lands as closure rows, not member rewrites.
         stats["mode"] = "incremental"
-        la = old_labels.select(F.col("node").alias("a"), F.col("label").alias("la"))
-        lb = old_labels.select(F.col("node").alias("b"), F.col("label").alias("lb"))
-        contracted = (
-            new_edges.join(la, "a", "left")
-            .join(lb, "b", "left")
-            .select(
-                F.coalesce("la", "a").alias("a"),
-                F.coalesce("lb", "b").alias("b"),
+        eps = (
+            new_edges.select(F.col("a").alias("node"))
+            .union(new_edges.select(F.col("b").alias("node")))
+            .distinct()
+            # consumed by the base probe, the resolve join and the entering
+            # anti-join — Δ-sized, so the materialization is cheap
+            .localCheckpoint(eager=True)
+        )
+        # base rows for exactly the endpoints this delivery touches. The
+        # broadcast keeps the probe a scan (no exchange on the base side); a
+        # delivery's endpoint set is Δ-sized by construction — a delivery too
+        # big to broadcast is split upstream, the same operational bound as
+        # the candidate prune. At cluster scale the scan itself prunes via
+        # bucketing/bloom on `node`.
+        base = self._read("label_base", self._RELATIONS["label_base"]).filter(
+            F.col("batch") != bid
+        )
+        base_hits = base.join(F.broadcast(eps), "node", "left_semi").select(
+            "node", "label"
+        ).localCheckpoint(eager=True)
+        closure = self._closure()
+        resolved = (
+            eps.join(base_hits, "node", "left")
+            .select("node", F.coalesce("label", "node").alias("lab0"))
+            .join(
+                F.broadcast(closure),
+                F.col("lab0") == F.col("old_label"),
+                "left",
             )
+            .select("node", F.coalesce("new_label", "lab0").alias("cur"))
+        )
+        contracted = (
+            new_edges
+            .join(resolved.select(F.col("node").alias("a"), F.col("cur").alias("ca")), "a")
+            .join(resolved.select(F.col("node").alias("b"), F.col("cur").alias("cb")), "b")
+            .select(F.col("ca").alias("a"), F.col("cb").alias("b"))
             # Δ-sized, two consumers inside connected_components (count +
-            # collect/star rounds) — materialize so the labels join runs once
+            # collect/star rounds) — materialize so the resolve joins run once
             .localCheckpoint(eager=True)
         )
         sub_labels = connected_components(
@@ -668,22 +717,35 @@ class DeltaDedup:
             max_iterations=cfg.max_cc_iterations,
             checkpoint_every=cfg.checkpoint_every,
             stats=stats,
+        ).localCheckpoint(eager=True)  # consumed by entering + remap below
+
+        # super-nodes with no base row are exactly the nodes entering the
+        # edge graph this delivery (a stored current label is itself a node
+        # with a base row); their sub-label is already final
+        new_nodes = eps.join(base_hits.select("node"), "node", "left_anti")
+        entering = sub_labels.join(F.broadcast(new_nodes), "node", "left_semi")
+        self._write_batch("label_base", entering, bid)
+
+        # merges: an existing current label contracted into a smaller one.
+        # Fold into the closure: redirect stored rows whose target was
+        # merged this batch (one hop stays sufficient — this batch's targets
+        # are final within the batch), then append the new remaps.
+        remaps = (
+            sub_labels.filter(F.col("node") != F.col("label"))
+            .join(F.broadcast(new_nodes), "node", "left_anti")
+            .select(F.col("node").alias("old_label"), F.col("label").alias("new_label"))
         )
-        # Δ-sized by construction (touched super-nodes only) — broadcast
-        remap = sub_labels.select(
-            F.col("node").alias("label"), F.col("label").alias("new_label")
+        updated = (
+            closure.join(
+                F.broadcast(remaps.withColumnsRenamed(
+                    {"old_label": "r_old", "new_label": "r_new"}
+                )),
+                F.col("new_label") == F.col("r_old"),
+                "left",
+            )
+            .select("old_label", F.coalesce("r_new", "new_label").alias("new_label"))
         )
-        relabeled = (
-            old_labels.join(F.broadcast(remap), "label", "left")
-            .select("node", F.coalesce("new_label", "label").alias("label"))
-        )
-        # nodes entering the edge graph this delivery (no stored label):
-        # their super-node is themselves, so sub_labels already carries
-        # their final label
-        entering = sub_labels.join(
-            old_labels.select("node"), "node", "left_anti"
-        )
-        return relabeled.unionByName(entering)
+        self._write_closure(updated.unionByName(remaps))
 
     # ---- store maintenance ----
 
@@ -702,7 +764,9 @@ class DeltaDedup:
     def compact(self, files_per_relation: int = 32) -> dict:
         """Fold every ``batch=N`` partition of each additive relation into
         ONE consolidated partition (``batch=<max existing id>``), rows
-        preserved verbatim, ``labels/`` untouched. Future ``add_batch``
+        preserved verbatim except ``label_base``, which is consolidated with
+        the merge closure applied (``label_remaps`` then resets to empty —
+        every label is final as of the compaction). Future ``add_batch``
         calls continue from max+1 exactly as before; replays of
         pre-compaction batch ids are refused (see class docstring).
 
@@ -731,17 +795,23 @@ class DeltaDedup:
             "n_batches": len(bids),
             "rows": {},
         }
-        # phase 1: write every consolidated copy (no destructive step yet)
+        # phase 1: write every consolidated copy (no destructive step yet).
+        # label_base is consolidated WITH the closure applied (and the
+        # closure reset below) — compaction is what bounds the closure to
+        # the merge events of the current epoch.
+        closure = self._closure().localCheckpoint(eager=True)
         for name, schema in self._relations.items():
             tmp = f"{self.root}/_compact_tmp/{name}/batch={target}"
-            (
-                self._read(name, schema)
-                .drop("batch")
-                .repartition(files_per_relation)
-                .write.mode("overwrite")
-                .parquet(tmp)
-            )
+            df = self._read(name, schema).drop("batch")
+            if name == "label_base":
+                df = df.join(
+                    F.broadcast(closure), df.label == F.col("old_label"), "left"
+                ).select("node", F.coalesce("new_label", "label").alias("label"))
+            df.repartition(files_per_relation).write.mode("overwrite").parquet(tmp)
             summary["rows"][name] = self.spark.read.parquet(tmp).count()
+        self.spark.createDataFrame([], self._CLOSURE_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(f"{self.root}/_compact_tmp/label_remaps")
         # advance the horizon BEFORE any destructive swap: a crash between
         # the swap and a trailing horizon write would silently reopen the
         # replay window for folded batch ids (a replay would then duplicate
@@ -752,8 +822,12 @@ class DeltaDedup:
         self.spark.createDataFrame([(str(target),)], "value string").coalesce(
             1
         ).write.mode("overwrite").text(f"{self.root}/compaction_horizon")
-        # phase 2: swap directories (metadata-only; crash leaves tmp intact)
-        for name in self._relations:
+        # phase 2: swap directories (metadata-only; crash leaves tmp intact).
+        # label_remaps swaps to empty AFTER label_base swaps to the applied
+        # copy — a crash in between re-applies the closure to already-final
+        # labels, which is a no-op (a current label is never an old_label of
+        # the folded closure).
+        for name in [*self._relations, "label_remaps"]:
             fs, old = self._fs(f"{self.root}/{name}")
             fs.delete(old, True)
             _, tmp_path = self._fs(f"{self.root}/_compact_tmp/{name}")
@@ -774,13 +848,16 @@ class DeltaDedup:
     def clusters(self) -> DataFrame:
         """(id, cluster) for every file ever ingested — cluster = min id of
         the connected component, id itself for singletons (same contract as
-        ``DedupPipeline.run().clusters``)."""
+        ``DedupPipeline.run().clusters``). Resolves the label overlay at read
+        time: base label at entry, redirected through the folded merge
+        closure (one broadcast hop — see the store-layout docstring)."""
         files = self._read("files", "id long, sha256 string, is_rep boolean").select("id")
-        labels = (
-            self.spark.read.parquet(f"{self.root}/labels")
-            if self._exists(f"{self.root}/labels/_SUCCESS")
-            else self.spark.createDataFrame([], _LABEL_SCHEMA)
-        )
+        base = self._read("label_base", self._RELATIONS["label_base"])
+        labels = base.join(
+            F.broadcast(self._closure()),
+            base.label == F.col("old_label"),
+            "left",
+        ).select("node", F.coalesce("new_label", "label").alias("label"))
         return files.join(labels, files.id == labels.node, "left").select(
             "id", F.coalesce("label", F.col("id")).alias("cluster")
         )

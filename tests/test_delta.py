@@ -86,6 +86,45 @@ def test_delta_incremental_cc_equals_full_cc(spark, tmp_path, corpus):
     assert _clusters(inc.clusters()) == _clusters(ful.clusters())
 
 
+def test_label_overlay_never_rewrites_old_base_partitions(spark, tmp_path, corpus):
+    """The label store is an overlay: a delivery appends base rows for
+    ENTERING nodes and folds merges into the remap closure — it must never
+    rewrite an earlier batch's base partition (that rewrite is the O(corpus)
+    cost the overlay exists to remove). Cross-batch merges therefore live in
+    the closure until compact() folds them into the base and resets it."""
+    store = DeltaDedup(spark, str(tmp_path / "store"), CFG)
+    b = _batches(corpus, 3)
+    store.add_batch(b[0])
+    root = tmp_path / "store"
+    base0 = sorted((root / "label_base" / "batch=0").glob("part-*.parquet"))
+    stat0 = [(p.name, p.stat().st_mtime_ns, p.stat().st_size) for p in base0]
+    assert stat0, "batch 0 wrote no base rows"
+
+    store.add_batch(b[1])
+    store.add_batch(b[2])
+    after = [
+        (p.name, p.stat().st_mtime_ns, p.stat().st_size)
+        for p in sorted((root / "label_base" / "batch=0").glob("part-*.parquet"))
+    ]
+    assert after == stat0, "a later delivery rewrote batch 0's base partition"
+
+    # the splits share planted clusters, so cross-batch merges must exist —
+    # and they are recorded as closure rows, not member rewrites
+    closure = store._closure()
+    n_remaps = closure.count()
+    assert n_remaps > 0, "corpus split produced no cross-batch merges"
+    # folded: no closure target is itself a source (one read hop suffices)
+    chained = closure.alias("x").join(
+        closure.alias("y"), F.col("x.new_label") == F.col("y.old_label")
+    )
+    assert chained.count() == 0, "closure has chains — not folded"
+
+    before = _clusters(store.clusters())
+    store.compact(files_per_relation=2)
+    assert store._closure().count() == 0, "compact did not reset the closure"
+    assert _clusters(store.clusters()) == before
+
+
 def test_delta_replay_idempotent(spark, tmp_path, corpus):
     """Replaying a batch id (at-least-once delivery) must leave the store
     bit-identical — partitions overwrite, labels reconverge."""
