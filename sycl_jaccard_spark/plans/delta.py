@@ -379,15 +379,21 @@ class DeltaDedup:
             jaccard_pairs_weighted_arrays,
         )
 
-        w_needed = (
+        # the IDF snapshot is corpus-vocabulary-sized: stream it against the
+        # broadcast Δ element set (inner), then resolve novel-weight defaults
+        # Δ×Δ — never shuffle the snapshot per delivery
+        elems = (
             items.select(F.explode("set").alias("elem"))
             .distinct()
-            .join(self._idf.select("elem", "w"), "elem", "left")
-            .select("elem", F.coalesce("w", F.lit(self._novel_weight)).alias("w"))
+            .localCheckpoint(eager=True)  # broadcast build + left side below
+        )
+        idf_hits = self._idf.select("elem", "w").join(F.broadcast(elems), "elem")
+        w_needed = elems.join(F.broadcast(idf_hits), "elem", "left").select(
+            "elem", F.coalesce("w", F.lit(self._novel_weight)).alias("w")
         )
         vols = (
             self._read("volumes", self._relations["volumes"])
-            .join(items.select("id"), "id", "left_semi")
+            .join(F.broadcast(items.select("id")), "id", "left_semi")
             .select("id", "vol")
         )
         return jaccard_pairs_weighted_arrays(
@@ -458,7 +464,20 @@ class DeltaDedup:
             F.col("batch") != bid
         )
         n_delivered = hashed.count()
-        hashed = hashed.join(stored_files.select("id"), "id", "left_anti")
+        # Corpus-sized store relations are SCAN-ONLY in the delta path: every
+        # probe of the store streams it against a broadcast hash table built
+        # from the Δ side (an inner join with the small side hinted), and the
+        # Δ-sized hit set then drives ordinary Δ×Δ joins. A plain anti/outer
+        # join here would have to preserve the Δ side and therefore build on
+        # (i.e. SHUFFLE) the corpus side — O(corpus) shuffle bytes per
+        # delivery, the exact cost class the delta store exists to avoid.
+        # At cluster scale the streamed scan additionally prunes via
+        # bucketing/bloom on the probe column; the broadcast is bounded by
+        # the delivery size (operational guidance: split mega-deliveries).
+        redelivered = stored_files.select("id").join(
+            F.broadcast(hashed.select("id")), "id"
+        )
+        hashed = hashed.join(F.broadcast(redelivered), "id", "left_anti")
         reps_b = hashed.groupBy("sha256").agg(F.min("id").alias("rep"))
         with_rep = hashed.join(reps_b, "sha256")
         batch_exact = with_rep.filter(F.col("id") != F.col("rep")).select(
@@ -475,7 +494,12 @@ class DeltaDedup:
         stored_reps = stored_files.filter("is_rep").select(
             "sha256", F.col("id").alias("old_rep")
         )
-        ju = batch_uniq.join(stored_reps, "sha256", "left")
+        # one streamed scan of the reps, Δ-sized hit set, consumed twice
+        # (ju + file_rows) — materialize so the scan runs once
+        old_map = stored_reps.join(
+            F.broadcast(reps_b.select("sha256")), "sha256"
+        ).localCheckpoint(eager=True)
+        ju = batch_uniq.join(F.broadcast(old_map), "sha256", "left")
         cross_exact = ju.filter(F.col("old_rep").isNotNull()).select(
             F.col("old_rep").alias("a"), F.col("id").alias("b")
         )
@@ -484,7 +508,7 @@ class DeltaDedup:
 
         file_rows = (
             with_rep
-            .join(stored_reps, "sha256", "left")
+            .join(F.broadcast(old_map), "sha256", "left")
             .select(
                 "id",
                 "sha256",
@@ -545,12 +569,17 @@ class DeltaDedup:
             )
         )
         if existing:
-            # prune the stored scan to buckets that gained a member: the new
-            # batch's bucket keys are the small side — no explicit broadcast
-            # hint (a bootstrap-sized batch would not fit); AQE converts the
-            # semi-join to broadcast at runtime when the key set is small
+            # prune the stored scan to buckets that gained a member. The new
+            # batch's bucket keys are Δ×bands distinct rows — broadcast them
+            # so the corpus-sized banded store is STREAMED through a map-side
+            # hash probe instead of shuffled into a sort-merge semi-join
+            # (AQE would make the same call at runtime, but the bench
+            # protocol runs AQE off, and at 100 TB the stored side must
+            # never be shuffle-repartitioned per delivery regardless)
             new_keys = all_banded.filter("is_new").select("band", "band_hash").distinct()
-            pruned = all_banded.join(new_keys, ["band", "band_hash"], "left_semi")
+            pruned = all_banded.join(
+                F.broadcast(new_keys), ["band", "band_hash"], "left_semi"
+            )
         else:
             pruned = all_banded  # bootstrap: every row is new, prune is identity
         # cands is a MULTI-consumer intermediate (ids_needed + the pairs side
@@ -576,9 +605,12 @@ class DeltaDedup:
         # items feeds BOTH sides of the verify join (and, weighted, the
         # novel-weight relation + the volumes semi-join) — materialize or the
         # store-sized semi-join re-runs per consumer. Candidate-touched ids
-        # only, so this is Δ-sized, not corpus-sized.
+        # only, so this is Δ-sized, not corpus-sized. ids_needed is broadcast
+        # for the same reason as every other store probe: the shingle store
+        # (the HEAVIEST relation — one array per corpus rep) must be scanned,
+        # never shuffled, per delivery.
         items = (
-            shingle_store.join(ids_needed, "id", "left_semi")
+            shingle_store.join(F.broadcast(ids_needed), "id", "left_semi")
             .select("id", F.col("shingle_hashes").alias("set"))
             .localCheckpoint(eager=True)
         )
