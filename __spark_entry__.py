@@ -463,6 +463,37 @@ def q_delta_dedup_clusters(spark, sf_dir):
         shutil.rmtree(store_dir, ignore_errors=True)
 
 
+def q_delta_remove_clusters(spark, sf_dir):
+    """The SHRINK half of the delta store (plans/delta.py remove_ids):
+    ingest the corpus in two deliveries, then tombstone every doc_id ≡ 3
+    (mod 17) — exercising rep succession (removed exact-dup reps hand their
+    shingle/banded rows and edges to the min surviving duplicate) and
+    component re-labeling through the label_fix overlay. By the tested
+    removal≡full theorem (tests/test_delta.py), clusters() over the
+    survivors equals one full pipeline run over the surviving corpus, so the
+    oracle is the SAME end-to-end DuckDB replay restricted to survivors."""
+    import shutil
+    import tempfile
+
+    from sycl_jaccard_spark.plans.delta import DeltaDedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = documents_as_files(docs).select("id", "content")
+    cfg = PipelineConfig(
+        num_perms=N_PERMS, bands=N_BANDS, rows_per_band=N_PERMS // N_BANDS,
+        shingle_k=K, bucket_cap=10**9, portable_hashes=True,
+    )
+    store_dir = tempfile.mkdtemp(prefix="delta_rm_contract_")
+    try:
+        store = DeltaDedup(spark, f"{store_dir}/store", cfg, enable_simhash=False)
+        for parity in (0, 1):
+            store.add_batch(files.filter(F.pmod("id", F.lit(2)) == parity))
+        store.remove_ids(files.filter(F.pmod("id", F.lit(17)) == 3).select("id"))
+        return store.clusters().orderBy("id").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+
+
 def q_dedup_rep_selection(spark, sf_dir):
     """Corpus-level dedup ACTION on top of the portable pipeline clusters:
     longest-content representative per cluster (ties -> min id) and a full
@@ -594,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "dedup_pipeline_clusters": q_dedup_pipeline_clusters,
         "delta_dedup_clusters": q_delta_dedup_clusters,
+        "delta_remove_clusters": q_delta_remove_clusters,
         "dedup_rep_selection": q_dedup_rep_selection,
         "dedup_pipeline_full": q_dedup_pipeline_full,
         "ann_lsh_candidates": q_ann_lsh_candidates,
@@ -932,6 +964,18 @@ SELECT a, b, cosine FROM cs WHERE cosine >= {EMB_THRESHOLD}"""
     # verifies it — the oracle checks the batched store against the
     # one-shot SQL semantics
     sql["delta_dedup_clusters"] = _cluster_replay_sql(with_simhash=False)
+    # delta REMOVALS: by the tested removal≡full theorem the store after
+    # remove_ids(doc_id ≡ 3 mod 17) equals a full run over the survivors,
+    # so the oracle is the same replay with every `documents` read shadowed
+    # by the survivor set (string surgery is safe here: with_simhash=False +
+    # default tail reads the table via "FROM documents" only)
+    sql["delta_remove_clusters"] = _cluster_replay_sql(with_simhash=False).replace(
+        "FROM documents", "FROM survivors"
+    ).replace(
+        "WITH RECURSIVE",
+        "WITH RECURSIVE survivors AS (SELECT * FROM documents WHERE doc_id % 17 <> 3),",
+        1,
+    )
     sql["dedup_pipeline_full"] = _cluster_replay_sql(with_simhash=True)
     # dedup_rep_selection: the same cluster replay, extended with longest-
     # content representative selection (ties -> min id) and the keep/drop

@@ -89,6 +89,13 @@ def parse_args(argv=None):
              "are refused); default: next",
     )
     p.add_argument(
+        "--delta-remove", action="store_true",
+        help="with --delta-store: treat --input as a relation of file IDs "
+             "to REMOVE (tombstone epoch — rep succession, component "
+             "re-labeling; compact() physically purges) instead of a "
+             "delivery",
+    )
+    p.add_argument(
         "--shingle-mode", choices=["token", "char"], default="token",
         help="char: whitespace-stripped char k-grams — robust to "
              "minified/reformatted code where token boundaries move",
@@ -111,6 +118,9 @@ def parse_args(argv=None):
     elif args.delta_batch_id is not None:
         p.error("--delta-batch-id only applies with --delta-store "
                 "(a batch id is meaningless for a one-shot pipeline run)")
+    elif args.delta_remove:
+        p.error("--delta-remove only applies with --delta-store "
+                "(removal is an operation on the persistent store)")
     return args
 
 
@@ -158,7 +168,12 @@ def main(argv=None) -> int:
             spark, args.delta_store, cfg, enable_simhash=not args.no_simhash
         )
         t0 = time.monotonic()
-        summary = store.add_batch(files, batch_id=args.delta_batch_id)
+        if args.delta_remove:
+            summary = store.remove_ids(
+                files.select("id"), batch_id=args.delta_batch_id
+            )
+        else:
+            summary = store.add_batch(files, batch_id=args.delta_batch_id)
         store.clusters().write.mode("overwrite").parquet(
             os.path.join(args.output, "clusters")
         )

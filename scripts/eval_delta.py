@@ -67,6 +67,16 @@ def main() -> int:
         )
 
     store_dir = tempfile.mkdtemp(prefix="delta_store_")
+
+    # untimed warmup delivery against a throwaway store: JVM codegen, Arrow
+    # and Python-worker startup otherwise land entirely in the first measured
+    # growth batch and flatter the probe-growth ratio (first rows measured
+    # ~3-8x slower than identical later work before this was added)
+    warm = DeltaDedup(spark, f"{store_dir}/warm", cfg)
+    warm.add_batch(segs[0].limit(500))
+    warm.add_batch(probe_batch(segs[0], 99))
+    shutil.rmtree(f"{store_dir}/warm", ignore_errors=True)
+
     store = DeltaDedup(spark, f"{store_dir}/store", cfg)
     rows = []
     corpus_size = 0

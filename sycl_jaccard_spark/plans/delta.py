@@ -27,8 +27,16 @@ streaming leg, ``streaming/ingest.py``):
     edges/batch=N/          (a, b, jaccard)         — verified + exact edges
     label_base/batch=N/     (node, label)           — label AT ENTRY, append-only
     label_remaps/           (old_label, new_label)  — folded merge closure
+    removed/batch=N/        (id)                    — tombstones (remove_ids)
+    label_fix/batch=N/      (node, label)           — post-removal labels, latest wins
     idf/                    (elem, w)               — frozen snapshot (weighted mode)
     volumes/batch=N/        (id, vol)               — per-rep Σw (weighted mode)
+
+The corpus also SHRINKS: :meth:`DeltaDedup.remove_ids` tombstones files
+(takedown / GDPR / retention) at cost proportional to the affected
+components — rep succession, edge rewrites and a localized re-labeling
+through the ``label_fix`` overlay; ``compact()`` is the physical purge
+point. See the method docstring for the full model.
 
 Labels are an OVERLAY, not a snapshot: a node's base row is written once, in
 the batch it first enters the edge graph, carrying the min-node label of its
@@ -130,6 +138,14 @@ class DeltaDedup:
         "banded": "id long, band int, band_hash long",
         "edges": "a long, b long, jaccard double",
         "label_base": "node long, label long",
+    }
+    # epoch relations written by remove_ids (same batch-id sequence and
+    # replay window as add_batch deliveries); compact() folds both away —
+    # tombstones by physically purging the rows they mask, fixes by applying
+    # them into the consolidated label base
+    _EPOCH_RELATIONS = {
+        "removed": "id long",
+        "label_fix": "node long, label long",
     }
     _CLOSURE_SCHEMA = "old_label long, new_label long"
 
@@ -272,30 +288,95 @@ class DeltaDedup:
         return self.spark.createDataFrame([], schema + ", batch int")
 
     def batch_ids(self) -> list[int]:
-        path = f"{self.root}/files"
-        if not self._exists(path):
-            return []
-        fs, hpath = self._fs(path)
-        out = []
-        for s in fs.listStatus(hpath):
-            name = s.getPath().getName()
-            if name.startswith("batch="):
-                out.append(int(name.split("=", 1)[1]))
+        """Every epoch id the store has seen — additions anchor in ``files/``
+        partitions, removals in ``removed/`` partitions; both draw from ONE
+        id sequence so the replay-window and horizon guards compose."""
+        out: set[int] = set()
+        for rel in ("files", "removed"):
+            path = f"{self.root}/{rel}"
+            if not self._exists(path):
+                continue
+            fs, hpath = self._fs(path)
+            for s in fs.listStatus(hpath):
+                name = s.getPath().getName()
+                if name.startswith("batch="):
+                    out.add(int(name.split("=", 1)[1]))
         return sorted(out)
 
     def incomplete_batch_ids(self) -> list[int]:
-        """Batches whose ``files/`` partition exists but whose ``edges/``
-        lineage (written LAST in ``add_batch``) is missing — the signature
-        of a crash mid-ingest. Such a batch holds ``is_rep`` rows whose
-        content was never shingled/signed, so later batches would silently
-        treat it as already-stored and lose every near-dup edge to it;
-        ``add_batch`` refuses NEW batches until the incomplete one is
-        replayed (replaying it overwrites its partitions — at-least-once)."""
+        """Epochs whose anchor partition (``files/`` for a delivery,
+        ``removed/`` for a removal) exists but whose ``edges/`` lineage
+        (written LAST in both ``add_batch`` and ``remove_ids``) is missing —
+        the signature of a crash mid-epoch. An incomplete delivery holds
+        ``is_rep`` rows whose content was never shingled/signed; an
+        incomplete removal holds tombstones whose label fixes were never
+        written (survivor clusters would read stale). New epochs are refused
+        until the incomplete one is replayed (replaying overwrites its
+        partitions — at-least-once)."""
         return [
             bid
             for bid in self.batch_ids()
             if not self._exists(f"{self.root}/edges/batch={bid}/_lineage.json")
         ]
+
+    def _tombstones(self, exclude_bid: int | None = None) -> DataFrame:
+        """Removed ids (Δ removals since the last compaction — compact()
+        physically purges the masked rows and resets this). Small by the same
+        operational bound as a delivery: split mega-removals, compact between
+        epochs — every read path broadcasts it as an anti-join probe so store
+        relations stay scan-only."""
+        tomb = self._read("removed", self._EPOCH_RELATIONS["removed"])
+        if exclude_bid is not None:
+            tomb = tomb.filter(F.col("batch") != exclude_bid)
+        return tomb.select("id")
+
+    def _latest_fixes(self, exclude_bid: int | None = None) -> DataFrame:
+        """Post-removal corrected labels, latest epoch per node (a node can
+        be re-fixed by a later removal). Resolution precedence everywhere:
+        ``closure[fix ?? base] ?? (fix ?? base)`` — a fix supersedes the base
+        label AND any closure hop recorded for it (removals can SPLIT
+        components, which the merge-only closure cannot express), while later
+        merges of a fixed label still resolve through the closure."""
+        fixes = self._read("label_fix", self._EPOCH_RELATIONS["label_fix"])
+        if exclude_bid is not None:
+            fixes = fixes.filter(F.col("batch") != exclude_bid)
+        return fixes.groupBy("node").agg(
+            F.max_by("label", "batch").alias("fix_label")
+        )
+
+    def _begin_epoch(self, batch_id: int | None) -> int:
+        """Allocate/validate an epoch id under the shared replay-window,
+        horizon and incomplete-epoch guards (see :meth:`add_batch`)."""
+        existing = self.batch_ids()
+        bid = batch_id if batch_id is not None else (existing[-1] + 1 if existing else 0)
+        horizon = self.compacted_through()
+        if bid <= horizon:
+            raise ValueError(
+                f"batch_id {bid} is at or below the compaction horizon "
+                f"({horizon}): its rows were folded into the consolidated "
+                "partition, so an overwrite-replay would duplicate them — "
+                "compact() closes the replay window for prior batch ids"
+            )
+        if existing and bid < existing[-1]:
+            raise ValueError(
+                f"batch_id {bid} precedes the latest stored batch "
+                f"({existing[-1]}): later batches already verified their "
+                "pairs against this batch's rows, so re-running it would "
+                "re-emit those cross-batch edges into a second partition — "
+                "only the LATEST batch id is replayable (the at-least-once "
+                "window); new deliveries must use a higher id"
+            )
+        stale = [x for x in self.incomplete_batch_ids() if x != bid]
+        if stale:
+            raise ValueError(
+                f"delta store {self.root} has incomplete batch(es) {stale}: "
+                "a prior add_batch/remove_ids crashed after writing its "
+                "anchor partition (files/ or removed/) but before edges/ "
+                "lineage completed — replay exactly that batch_id (same "
+                "delivery / same removal set) to heal the store before "
+                "adding new epochs"
+            )
+        return bid
 
     def _write_batch(self, name: str, df: DataFrame, bid: int) -> DataFrame:
         path = f"{self.root}/{name}/batch={bid}"
@@ -416,33 +497,7 @@ class DeltaDedup:
         their rows, so a re-run would duplicate those edges)."""
         cfg = self.cfg
         existing = self.batch_ids()
-        bid = batch_id if batch_id is not None else (existing[-1] + 1 if existing else 0)
-        horizon = self.compacted_through()
-        if bid <= horizon:
-            raise ValueError(
-                f"batch_id {bid} is at or below the compaction horizon "
-                f"({horizon}): its rows were folded into the consolidated "
-                "partition, so an overwrite-replay would duplicate them — "
-                "compact() closes the replay window for prior batch ids"
-            )
-        if existing and bid < existing[-1]:
-            raise ValueError(
-                f"batch_id {bid} precedes the latest stored batch "
-                f"({existing[-1]}): later batches already verified their "
-                "pairs against this batch's rows, so re-running it would "
-                "re-emit those cross-batch edges into a second partition — "
-                "only the LATEST batch id is replayable (the at-least-once "
-                "window); new deliveries must use a higher id"
-            )
-        stale = [x for x in self.incomplete_batch_ids() if x != bid]
-        if stale:
-            raise ValueError(
-                f"delta store {self.root} has incomplete batch(es) {stale}: "
-                "a prior add_batch crashed after writing files/ but before "
-                "edges/ completed, leaving reps that were never signed — "
-                "replay exactly that batch_id (same delivery) to heal the "
-                "store before adding new batches"
-            )
+        bid = self._begin_epoch(batch_id)
         t0 = time.monotonic()
         t_start = t0
 
@@ -490,9 +545,16 @@ class DeltaDedup:
         # incarnation would otherwise classify every replayed file as
         # already-stored (and the lazy read would race the partition
         # overwrite below). The batch filter is on the partition column, so
-        # pruning skips those files.
-        stored_reps = stored_files.filter("is_rep").select(
-            "sha256", F.col("id").alias("old_rep")
+        # pruning skips those files. Tombstoned reps are excluded too — an
+        # exact edge to a removed rep would be filtered out of every view and
+        # the new file would silently lose its group; treating the content as
+        # never-seen instead re-signs it ONCE, after which the new copy is
+        # the group's discoverable rep again (self-healing succession).
+        tomb = self._tombstones(exclude_bid=bid)
+        stored_reps = (
+            stored_files.filter("is_rep")
+            .join(F.broadcast(tomb), "id", "left_anti")
+            .select("sha256", F.col("id").alias("old_rep"))
         )
         # one streamed scan of the reps, Δ-sized hit set, consumed twice
         # (ju + file_rows) — materialize so the scan runs once
@@ -561,6 +623,10 @@ class DeltaDedup:
         all_banded = (
             self._read("banded", "id long, band int, band_hash long")
             .filter(F.col("batch") != bid)
+            # tombstoned ids must not seed candidates: their shingle rows are
+            # masked (pre-purge) and an edge to them would be view-filtered;
+            # rep successors carry copied banded rows under their own id
+            .join(F.broadcast(tomb), "id", "left_anti")
             .select("id", "band", "band_hash", F.lit(False).alias("is_new"))
             .unionByName(
                 new_banded.select(
@@ -659,6 +725,217 @@ class DeltaDedup:
         self.metrics.append({"stage": "batch_total", **summary})
         return summary
 
+    def remove_ids(
+        self,
+        ids: DataFrame | list[int],
+        id_col: str = "id",
+        batch_id: int | None = None,
+    ) -> dict:
+        """Remove files from the living corpus (takedown / GDPR / retention)
+        — the shrink half of the delta store, at cost proportional to the
+        AFFECTED components, not the corpus.
+
+        Removal is a tombstone epoch in the same batch-id sequence as
+        deliveries (same replay window, same compaction horizon, same
+        crash-guard lineage): every read path masks tombstoned ids via a
+        broadcast anti-join, and :meth:`compact` physically purges the masked
+        rows — the purge point for content-derived data (sha256, shingles,
+        signatures), exactly the LSM delete model.
+
+        What a removal must repair beyond masking:
+
+        * **rep succession** — a removed exact-dup representative carries the
+          group's ONLY shingle/banded(/volume) rows and all its near-dup
+          edges. The min surviving same-sha256 id inherits: identity rows are
+          copied under the successor's id (identical content, so this leaks
+          nothing the survivors don't already carry) and every edge through
+          the removed rep is rewritten to the successor (same jaccard —
+          identical content). A group removed wholly gets no successor; its
+          rows purge at compact().
+        * **component splits** — labels are min-node labels and components
+          can lose their min node or a bridge node, neither of which the
+          merge-only closure can express. Connected components re-runs over
+          the AFFECTED components' surviving subgraph only (members found by
+          a broadcast-probe scan of the base, edges by a broadcast semi-join
+          scan of the edge store), and every surviving member gets a row in
+          the ``label_fix`` overlay: resolution precedence is
+          ``closure[fix ?? base] ?? (fix ?? base)``, so fixes supersede the
+          stale closure hops while later merges still resolve through the
+          closure. Stale closure rows become unreachable (every node that
+          could route through them now has a fix) and fold away at compact().
+
+        A removed id cannot be re-ingested until a compact() purges its
+        ``files/`` row (``add_batch``'s redelivery drop sees it as stored) —
+        intentional: re-admitting an id inside the epoch that removed it
+        would make replay order-dependent.
+
+        Equivalence contract (tested in ``tests/test_delta.py``): after
+        ``remove_ids(R)``, ``clusters()`` equals a full ``DedupPipeline`` run
+        over the surviving corpus, label for label — same caveats on engaged
+        skew caps as :class:`DeltaDedup` itself.
+        """
+        cfg = self.cfg
+        if not isinstance(ids, DataFrame):
+            ids = self.spark.createDataFrame([(int(i),) for i in ids], "id long")
+            id_col = "id"
+        bid = self._begin_epoch(batch_id)
+        t0 = time.monotonic()
+        t_start = t0
+
+        req = ids.select(F.col(id_col).alias("id")).distinct().localCheckpoint(eager=True)
+        n_requested = req.count()
+        tomb_prior = self._tombstones(exclude_bid=bid)
+        # stored, not already tombstoned — unknown/already-removed ids are
+        # counted and skipped (removal requests are idempotent by state)
+        rm = (
+            self._read("files", self._RELATIONS["files"])
+            .join(F.broadcast(req), "id")
+            .join(F.broadcast(tomb_prior.join(F.broadcast(req), "id")), "id", "left_anti")
+            .select("id", "sha256", "is_rep")
+            .localCheckpoint(eager=True)
+        )
+        n_removed = rm.count()
+        self._write_batch("removed", rm.select("id"), bid)
+        if n_removed == 0:
+            # tombstone anchor written (epoch exists, replay-consistent);
+            # nothing to repair
+            self._write_batch(
+                "edges", self.spark.createDataFrame([], "a long, b long, jaccard double"), bid
+            )
+            self._write_batch(
+                "label_fix", self.spark.createDataFrame([], self._EPOCH_RELATIONS["label_fix"]), bid
+            )
+            summary = {
+                "batch": bid, "op": "remove", "n_requested": n_requested,
+                "n_removed": 0, "wall_s": round(time.monotonic() - t_start, 3),
+            }
+            self._write_lineage("edges", bid, {**summary, "config": json.loads(self._config_fingerprint())})
+            self.metrics.append({"stage": "remove_total", **summary})
+            return summary
+        t0 = self._mark("rm_tombstone", t0, rows=n_removed, batch=bid)
+
+        # -- rep succession: min surviving same-sha id inherits the removed
+        # rep's identity rows and edges --
+        rm_reps = rm.filter("is_rep").select(F.col("id").alias("old"), "sha256")
+        survivors = (
+            self._read("files", self._RELATIONS["files"])
+            .join(F.broadcast(rm_reps.select("sha256")), "sha256")
+            .join(F.broadcast(tomb_prior), "id", "left_anti")
+            .join(F.broadcast(rm.select("id")), "id", "left_anti")
+            .groupBy("sha256")
+            .agg(F.min("id").alias("succ"))
+        )
+        succ_map = (
+            rm_reps.join(survivors, "sha256")
+            .select("old", "succ")
+            .localCheckpoint(eager=True)
+        )
+        n_successions = succ_map.count()
+        copy_rels = ["shingles", "banded"] + (["volumes"] if self._weighted else [])
+        for name in copy_rels:
+            src = self._read(name, self._relations[name]).filter(F.col("batch") != bid)
+            copies = (
+                src.withColumnRenamed("id", "old")
+                .join(F.broadcast(succ_map), "old")
+                .select(F.col("succ").alias("id"), *[c for c in src.columns if c not in ("id", "batch")])
+            )
+            self._write_batch(name, copies, bid)
+        t0 = self._mark("rm_succession", t0, rows=n_successions, batch=bid)
+
+        # -- affected components: current labels of removed edge-graph nodes --
+        base = self._read("label_base", self._RELATIONS["label_base"])
+        closure = self._closure()
+        fixes = self._latest_fixes(exclude_bid=bid)
+        def _resolve(nodes: DataFrame) -> DataFrame:
+            """(node, cur) — current label under fix/closure precedence."""
+            return (
+                nodes.join(F.broadcast(fixes), "node", "left")
+                .select("node", "label", "fix_label")
+                .select("node", F.coalesce("fix_label", "label").alias("lab0"))
+                .join(F.broadcast(closure), F.col("lab0") == F.col("old_label"), "left")
+                .select("node", F.coalesce("new_label", "lab0").alias("cur"))
+            )
+        rm_nodes = base.join(
+            F.broadcast(rm.select(F.col("id").alias("node"))), "node"
+        ).select("node", "label")
+        affected = (
+            _resolve(rm_nodes).select("cur").distinct().localCheckpoint(eager=True)
+        )
+        # every member of an affected component: one scan of the base with
+        # broadcast fix/closure hops and a broadcast filter on the resolved
+        # label — scan-only, no shuffle of the base (same cost language as
+        # every other store probe); Δ' = affected component sizes
+        members = (
+            _resolve(base.select("node", "label"))
+            .join(F.broadcast(affected), "cur", "left_semi")
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+
+        # -- surviving subgraph of the affected components --
+        all_tomb = tomb_prior.unionByName(rm.select("id")).localCheckpoint(eager=True)
+        # semi-join on ONE endpoint suffices: members covers affected
+        # components in full, and an edge's endpoints share a component by
+        # construction (rows touching earlier-removed ids are dead either
+        # way — the anti-join below drops them)
+        sub = (
+            self._read("edges", "a long, b long, jaccard double")
+            .filter(F.col("batch") != bid)
+            .join(F.broadcast(members.withColumnRenamed("node", "a")), "a", "left_semi")
+            .withColumnRenamed("a", "ea")
+            .withColumnRenamed("b", "eb")
+            .join(F.broadcast(succ_map.withColumnsRenamed({"old": "ea", "succ": "sa"})), "ea", "left")
+            .join(F.broadcast(succ_map.withColumnsRenamed({"old": "eb", "succ": "sb"})), "eb", "left")
+            .select(
+                F.coalesce("sa", "ea").alias("a"),
+                F.coalesce("sb", "eb").alias("b"),
+                "jaccard",
+                (F.col("sa").isNotNull() | F.col("sb").isNotNull()).alias("rewritten"),
+            )
+            .join(F.broadcast(all_tomb.withColumnRenamed("id", "a")), "a", "left_anti")
+            .join(F.broadcast(all_tomb.withColumnRenamed("id", "b")), "b", "left_anti")
+            .filter(F.col("a") != F.col("b"))
+            .localCheckpoint(eager=True)
+        )
+        # persist ONLY the rewritten rows — the unchanged survivors already
+        # live in the store; views mask the originals they replace
+        n_rewritten = self._write_batch(
+            "edges", sub.filter("rewritten").select("a", "b", "jaccard"), bid
+        ).count()
+
+        # -- relabel the affected components' survivors --
+        cc_stats: dict = {}
+        sub_labels = connected_components(
+            sub.select("a", "b"),
+            max_iterations=cfg.max_cc_iterations,
+            checkpoint_every=cfg.checkpoint_every,
+            stats=cc_stats,
+        )
+        fixes_rows = (
+            members.join(F.broadcast(all_tomb.withColumnRenamed("id", "node")), "node", "left_anti")
+            .join(sub_labels, "node", "left")
+            .select("node", F.coalesce("label", "node").alias("label"))
+        )
+        n_fixed = self._write_batch("label_fix", fixes_rows, bid).count()
+        t0 = self._mark("rm_relabel", t0, rows=n_fixed, batch=bid, **cc_stats)
+
+        summary = {
+            "batch": bid,
+            "op": "remove",
+            "n_requested": n_requested,
+            "n_removed": n_removed,
+            "n_already_absent": n_requested - n_removed,
+            "n_rep_successions": n_successions,
+            "n_edges_rewritten": n_rewritten,
+            "n_affected_components": affected.count(),
+            "n_members_fixed": n_fixed,
+            "cc": cc_stats,
+            "wall_s": round(time.monotonic() - t_start, 3),
+        }
+        self._write_lineage("edges", bid, {**summary, "config": json.loads(self._config_fingerprint())})
+        self.metrics.append({"stage": "remove_total", **summary})
+        return summary
+
     def _closure(self) -> DataFrame:
         """The folded (old_label → new_label) merge closure; empty on a
         store that has never merged across batches."""
@@ -725,9 +1002,18 @@ class DeltaDedup:
             "node", "label"
         ).localCheckpoint(eager=True)
         closure = self._closure()
+        # post-removal fixes supersede the base label (and its closure hop):
+        # a removal may have SPLIT the component the base/closure still
+        # describe. The probe is Δ-sized (fix rows for exactly these eps).
+        fix_hits = self._latest_fixes(exclude_bid=bid).join(
+            F.broadcast(eps), "node"
+        )
         resolved = (
             eps.join(base_hits, "node", "left")
-            .select("node", F.coalesce("label", "node").alias("lab0"))
+            .join(fix_hits, "node", "left")
+            .select(
+                "node", F.coalesce("fix_label", "label", "node").alias("lab0")
+            )
             .join(
                 F.broadcast(closure),
                 F.col("lab0") == F.col("old_label"),
@@ -828,22 +1114,44 @@ class DeltaDedup:
             "rows": {},
         }
         # phase 1: write every consolidated copy (no destructive step yet).
-        # label_base is consolidated WITH the closure applied (and the
-        # closure reset below) — compaction is what bounds the closure to
-        # the merge events of the current epoch.
+        # label_base is consolidated WITH the fix overlay and the closure
+        # applied (both reset below) — compaction is what bounds the closure
+        # to the merge events and the fixes/tombstones to the removals of
+        # the current epoch. Tombstoned rows are PHYSICALLY dropped from
+        # every relation here: compact() is the purge point for removed
+        # content's derived data (sha256/shingles/signatures/edges).
         closure = self._closure().localCheckpoint(eager=True)
+        tomb = self._tombstones().localCheckpoint(eager=True)
+        fixes = self._latest_fixes().localCheckpoint(eager=True)
         for name, schema in self._relations.items():
             tmp = f"{self.root}/_compact_tmp/{name}/batch={target}"
             df = self._read(name, schema).drop("batch")
-            if name == "label_base":
+            if name == "edges":
                 df = df.join(
-                    F.broadcast(closure), df.label == F.col("old_label"), "left"
-                ).select("node", F.coalesce("new_label", "label").alias("label"))
+                    F.broadcast(tomb.withColumnRenamed("id", "a")), "a", "left_anti"
+                ).join(F.broadcast(tomb.withColumnRenamed("id", "b")), "b", "left_anti")
+            elif name == "label_base":
+                df = (
+                    df.join(F.broadcast(tomb.withColumnRenamed("id", "node")), "node", "left_anti")
+                    .join(F.broadcast(fixes), "node", "left")
+                    .select("node", F.coalesce("fix_label", "label").alias("lab0"))
+                    .join(F.broadcast(closure), F.col("lab0") == F.col("old_label"), "left")
+                    .select("node", F.coalesce("new_label", "lab0").alias("label"))
+                )
+            else:
+                df = df.join(F.broadcast(tomb), "id", "left_anti")
             df.repartition(files_per_relation).write.mode("overwrite").parquet(tmp)
             summary["rows"][name] = self.spark.read.parquet(tmp).count()
         self.spark.createDataFrame([], self._CLOSURE_SCHEMA).write.mode(
             "overwrite"
         ).parquet(f"{self.root}/_compact_tmp/label_remaps")
+        # epoch relations fold away: tombstones are now applied (purged) and
+        # fixes live inside the consolidated base. batch=target keeps the
+        # directory shape uniform for _read's partition discovery.
+        for name, schema in self._EPOCH_RELATIONS.items():
+            self.spark.createDataFrame([], schema).write.mode("overwrite").parquet(
+                f"{self.root}/_compact_tmp/{name}/batch={target}"
+            )
         # advance the horizon BEFORE any destructive swap: a crash between
         # the swap and a trailing horizon write would silently reopen the
         # replay window for folded batch ids (a replay would then duplicate
@@ -854,12 +1162,14 @@ class DeltaDedup:
         self.spark.createDataFrame([(str(target),)], "value string").coalesce(
             1
         ).write.mode("overwrite").text(f"{self.root}/compaction_horizon")
-        # phase 2: swap directories (metadata-only; crash leaves tmp intact).
-        # label_remaps swaps to empty AFTER label_base swaps to the applied
-        # copy — a crash in between re-applies the closure to already-final
-        # labels, which is a no-op (a current label is never an old_label of
-        # the folded closure).
-        for name in [*self._relations, "label_remaps"]:
+        # phase 2: swap directories (metadata-only; crash leaves tmp intact,
+        # and the constructor refuses the store until resolved). label_fix
+        # and label_remaps swap to empty AFTER label_base swaps to the
+        # applied copy — re-applying an old fix or closure row to
+        # already-final labels is a no-op (a fix of a since-merged label
+        # still resolves through the closure, which swaps last; a final
+        # label is never an old_label of the folded closure).
+        for name in [*self._relations, *self._EPOCH_RELATIONS, "label_remaps"]:
             fs, old = self._fs(f"{self.root}/{name}")
             fs.delete(old, True)
             _, tmp_path = self._fs(f"{self.root}/_compact_tmp/{name}")
@@ -875,21 +1185,42 @@ class DeltaDedup:
     # ---- outputs ----
 
     def edges(self) -> DataFrame:
-        return self._read("edges", "a long, b long, jaccard double").select("a", "b", "jaccard")
+        """Verified dup edges between SURVIVING files: tombstoned endpoints
+        are masked at read time (their rows purge physically at compact());
+        rep-succession rewrites live as ordinary edge rows under the removal
+        epoch's partition."""
+        tomb = self._tombstones()
+        return (
+            self._read("edges", "a long, b long, jaccard double")
+            .join(F.broadcast(tomb.withColumnRenamed("id", "a")), "a", "left_anti")
+            .join(F.broadcast(tomb.withColumnRenamed("id", "b")), "b", "left_anti")
+            .select("a", "b", "jaccard")
+        )
 
     def clusters(self) -> DataFrame:
-        """(id, cluster) for every file ever ingested — cluster = min id of
-        the connected component, id itself for singletons (same contract as
+        """(id, cluster) for every SURVIVING file — cluster = min id of the
+        connected component, id itself for singletons (same contract as
         ``DedupPipeline.run().clusters``). Resolves the label overlay at read
-        time: base label at entry, redirected through the folded merge
-        closure (one broadcast hop — see the store-layout docstring)."""
-        files = self._read("files", "id long, sha256 string, is_rep boolean").select("id")
+        time with removal-fix precedence: ``closure[fix ?? base] ?? (fix ??
+        base)`` (fixes express the component splits the merge-only closure
+        cannot — see :meth:`remove_ids`)."""
+        tomb = self._tombstones()
+        files = (
+            self._read("files", self._RELATIONS["files"])
+            .join(F.broadcast(tomb), "id", "left_anti")
+            .select("id")
+        )
         base = self._read("label_base", self._RELATIONS["label_base"])
-        labels = base.join(
-            F.broadcast(self._closure()),
-            base.label == F.col("old_label"),
-            "left",
-        ).select("node", F.coalesce("new_label", "label").alias("label"))
+        labels = (
+            base.join(self._latest_fixes(), "node", "left")
+            .select("node", F.coalesce("fix_label", "label").alias("lab0"))
+            .join(
+                F.broadcast(self._closure()),
+                F.col("lab0") == F.col("old_label"),
+                "left",
+            )
+            .select("node", F.coalesce("new_label", "lab0").alias("label"))
+        )
         return files.join(labels, files.id == labels.node, "left").select(
             "id", F.coalesce("label", F.col("id")).alias("cluster")
         )

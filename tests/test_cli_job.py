@@ -257,6 +257,48 @@ def test_run_pipeline_cli_delta_mode(spark, tmp_path):
         (r.id, r.cluster) for r in full.collect()
     }
 
+    # --delta-remove: tombstone every doc_id ≡ 2 (mod 7); the store must
+    # then equal a full CLI run over the SURVIVING corpus
+    rm_src, surv_src = str(tmp_path / "rm"), str(tmp_path / "surv")
+    docs.filter(F.pmod("doc_id", F.lit(7)) == 2).write.parquet(rm_src)
+    docs.filter(F.pmod("doc_id", F.lit(7)) != 2).write.parquet(surv_src)
+    rc = main(
+        [
+            "--input", rm_src,
+            "--input-kind", "documents",
+            "--output", str(tmp_path / "delta_rm"),
+            "--delta-store", store,
+            "--delta-remove",
+            "--num-perms", "64",
+            "--bands", "16",
+        ]
+    )
+    assert rc == 0
+    rc = main(
+        [
+            "--input", surv_src,
+            "--input-kind", "documents",
+            "--output", str(tmp_path / "full_surv"),
+            "--num-perms", "64",
+            "--bands", "16",
+        ]
+    )
+    assert rc == 0
+    after_rm = spark.read.parquet(str(tmp_path / "delta_rm" / "clusters"))
+    full_surv = spark.read.parquet(str(tmp_path / "full_surv" / "clusters"))
+    assert {(r.id, r.cluster) for r in after_rm.collect()} == {
+        (r.id, r.cluster) for r in full_surv.collect()
+    }
+
+
+def test_cli_delta_remove_requires_store():
+    import pytest
+
+    from jobs.run_pipeline import parse_args
+
+    with pytest.raises(SystemExit):
+        parse_args(["--input", "x", "--output", "y", "--delta-remove"])
+
 
 def test_delta_mode_rejects_unsupported_flags(tmp_path):
     import pytest as _pytest

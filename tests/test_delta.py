@@ -492,3 +492,224 @@ def test_weighted_delta_compact_preserves_and_continues(spark, tmp_path, corpus)
     store.add_batch(b[2])
     full = DedupPipeline(spark, WCFG, enable_substring=False).run(corpus)
     assert _clusters(store.clusters()) == _clusters(full.clusters)
+
+# ---- removals (remove_ids: tombstones, rep succession, component splits) ----
+
+
+def _removal_set(spark, store, full_clusters):
+    """Adversarial removal set: the min id (= label) of the largest cluster,
+    one of the STORE's exact-dup representatives that has surviving
+    duplicates (store reps are first-seen, not min-id — read them from the
+    store, don't recompute), and EVERY member of one small cluster
+    (whole-group purge, no successor)."""
+    sizes = full_clusters.groupBy("cluster").count()
+    big = sizes.orderBy(F.desc("count"), "cluster").first()["cluster"]
+    small = sizes.filter("count = 2").orderBy("cluster").first()["cluster"]
+    small_ids = [
+        r["id"] for r in full_clusters.filter(F.col("cluster") == small).collect()
+    ]
+    grp = (
+        spark.read.parquet(store.root + "/files")
+        .groupBy("sha256")
+        .agg(
+            F.max(F.when(F.col("is_rep"), F.col("id"))).alias("rep"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter("n >= 2")
+        .orderBy("rep")
+        .first()
+    )
+    return sorted({big, grp["rep"], *small_ids})
+
+
+def test_remove_equals_full_run_over_survivors(spark, tmp_path, corpus):
+    """remove_ids is the shrink half of the living corpus: after tombstoning
+    an adversarial set (a component's min node, an exact-dup rep with
+    survivors, a whole small cluster), clusters() must equal one full batch
+    pipeline over the SURVIVING corpus, label for label — and stay equal
+    after a further delivery that includes near-dups of REMOVED content
+    (stale banded rows must not resurrect edges to tombstoned ids)."""
+    store = DeltaDedup(spark, str(tmp_path / "store"), CFG)
+    for batch in _batches(corpus, 3):
+        store.add_batch(batch)
+    full0 = DedupPipeline(spark, CFG, enable_substring=False).run(corpus)
+    rm = _removal_set(spark, store, full0.clusters)
+
+    summary = store.remove_ids(rm)
+    assert summary["n_removed"] == len(rm)
+    assert summary["n_rep_successions"] >= 1
+    survivors = corpus.filter(~F.col("id").isin(rm)).localCheckpoint(eager=True)
+    full = DedupPipeline(spark, CFG, enable_substring=False).run(survivors)
+    assert _clusters(store.clusters()) == _clusters(full.clusters)
+
+    # next delivery: near-dups of surviving AND of removed content
+    gone = corpus.filter(F.col("id").isin(rm))
+    delivery = (
+        survivors.limit(8)
+        .unionByName(gone)
+        .select(
+            (F.col("id") + F.lit(1 << 44)).alias("id"),
+            F.concat(F.col("content"), F.lit("\nprobe")).alias("content"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    store.add_batch(delivery)
+    corpus2 = survivors.unionByName(delivery)
+    full2 = DedupPipeline(spark, CFG, enable_substring=False).run(corpus2)
+    assert _clusters(store.clusters()) == _clusters(full2.clusters)
+
+
+def test_remove_rep_succession_and_component_split(spark, tmp_path):
+    """Engineered graph: exact group {1,2,3} (content c) plus two near-dups
+    n1=10, n2=11 of c that are NOT near-dups of each other — the group is the
+    only bridge. Removing the rep (1) must hand the group to the min survivor
+    (2) with edges rewritten (component intact); removing the WHOLE group
+    must split n1 and n2 into singletons, even though the component's min
+    node and every closure/base label referenced the removed ids."""
+    toks = [f"tok{i:03d}" for i in range(100)]
+    c = " ".join(toks)
+    n1 = " ".join([f"aaa{i}" for i in range(12)] + toks[12:])
+    n2 = " ".join(toks[:-12] + [f"bbb{i}" for i in range(12)])
+    files = spark.createDataFrame(
+        [(1, c), (2, c), (3, c), (10, n1), (11, n2)], "id long, content string"
+    ).localCheckpoint(eager=True)
+
+    store = DeltaDedup(spark, str(tmp_path / "a"), CFG)
+    store.add_batch(files)
+    assert set(_clusters(store.clusters()).values()) == {1}
+
+    s1 = store.remove_ids([1])
+    assert s1["n_rep_successions"] == 1 and s1["n_edges_rewritten"] >= 2
+    c1 = _clusters(store.clusters())
+    assert c1 == {2: 2, 3: 2, 10: 2, 11: 2}
+
+    s2 = store.remove_ids([2, 3])
+    assert s2["n_rep_successions"] == 0  # whole group gone — no successor
+    assert _clusters(store.clusters()) == {10: 10, 11: 11}, "component must split"
+
+    # the same end state in ONE removal epoch (min + rep + group at once)
+    store_b = DeltaDedup(spark, str(tmp_path / "b"), CFG)
+    store_b.add_batch(files)
+    store_b.remove_ids([1, 2, 3])
+    assert _clusters(store_b.clusters()) == {10: 10, 11: 11}
+
+
+def test_remove_replay_idempotent_and_crash_heal(spark, tmp_path, corpus):
+    """A removal epoch is replay-safe exactly like a delivery: same batch-id
+    sequence, anchor partition (removed/) plus edges/ lineage as the
+    completion marker; a crash mid-removal blocks new epochs and heals when
+    the same removal is replayed."""
+    import shutil
+
+    root = tmp_path / "store"
+    store = DeltaDedup(spark, str(root), CFG)
+    b0, b1, _ = _batches(corpus, 3)
+    store.add_batch(b0, batch_id=0)
+    store.add_batch(b1, batch_id=1)
+    full0 = DedupPipeline(spark, CFG, enable_substring=False).run(
+        b0.unionByName(b1)
+    )
+    rm = _removal_set(spark, store, full0.clusters)
+    rm = [i for i in rm if i in _clusters(store.clusters())][:4]
+
+    store.remove_ids(rm, batch_id=2)
+    after = _clusters(store.clusters())
+    store.remove_ids(rm, batch_id=2)  # replay: overwrites epoch 2 partitions
+    assert _clusters(store.clusters()) == after
+
+    # crash: anchor (removed/) landed, lineage never written
+    shutil.rmtree(root / "edges" / "batch=2")
+    assert store.incomplete_batch_ids() == [2]
+    with pytest.raises(ValueError, match="incomplete batch"):
+        store.add_batch(b1.limit(3), batch_id=3)
+    with pytest.raises(ValueError, match="incomplete batch"):
+        store.remove_ids([999], batch_id=3)
+    store.remove_ids(rm, batch_id=2)  # heal
+    assert store.incomplete_batch_ids() == []
+    assert _clusters(store.clusters()) == after
+
+
+def test_remove_unknown_or_already_removed_ids(spark, tmp_path, corpus):
+    """Unknown ids and already-tombstoned ids are counted and skipped —
+    removal requests are idempotent by state; a removed id cannot re-enter
+    via add_batch until compact() purges its files/ row."""
+    store = DeltaDedup(spark, str(tmp_path / "store"), CFG)
+    b0, _, _ = _batches(corpus, 3)
+    store.add_batch(b0)
+    victim = b0.orderBy("id").first()
+    s1 = store.remove_ids([victim["id"]])
+    assert s1["n_removed"] == 1
+    before = _clusters(store.clusters())
+
+    s2 = store.remove_ids([victim["id"], 987_654_321])
+    assert s2["n_removed"] == 0 and s2["n_requested"] == 2
+    assert _clusters(store.clusters()) == before
+
+    # re-delivery of a tombstoned id is dropped (first write still wins)
+    s3 = store.add_batch(
+        spark.createDataFrame([(victim["id"], victim["content"])], "id long, content string")
+    )
+    assert s3["n_files"] == 0 and s3["n_redelivered"] == 1
+    assert victim["id"] not in _clusters(store.clusters())
+
+
+def test_compact_purges_tombstoned_rows_and_reopens_ids(spark, tmp_path, corpus):
+    """compact() is the physical purge point: after it, NO store relation
+    holds a row for a removed id (the GDPR guarantee), clusters are
+    unchanged, and the purged id can be re-ingested as a fresh file."""
+    root = tmp_path / "store"
+    store = DeltaDedup(spark, str(root), CFG)
+    for batch in _batches(corpus, 3):
+        store.add_batch(batch)
+    full0 = DedupPipeline(spark, CFG, enable_substring=False).run(corpus)
+    rm = _removal_set(spark, store, full0.clusters)
+    store.remove_ids(rm)
+    before = _clusters(store.clusters())
+
+    store.compact(files_per_relation=2)
+    assert _clusters(store.clusters()) == before
+    rm_set = set(rm)
+    for rel, cols in [
+        ("files", ["id"]), ("shingles", ["id"]), ("banded", ["id"]),
+        ("edges", ["a", "b"]), ("label_base", ["node"]), ("removed", ["id"]),
+        ("label_fix", ["node"]),
+    ]:
+        df = spark.read.parquet(str(root / rel))
+        hit = df.filter(F.col(cols[0]).isin(list(rm_set)))
+        for c in cols[1:]:
+            hit = hit.unionByName(df.filter(F.col(c).isin(list(rm_set))), allowMissingColumns=True)
+        assert hit.count() == 0, f"{rel} still holds purged rows"
+    assert spark.read.parquet(str(root / "removed")).count() == 0
+    assert spark.read.parquet(str(root / "label_fix")).count() == 0
+
+    # the purged id is re-ingestable and re-clusters by content
+    gone = corpus.filter(F.col("id").isin(rm)).localCheckpoint(eager=True)
+    s = store.add_batch(gone)
+    assert s["n_files"] == gone.count()
+    survivors = corpus.filter(~F.col("id").isin(rm))
+    full = DedupPipeline(spark, CFG, enable_substring=False).run(
+        survivors.unionByName(gone)
+    )
+    assert _clusters(store.clusters()) == _clusters(full.clusters)
+
+
+def test_weighted_remove_equals_full_run(spark, tmp_path, corpus):
+    """Removal in the weighted (frozen-IDF) mode: succession must copy the
+    volumes relation too, and clusters must match a weighted full run over
+    the survivors (the snapshot freezes pre-removal IDF; planted margins are
+    far from the threshold, so survivor-trained IDF agrees on every pair)."""
+    idf = _train_idf(spark, corpus)
+    store = DeltaDedup(spark, str(tmp_path / "store"), WCFG, idf_snapshot=idf)
+    for batch in _batches(corpus, 3):
+        store.add_batch(batch)
+    full0 = DedupPipeline(spark, WCFG, enable_substring=False).run(corpus)
+    rm = _removal_set(spark, store, full0.clusters)
+    summary = store.remove_ids(rm)
+    assert summary["n_rep_successions"] >= 1
+    # succession copied the removed reps' volumes under the successor id
+    vols = spark.read.parquet(store.root + "/volumes")
+    assert vols.filter(F.col("batch") == summary["batch"]).count() == summary["n_rep_successions"]
+
+    survivors = corpus.filter(~F.col("id").isin(rm)).localCheckpoint(eager=True)
+    full = DedupPipeline(spark, WCFG, enable_substring=False).run(survivors)
+    assert _clusters(store.clusters()) == _clusters(full.clusters)
