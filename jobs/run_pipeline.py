@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="MinHash-LSH near-duplicate detection pipeline")
-    p.add_argument("--input", required=True, help="parquet path or catalog table of source files")
+    p.add_argument("--input", default=None, help="parquet path or catalog table of source files")
     p.add_argument(
         "--input-kind",
         choices=["source_files", "documents"],
@@ -96,6 +96,18 @@ def parse_args(argv=None):
              "delivery",
     )
     p.add_argument(
+        "--delta-compact", action="store_true",
+        help="with --delta-store: MAINTENANCE epoch, no input — fold batch "
+             "partitions into one consolidated partition per relation, apply "
+             "the label closure/fix overlays into the base, and physically "
+             "purge tombstoned rows (the GDPR purge point); closes the "
+             "replay window for folded batch ids",
+    )
+    p.add_argument(
+        "--compact-files", type=int, default=32, metavar="N",
+        help="parquet part files per relation written by --delta-compact",
+    )
+    p.add_argument(
         "--shingle-mode", choices=["token", "char"], default="token",
         help="char: whitespace-stripped char k-grams — robust to "
              "minified/reformatted code where token boundaries move",
@@ -105,6 +117,18 @@ def parse_args(argv=None):
     if args.weighted_threshold is not None and not args.weighted:
         p.error("--weighted-threshold only applies with --weighted "
                 "(the unweighted verify uses --threshold)")
+    if args.delta_compact:
+        if args.delta_store is None:
+            p.error("--delta-compact only applies with --delta-store "
+                    "(compaction is an operation on the persistent store)")
+        if args.input is not None:
+            p.error("--delta-compact takes no --input (it folds the store "
+                    "in place; deliveries and removals are separate runs)")
+        if args.delta_remove or args.delta_batch_id is not None:
+            p.error("--delta-compact cannot be combined with --delta-remove "
+                    "or --delta-batch-id (one epoch per run)")
+    elif args.input is None:
+        p.error("--input is required (only --delta-compact runs without one)")
     if args.delta_store is not None:
         for flag, val, default in (
             ("--weighted", args.weighted, False),
@@ -140,12 +164,14 @@ def main(argv=None) -> int:
     active = SparkSession.getActiveSession()
     spark = active or get_spark("dedup_pipeline", cores=args.cores)
 
-    raw = read_source_table(spark, args.input)
-    files = (
-        documents_as_files(raw)
-        if args.input_kind == "documents"
-        else with_file_id(raw)
-    )
+    files = None
+    if args.input is not None:
+        raw = read_source_table(spark, args.input)
+        files = (
+            documents_as_files(raw)
+            if args.input_kind == "documents"
+            else with_file_id(raw)
+        )
 
     cfg = PipelineConfig(
         shingle_k=args.shingle_k,
@@ -168,7 +194,9 @@ def main(argv=None) -> int:
             spark, args.delta_store, cfg, enable_simhash=not args.no_simhash
         )
         t0 = time.monotonic()
-        if args.delta_remove:
+        if args.delta_compact:
+            summary = store.compact(files_per_relation=args.compact_files)
+        elif args.delta_remove:
             summary = store.remove_ids(
                 files.select("id"), batch_id=args.delta_batch_id
             )

@@ -79,6 +79,8 @@ def main() -> int:
 
     store = DeltaDedup(spark, f"{store_dir}/store", cfg)
     rows = []
+    rm_rows = []
+    n_rm = int(os.environ.get("SPARK_GRAFT_DELTA_REMOVE", "500"))
     corpus_size = 0
     for i, seg in enumerate(segs):
         t0 = time.monotonic()
@@ -95,7 +97,31 @@ def main() -> int:
             probe_wall = min(probe_wall, time.monotonic() - t0)
             corpus_size += n_probe
         rows.append((corpus_size, n_seg, grow_wall, n_probe, probe_wall, summary["n_new_edges"]))
-        print(f"store={corpus_size}: grow({n_seg})={grow_wall:.1f}s probe({n_probe})={probe_wall:.1f}s")
+        # removal probe: best-of-2 over DISJOINT same-shape sets (a replayed
+        # removal is idempotent-by-state and would measure nothing); sets are
+        # drawn past the probe region so every removal hits the same cluster
+        # shape regardless of store size — flat walls here evidence cost ∝
+        # affected components, not corpus
+        rm_wall, rm_summary = float("inf"), {}
+        for rep in range(2):
+            rm_set = (
+                seg.select("id").orderBy("id")
+                .offset(n_probe + rep * n_rm).limit(n_rm)
+                .localCheckpoint(eager=True)
+            )
+            t0 = time.monotonic()
+            s = store.remove_ids(rm_set)
+            if time.monotonic() - t0 < rm_wall:
+                rm_wall, rm_summary = time.monotonic() - t0, s
+            corpus_size -= s["n_removed"]
+        rm_rows.append(
+            (corpus_size, n_rm, rm_wall,
+             rm_summary["n_affected_components"], rm_summary["n_members_fixed"])
+        )
+        print(
+            f"store={corpus_size}: grow({n_seg})={grow_wall:.1f}s "
+            f"probe({n_probe})={probe_wall:.1f}s remove({n_rm})={rm_wall:.1f}s"
+        )
 
     # comparison point: one full-pipeline run over the final corpus — the
     # per-delivery price of a batch-only engine
@@ -156,9 +182,15 @@ def main() -> int:
     growth = probe_walls[-1] / probe_walls[0] if probe_walls[0] else float("inf")
     corpus_growth = rows[-1][0] / rows[0][0]
     verdict = "PASS" if growth < corpus_growth / 2 else "FAIL"
+    rm_walls = [r[2] for r in rm_rows]
+    rm_growth = rm_walls[-1] / rm_walls[0] if rm_walls[0] else float("inf")
+    rm_verdict = "PASS" if rm_growth < corpus_growth / 2 else "FAIL"
 
     lines = "\n".join(
         f"| {r[0]:,} | {r[1]:,} | {r[2]:.1f} | {r[3]:,} | {r[4]:.1f} |" for r in rows
+    )
+    rm_lines = "\n".join(
+        f"| {r[0]:,} | {r[1]:,} | {r[2]:.1f} | {r[3]:,} | {r[4]:,} |" for r in rm_rows
     )
     replace_section("BENCH/DELTA.md", "\n\n## Incremental (delta) dedup", f"""
 
@@ -180,6 +212,21 @@ One FULL pipeline run over the final {3 * n_seg:,}-file corpus
 **{probe_walls[-1]:.1f} s** for the delta probe at the same store size —
 **{full_wall / probe_walls[-1]:.1f}x** cheaper per delivery.
 
+### Removals (store.remove_ids())
+
+Same protocol for the SHRINK half: at each store size, tombstone
+{n_rm} same-shape ids (best-of-2 over disjoint sets drawn past the probe
+region, so every removal hits the same planted-cluster shape). Corpus grew
+{corpus_growth:.1f}x; removal wall grew {rm_growth:.2f}x ->
+**{rm_verdict}** (removal cost tracks the affected components, not the
+corpus). A batch-only engine pays a full rerun over the survivors per
+takedown — ~**{full_wall:.1f} s** at the final size vs
+**{rm_walls[-1]:.1f} s** here (**{full_wall / rm_walls[-1]:.1f}x**).
+
+| store size after | removed ids | wall (s) | affected components | members re-labeled |
+|---|---|---|---|---|
+{rm_lines}
+
 ### Compaction (store.compact())
 
 After {n_tiny} additional tiny (200-file) deliveries — the daily-cadence
@@ -195,7 +242,7 @@ proven invariant in tests/test_delta.py.
 """)
     shutil.rmtree(store_dir, ignore_errors=True)
     spark.stop()
-    return 0 if verdict == "PASS" else 1
+    return 0 if verdict == "PASS" and rm_verdict == "PASS" else 1
 
 
 if __name__ == "__main__":

@@ -178,9 +178,11 @@ def main() -> int:
     if work_dir:
         shutil.rmtree(work_dir, ignore_errors=True)
 
-    marker = "## Delta scaling"
+    # marker must stay specific: DELTA.md also carries a hand-written
+    # '## Delta scaling — measurement history' section that must survive
+    marker = "## Delta scaling — N vs 4N"
     section = (
-        f"{marker} — N vs 4N cores on one probe delivery "
+        f"{marker} cores on one probe delivery "
         "(scripts/eval_delta_scaling.py)\n\n"
         f"Store bootstrapped with {n_store:,} files (batch 0); each\n"
         "observation = fresh clone of that store + one identical\n"

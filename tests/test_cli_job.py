@@ -290,6 +290,28 @@ def test_run_pipeline_cli_delta_mode(spark, tmp_path):
         (r.id, r.cluster) for r in full_surv.collect()
     }
 
+    # --delta-compact: maintenance epoch, no input — clusters unchanged,
+    # tombstoned rows physically purged, epoch relations folded away
+    rc = main(
+        [
+            "--output", str(tmp_path / "delta_compact"),
+            "--delta-store", store,
+            "--delta-compact",
+            "--compact-files", "2",
+            "--num-perms", "64",
+            "--bands", "16",
+        ]
+    )
+    assert rc == 0
+    compacted = spark.read.parquet(str(tmp_path / "delta_compact" / "clusters"))
+    assert {(r.id, r.cluster) for r in compacted.collect()} == {
+        (r.id, r.cluster) for r in full_surv.collect()
+    }
+    assert spark.read.parquet(store + "/removed").count() == 0
+    removed_ids = [r.doc_id for r in docs.filter(F.pmod("doc_id", F.lit(7)) == 2).collect()]
+    files_rel = spark.read.parquet(store + "/files")
+    assert files_rel.filter(F.col("id").isin(removed_ids)).count() == 0
+
 
 def test_cli_delta_remove_requires_store():
     import pytest
@@ -298,6 +320,30 @@ def test_cli_delta_remove_requires_store():
 
     with pytest.raises(SystemExit):
         parse_args(["--input", "x", "--output", "y", "--delta-remove"])
+
+
+def test_cli_delta_compact_flag_validation(tmp_path):
+    import pytest
+
+    from jobs.run_pipeline import parse_args
+
+    store = str(tmp_path / "s")
+    # requires --delta-store
+    with pytest.raises(SystemExit):
+        parse_args(["--output", "y", "--delta-compact"])
+    # takes no input
+    with pytest.raises(SystemExit):
+        parse_args(["--input", "x", "--output", "y",
+                    "--delta-store", store, "--delta-compact"])
+    # one epoch per run
+    with pytest.raises(SystemExit):
+        parse_args(["--output", "y", "--delta-store", store,
+                    "--delta-compact", "--delta-remove"])
+    # --input still required for every non-compact run
+    with pytest.raises(SystemExit):
+        parse_args(["--output", "y"])
+    args = parse_args(["--output", "y", "--delta-store", store, "--delta-compact"])
+    assert args.delta_compact and args.input is None
 
 
 def test_delta_mode_rejects_unsupported_flags(tmp_path):
