@@ -494,6 +494,40 @@ def q_delta_remove_clusters(spark, sf_dir):
         shutil.rmtree(store_dir, ignore_errors=True)
 
 
+def q_delta_compact_clusters(spark, sf_dir):
+    """The MAINTENANCE epoch of the delta store (plans/delta.py compact):
+    the full lifecycle — two deliveries, a tombstone epoch (doc_id ≡ 3 mod
+    17), then compact(), which folds every batch partition into one
+    consolidated partition per relation, applies the label closure/fix
+    overlays into the base, and physically purges tombstoned rows. Labels
+    are invariant under compaction (tested in tests/test_delta.py), so the
+    post-compaction clusters() must STILL equal a full pipeline run over
+    the survivors — the oracle is the same survivor-restricted DuckDB
+    replay as delta_remove_clusters, now checked against a store whose
+    overlay relations have been folded away."""
+    import shutil
+    import tempfile
+
+    from sycl_jaccard_spark.plans.delta import DeltaDedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = documents_as_files(docs).select("id", "content")
+    cfg = PipelineConfig(
+        num_perms=N_PERMS, bands=N_BANDS, rows_per_band=N_PERMS // N_BANDS,
+        shingle_k=K, bucket_cap=10**9, portable_hashes=True,
+    )
+    store_dir = tempfile.mkdtemp(prefix="delta_cp_contract_")
+    try:
+        store = DeltaDedup(spark, f"{store_dir}/store", cfg, enable_simhash=False)
+        for parity in (0, 1):
+            store.add_batch(files.filter(F.pmod("id", F.lit(2)) == parity))
+        store.remove_ids(files.filter(F.pmod("id", F.lit(17)) == 3).select("id"))
+        store.compact(files_per_relation=4)
+        return store.clusters().orderBy("id").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+
+
 def q_dedup_rep_selection(spark, sf_dir):
     """Corpus-level dedup ACTION on top of the portable pipeline clusters:
     longest-content representative per cluster (ties -> min id) and a full
@@ -626,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pipeline_clusters": q_dedup_pipeline_clusters,
         "delta_dedup_clusters": q_delta_dedup_clusters,
         "delta_remove_clusters": q_delta_remove_clusters,
+        "delta_compact_clusters": q_delta_compact_clusters,
         "dedup_rep_selection": q_dedup_rep_selection,
         "dedup_pipeline_full": q_dedup_pipeline_full,
         "ann_lsh_candidates": q_ann_lsh_candidates,
@@ -976,6 +1011,11 @@ SELECT a, b, cosine FROM cs WHERE cosine >= {EMB_THRESHOLD}"""
         "WITH RECURSIVE survivors AS (SELECT * FROM documents WHERE doc_id % 17 <> 3),",
         1,
     )
+    # delta COMPACTION: labels are invariant under compact() (tested), so
+    # the post-fold store answers to the identical survivor-restricted
+    # replay — a hash mismatch here would catch a fold that loses, double-
+    # applies, or mis-orders the closure/fix overlays it folds into the base
+    sql["delta_compact_clusters"] = sql["delta_remove_clusters"]
     sql["dedup_pipeline_full"] = _cluster_replay_sql(with_simhash=True)
     # dedup_rep_selection: the same cluster replay, extended with longest-
     # content representative selection (ties -> min id) and the keep/drop
