@@ -132,7 +132,6 @@ def parse_args(argv=None):
     if args.delta_store is not None:
         for flag, val, default in (
             ("--weighted", args.weighted, False),
-            ("--substring", args.substring, False),
             ("--pass-stats", args.pass_stats, False),
             ("--rep-strategy", args.rep_strategy, "none"),
             ("--checkpoint-dir", args.checkpoint_dir, None),
@@ -191,7 +190,9 @@ def main(argv=None) -> int:
         from sycl_jaccard_spark.plans.delta import DeltaDedup
 
         store = DeltaDedup(
-            spark, args.delta_store, cfg, enable_simhash=not args.no_simhash
+            spark, args.delta_store, cfg,
+            enable_simhash=not args.no_simhash,
+            enable_substring=args.substring,
         )
         t0 = time.monotonic()
         if args.delta_compact:

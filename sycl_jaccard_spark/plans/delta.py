@@ -100,7 +100,8 @@ from pyspark.sql import functions as F
 
 from sycl_jaccard_spark.config import PipelineConfig
 from sycl_jaccard_spark.functions.minhash import minhash_simhash_udf, minhash_udf
-from sycl_jaccard_spark.functions.shingles import doc_shingle_hashes
+from sycl_jaccard_spark.functions.shingles import doc_shingle_hashes, line_gram_hashes
+from sycl_jaccard_spark.functions.simhash import n_simhash_tables
 from sycl_jaccard_spark.operators.components import connected_components
 from sycl_jaccard_spark.operators.lsh import candidate_pairs
 from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs
@@ -109,6 +110,13 @@ from sycl_jaccard_spark.plans.pipeline import banded_relation
 
 class DeltaDedup:
     """Persistent incremental dedup over a growing corpus.
+
+    ``enable_substring``: carries the batch pipeline's line-gram containment
+    pass into the store — each delivery's line-gram band rows persist in the
+    SAME banded relation (disjoint band id, identical layout to
+    ``DedupPipeline``), and verify accepts containment ≥ threshold with the
+    min-size floor. Part of the store fingerprint: a substring store and a
+    plain store can never silently mix.
 
     ``cc_mode``: ``"incremental"`` (default) reruns connected components only
     on components touched by this batch's edges; ``"full"`` reruns CC over
@@ -155,6 +163,7 @@ class DeltaDedup:
         store_dir: str,
         cfg: PipelineConfig | None = None,
         enable_simhash: bool = True,
+        enable_substring: bool = False,
         cc_mode: str = "incremental",
         idf_snapshot: DataFrame | None = None,
     ):
@@ -172,6 +181,7 @@ class DeltaDedup:
         if cc_mode not in ("incremental", "full"):
             raise ValueError(f"unknown cc_mode {cc_mode!r}")
         self.enable_simhash = enable_simhash
+        self.enable_substring = enable_substring
         self.cc_mode = cc_mode
         self.metrics: list[dict] = []
         if self._exists(f"{self.root}/_compact_tmp"):
@@ -249,10 +259,14 @@ class DeltaDedup:
     def _config_fingerprint(self) -> str:
         from dataclasses import asdict
 
-        return json.dumps(
-            {"cfg": asdict(self.cfg), "enable_simhash": self.enable_simhash},
-            sort_keys=True,
-        )
+        # enable_substring joins the fingerprint only when ON so stores
+        # written before the substring leg existed still open cleanly with
+        # the default; a substring store and a non-substring store can never
+        # silently mix (their banded relations carry different pass rows)
+        fp = {"cfg": asdict(self.cfg), "enable_simhash": self.enable_simhash}
+        if self.enable_substring:
+            fp["enable_substring"] = True
+        return json.dumps(fp, sort_keys=True)
 
     def _check_config(self) -> None:
         """A delta store is long-lived corpus state: on fingerprint mismatch
@@ -450,7 +464,9 @@ class DeltaDedup:
         self._write_batch("volumes", signed.select("id", "vol"), bid)
         return signed.drop("vol")
 
-    def _weighted_verify(self, items: DataFrame, cands: DataFrame) -> DataFrame:
+    def _weighted_verify(
+        self, items: DataFrame, cands: DataFrame, with_counts: bool = False
+    ) -> DataFrame:
         """Exact weighted Jaccard over the candidate-touched items. The
         weight relation is the frozen snapshot extended with the novel-weight
         default over exactly the elements these items carry (the arrays-impl
@@ -478,7 +494,8 @@ class DeltaDedup:
             .select("id", "vol")
         )
         return jaccard_pairs_weighted_arrays(
-            items, w_needed, cands, id_col="id", set_col="set", volumes=vols
+            items, w_needed, cands, id_col="id", set_col="set",
+            with_counts=with_counts, volumes=vols,
         )
 
     # ---- the per-batch run ----
@@ -609,6 +626,27 @@ class DeltaDedup:
             # banding explode (Catalyst cannot host Python UDFs in a generator)
             signed = signed.localCheckpoint(eager=True)
         new_banded = banded_relation(signed, cfg, self.enable_simhash)
+        if self.enable_substring:
+            # substring pass (suffix-array analog) — SAME band-id layout as
+            # the batch pipeline (cfg.bands + n_simhash_tables, regardless of
+            # whether SimHash is on) so the two runners can never drift.
+            # Line grams are computed from this delivery's content at signing
+            # time; only (id, band, band_hash) rows persist — the store never
+            # carries content.
+            sub_banded = new_uniques.select(
+                "id",
+                F.explode(
+                    line_gram_hashes(F.col("content"), cfg.substring_lines)
+                ).alias("band_hash"),
+            ).select(
+                "id",
+                F.lit(
+                    cfg.bands
+                    + n_simhash_tables(cfg.simhash_blocks, cfg.simhash_max_hamming)
+                ).alias("band"),
+                "band_hash",
+            )
+            new_banded = new_banded.unionByName(sub_banded)
         self._write_batch("banded", new_banded, bid)
         t0 = self._mark("banding", t0, batch=bid)
 
@@ -684,7 +722,9 @@ class DeltaDedup:
             # exact WEIGHTED Jaccard over the same frozen weights the
             # signatures sampled — candidate and verify agree on what
             # "similar" means, exactly as in the batch pipeline's idf route
-            scored = self._weighted_verify(items, cands)
+            scored = self._weighted_verify(
+                items, cands, with_counts=self.enable_substring
+            )
             thr = (
                 cfg.weighted_verify_threshold
                 if cfg.weighted_verify_threshold is not None
@@ -693,7 +733,23 @@ class DeltaDedup:
         else:
             scored = jaccard_pairs(items, cands, id_col="id", set_col="set", impl="arrays")
             thr = cfg.verify_threshold
-        verified = scored.filter(F.col("jaccard") >= thr).select("a", "b", "jaccard")
+        accept = F.col("jaccard") >= thr
+        if self.enable_substring:
+            # containment acceptance — identical expression to the batch
+            # pipeline's: the substring pass exists to surface pairs whose
+            # symmetric J is low (a file embedded in a larger one), so
+            # J-only verify would reject everything it found; the min-size
+            # floor keeps trivially-contained stubs from gluing components
+            from sycl_jaccard_spark.functions.jaccard import containment_from_counts
+
+            containment = containment_from_counts(
+                F.col("inter"), F.col("size_a"), F.col("size_b")
+            )
+            accept = accept | (
+                (containment >= cfg.containment_threshold)
+                & (F.least("size_a", "size_b") >= cfg.containment_min_size)
+            )
+        verified = scored.filter(accept).select("a", "b", "jaccard")
 
         new_edges = verified.unionByName(
             batch_exact.select("a", "b", F.lit(1.0).alias("jaccard"))

@@ -354,6 +354,9 @@ def test_delta_mode_rejects_unsupported_flags(tmp_path):
     base = [
         "--input", "x", "--output", "y", "--delta-store", str(tmp_path / "s"),
     ]
-    for extra in (["--weighted"], ["--substring"], ["--checkpoint-dir", "c"]):
+    for extra in (["--weighted"], ["--checkpoint-dir", "c"]):
         with _pytest.raises(SystemExit):
             parse_args(base + extra)
+    # --substring IS available in delta mode (the store carries the
+    # containment pass — tests/test_delta.py proves batch parity)
+    assert parse_args(base + ["--substring"]).substring

@@ -713,3 +713,69 @@ def test_weighted_remove_equals_full_run(spark, tmp_path, corpus):
     survivors = corpus.filter(~F.col("id").isin(rm)).localCheckpoint(eager=True)
     full = DedupPipeline(spark, WCFG, enable_substring=False).run(survivors)
     assert _clusters(store.clusters()) == _clusters(full.clusters)
+
+
+def test_delta_substring_full_lifecycle_equals_batch(spark, tmp_path):
+    """The substring (line-gram containment) pass in the delta store: planted
+    shifted-containment pairs are invisible to MinHash-LSH and SimHash by
+    construction, so a store WITHOUT the pass misses all of them, and a store
+    WITH it must match the batch pipeline (enable_substring=True) label for
+    label across the whole lifecycle — cross-batch deliveries, a removal
+    epoch, and a compaction fold."""
+    from sycl_jaccard_spark.sources.corpus import synth_containment_files
+
+    files, planted = synth_containment_files(spark, n_files=300, pair_frac=0.2, seed=11)
+    files = files.localCheckpoint(eager=True)
+
+    # control: no substring leg -> every planted pair is missed
+    off = DeltaDedup(spark, str(tmp_path / "off"), CFG)
+    for batch in _batches(files, 3):
+        off.add_batch(batch)
+    lab_off = _clusters(off.clusters())
+    assert sum(1 for a, b in planted if lab_off[a] == lab_off[b]) == 0
+
+    store = DeltaDedup(spark, str(tmp_path / "store"), CFG, enable_substring=True)
+    for batch in _batches(files, 3):
+        store.add_batch(batch)
+    full = DedupPipeline(spark, CFG, enable_substring=True, count_rows=False).run(files)
+    assert _clusters(store.clusters()) == _clusters(full.clusters)
+
+    # removal epoch: tombstone a few embedded small files — their hosts must
+    # fall back to singletons, exactly as a batch rerun over survivors says
+    rm_ids = [a for a, _ in sorted(planted)[:5]]
+    store.remove_ids(rm_ids)
+    survivors = files.filter(~F.col("id").isin(rm_ids)).localCheckpoint(eager=True)
+    full_rm = DedupPipeline(spark, CFG, enable_substring=True, count_rows=False).run(
+        survivors
+    )
+    assert _clusters(store.clusters()) == _clusters(full_rm.clusters)
+
+    # compaction: labels invariant, substring band rows survive the fold —
+    # a NEW host delivered post-compaction must still pair with its stored
+    # embedded file through the containment pass
+    before = _clusters(store.clusters())
+    store.compact(files_per_relation=2)
+    assert _clusters(store.clusters()) == before
+    surv_small = sorted(a for a, _ in planted if a not in rm_ids)[0]
+    content = files.filter(F.col("id") == surv_small).first().content
+    new_host = spark.createDataFrame(
+        [(10**9, "x = 0\n" * 40 + content + "y = 1\n" * 40)], "id long, content string"
+    )
+    store.add_batch(new_host)
+    after = _clusters(store.clusters())
+    assert after[10**9] == after[surv_small]
+
+
+def test_delta_substring_config_guard(spark, tmp_path, corpus):
+    """enable_substring is part of the store fingerprint when ON: reopening
+    with the flag flipped must refuse (mixed banded relations), while stores
+    written with the default keep their pre-substring fingerprint."""
+    store = DeltaDedup(spark, str(tmp_path / "s"), CFG, enable_substring=True)
+    store.add_batch(_batches(corpus, 3)[0])
+    with pytest.raises(ValueError, match="different config"):
+        DeltaDedup(spark, str(tmp_path / "s"), CFG)
+    # and the reverse direction
+    plain = DeltaDedup(spark, str(tmp_path / "p"), CFG)
+    plain.add_batch(_batches(corpus, 3)[0])
+    with pytest.raises(ValueError, match="different config"):
+        DeltaDedup(spark, str(tmp_path / "p"), CFG, enable_substring=True)
