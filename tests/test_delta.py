@@ -779,3 +779,29 @@ def test_delta_substring_config_guard(spark, tmp_path, corpus):
     plain.add_batch(_batches(corpus, 3)[0])
     with pytest.raises(ValueError, match="different config"):
         DeltaDedup(spark, str(tmp_path / "p"), CFG, enable_substring=True)
+
+
+def test_weighted_delta_substring_equals_batch(spark, tmp_path):
+    """The weighted (frozen-IDF) mode and the substring containment pass
+    COMPOSE in the store: planted shifted-containment pairs — invisible to
+    CWS-MinHash-LSH banding by construction — are surfaced by the line-gram
+    leg and accepted by the count-based containment rule riding the weighted
+    verify's with_counts aggregations, matching the weighted batch pipeline
+    (candidate_weights="idf", enable_substring=True) label for label across
+    cross-batch deliveries."""
+    from sycl_jaccard_spark.sources.corpus import synth_containment_files
+
+    files, planted = synth_containment_files(spark, n_files=200, pair_frac=0.2, seed=13)
+    files = files.localCheckpoint(eager=True)
+    idf = _train_idf(spark, files)
+
+    store = DeltaDedup(
+        spark, str(tmp_path / "ws"), WCFG, enable_substring=True, idf_snapshot=idf
+    )
+    for batch in _batches(files, 2):
+        store.add_batch(batch)
+    lab = _clusters(store.clusters())
+    assert all(lab[a] == lab[b] for a, b in planted)
+
+    full = DedupPipeline(spark, WCFG, enable_substring=True, count_rows=False).run(files)
+    assert lab == _clusters(full.clusters)
