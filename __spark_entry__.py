@@ -617,6 +617,38 @@ def q_emb_near_dups(spark, sf_dir):
     )
 
 
+def q_emb_delta_near_dups(spark, sf_dir):
+    """INCREMENTAL embedding near-dup store (plans/emb_delta.py) — the
+    dense-vector twin of delta_dedup_clusters: the embeddings table is
+    delivered in TWO batches (vec_id parity split) to a persistent store
+    holding quantized vectors, frozen-codebook IVF list memberships and
+    verified cosine edges; each delivery probes only lists that gained a
+    member and verifies only pairs touching a new id. Edge-for-edge
+    equivalent to one batch embedding_near_dups run (the tested delta≡batch
+    theorem, tests/test_emb_delta.py), so the oracle is the SAME trained-IVF
+    + exact-cosine DuckDB replay as emb_near_dups."""
+    import shutil
+    import tempfile
+
+    from sycl_jaccard_spark.plans.emb_delta import EmbeddingDeltaStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store_dir = tempfile.mkdtemp(prefix="emb_delta_contract_")
+    try:
+        store = EmbeddingDeltaStore(
+            spark, f"{store_dir}/store", dim=64,
+            centroids_q=_trained_centroids(spark, sf_dir, emb),
+            threshold=EMB_THRESHOLD, nprobe=2, bucket_cap=10**9,
+        )
+        for parity in (0, 1):
+            store.add_batch(emb.filter(F.pmod("vec_id", F.lit(2)) == parity))
+        # materialize BEFORE the store dir is removed — edges() reads the
+        # store's parquet lazily
+        return store.edges().orderBy("a", "b").localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+
+
 # =====================================================================
 # driver contract
 # =====================================================================
@@ -667,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_candidates": q_ann_ivf_candidates,
         "ann_ivf_train": q_ann_ivf_train,
         "emb_near_dups": q_emb_near_dups,
+        "emb_delta_near_dups": q_emb_delta_near_dups,
     }
 
 
@@ -986,6 +1019,12 @@ cs AS (SELECT c.a, c.b,
                  * sqrt(CAST(list_sum(list_transform(qb.v, x -> x * x)) AS DOUBLE))) AS cosine
        FROM cand c JOIN vq qa ON qa.vec_id = c.a JOIN vq qb ON qb.vec_id = c.b)
 SELECT a, b, cosine FROM cs WHERE cosine >= {EMB_THRESHOLD}"""
+    # emb_delta_near_dups: the incremental store is edge-for-edge equivalent
+    # to the batch IVF run by the tested delta≡batch theorem
+    # (tests/test_emb_delta.py), so the SAME trained-IVF + exact-cosine
+    # replay verifies it — the oracle checks the two-delivery store against
+    # the one-shot SQL semantics
+    sql["emb_delta_near_dups"] = sql["emb_near_dups"]
     # dedup_pipeline_clusters / dedup_pipeline_full: end-to-end replays.
     # Candidate/verify CTEs over ALL docs are a superset of the pipeline's
     # uniques-only pass, but exact-dup twins share signatures, so the extra

@@ -102,13 +102,13 @@ from sycl_jaccard_spark.config import PipelineConfig
 from sycl_jaccard_spark.functions.minhash import minhash_simhash_udf, minhash_udf
 from sycl_jaccard_spark.functions.shingles import doc_shingle_hashes, line_gram_hashes
 from sycl_jaccard_spark.functions.simhash import n_simhash_tables
-from sycl_jaccard_spark.operators.components import connected_components
 from sycl_jaccard_spark.operators.lsh import candidate_pairs
 from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs
 from sycl_jaccard_spark.operators.weighted_dedup import weighted_signatures
 from sycl_jaccard_spark.plans.pipeline import banded_relation
+from sycl_jaccard_spark.plans.store_base import DeltaStoreBase
 
-class DeltaDedup:
+class DeltaDedup(DeltaStoreBase):
     """Persistent incremental dedup over a growing corpus.
 
     ``enable_substring``: carries the batch pipeline's line-gram containment
@@ -156,6 +156,8 @@ class DeltaDedup:
         "label_fix": "node long, label long",
     }
     _CLOSURE_SCHEMA = "old_label long, new_label long"
+    _EPOCH_ANCHORS = ("files", "removed")
+    _FINAL_RELATION = "edges"
 
     def __init__(
         self,
@@ -172,6 +174,7 @@ class DeltaDedup:
         self.cfg = cfg or PipelineConfig()
         self._weighted = self.cfg.candidate_weights == "idf"
         self._relations = dict(self._RELATIONS)
+        self._epoch_relations = dict(self._EPOCH_RELATIONS)
         if self._weighted:
             self._relations["volumes"] = "id long, vol double"
         elif idf_snapshot is not None:
@@ -183,15 +186,9 @@ class DeltaDedup:
         self.enable_simhash = enable_simhash
         self.enable_substring = enable_substring
         self.cc_mode = cc_mode
-        self.metrics: list[dict] = []
-        if self._exists(f"{self.root}/_compact_tmp"):
-            raise ValueError(
-                f"delta store {self.root} has a leftover _compact_tmp — a "
-                "compaction was interrupted before the swap completed; "
-                "inspect which relations were already swapped (the tmp dir "
-                "holds complete consolidated copies) before deleting it"
-            )
-        self._check_config()
+        self._cc_max_iterations = self.cfg.max_cc_iterations
+        self._cc_checkpoint_every = self.cfg.checkpoint_every
+        self._init_store()
         self._idf: DataFrame | None = None
         self._novel_weight: float | None = None
         if self._weighted:
@@ -247,15 +244,6 @@ class DeltaDedup:
             )
         self._novel_weight = float(max_w)
 
-    def _fs(self, path: str):
-        jvm = self.spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(path)
-        return hpath.getFileSystem(self.spark._jsc.hadoopConfiguration()), hpath
-
-    def _exists(self, path: str) -> bool:
-        fs, hpath = self._fs(path)
-        return bool(fs.exists(hpath))
-
     def _config_fingerprint(self) -> str:
         from dataclasses import asdict
 
@@ -267,153 +255,6 @@ class DeltaDedup:
         if self.enable_substring:
             fp["enable_substring"] = True
         return json.dumps(fp, sort_keys=True)
-
-    def _check_config(self) -> None:
-        """A delta store is long-lived corpus state: on fingerprint mismatch
-        we REFUSE (unlike the batch pipeline, which purges and recomputes) —
-        silently mixing shingle/band configs across batches would make stored
-        signatures incomparable with new ones."""
-        path = f"{self.root}/store_config"
-        fp = self._config_fingerprint()
-        if self._exists(path):
-            stored = self.spark.read.text(path).first()
-            if stored is None or stored.value != fp:
-                raise ValueError(
-                    f"delta store {self.root} was written under a different "
-                    "config; re-signing the corpus requires a new store"
-                )
-            return
-        self.spark.createDataFrame([(fp,)], "value string").coalesce(1).write.mode(
-            "overwrite"
-        ).text(path)
-
-    def _read(self, name: str, schema: str) -> DataFrame:
-        """Read an additive store relation (batch=N partition discovery),
-        keeping the ``batch`` partition column; empty DataFrame with the
-        right schema when the store has no batches yet."""
-        path = f"{self.root}/{name}"
-        if self._exists(path):
-            fs, hpath = self._fs(path)
-            has_batch = any(
-                s.getPath().getName().startswith("batch=") for s in fs.listStatus(hpath)
-            )
-            if has_batch:
-                return self.spark.read.parquet(path)
-        return self.spark.createDataFrame([], schema + ", batch int")
-
-    def batch_ids(self) -> list[int]:
-        """Every epoch id the store has seen — additions anchor in ``files/``
-        partitions, removals in ``removed/`` partitions; both draw from ONE
-        id sequence so the replay-window and horizon guards compose."""
-        out: set[int] = set()
-        for rel in ("files", "removed"):
-            path = f"{self.root}/{rel}"
-            if not self._exists(path):
-                continue
-            fs, hpath = self._fs(path)
-            for s in fs.listStatus(hpath):
-                name = s.getPath().getName()
-                if name.startswith("batch="):
-                    out.add(int(name.split("=", 1)[1]))
-        return sorted(out)
-
-    def incomplete_batch_ids(self) -> list[int]:
-        """Epochs whose anchor partition (``files/`` for a delivery,
-        ``removed/`` for a removal) exists but whose ``edges/`` lineage
-        (written LAST in both ``add_batch`` and ``remove_ids``) is missing —
-        the signature of a crash mid-epoch. An incomplete delivery holds
-        ``is_rep`` rows whose content was never shingled/signed; an
-        incomplete removal holds tombstones whose label fixes were never
-        written (survivor clusters would read stale). New epochs are refused
-        until the incomplete one is replayed (replaying overwrites its
-        partitions — at-least-once)."""
-        return [
-            bid
-            for bid in self.batch_ids()
-            if not self._exists(f"{self.root}/edges/batch={bid}/_lineage.json")
-        ]
-
-    def _tombstones(self, exclude_bid: int | None = None) -> DataFrame:
-        """Removed ids (Δ removals since the last compaction — compact()
-        physically purges the masked rows and resets this). Small by the same
-        operational bound as a delivery: split mega-removals, compact between
-        epochs — every read path broadcasts it as an anti-join probe so store
-        relations stay scan-only."""
-        tomb = self._read("removed", self._EPOCH_RELATIONS["removed"])
-        if exclude_bid is not None:
-            tomb = tomb.filter(F.col("batch") != exclude_bid)
-        return tomb.select("id")
-
-    def _latest_fixes(self, exclude_bid: int | None = None) -> DataFrame:
-        """Post-removal corrected labels, latest epoch per node (a node can
-        be re-fixed by a later removal). Resolution precedence everywhere:
-        ``closure[fix ?? base] ?? (fix ?? base)`` — a fix supersedes the base
-        label AND any closure hop recorded for it (removals can SPLIT
-        components, which the merge-only closure cannot express), while later
-        merges of a fixed label still resolve through the closure."""
-        fixes = self._read("label_fix", self._EPOCH_RELATIONS["label_fix"])
-        if exclude_bid is not None:
-            fixes = fixes.filter(F.col("batch") != exclude_bid)
-        return fixes.groupBy("node").agg(
-            F.max_by("label", "batch").alias("fix_label")
-        )
-
-    def _begin_epoch(self, batch_id: int | None) -> int:
-        """Allocate/validate an epoch id under the shared replay-window,
-        horizon and incomplete-epoch guards (see :meth:`add_batch`)."""
-        existing = self.batch_ids()
-        bid = batch_id if batch_id is not None else (existing[-1] + 1 if existing else 0)
-        horizon = self.compacted_through()
-        if bid <= horizon:
-            raise ValueError(
-                f"batch_id {bid} is at or below the compaction horizon "
-                f"({horizon}): its rows were folded into the consolidated "
-                "partition, so an overwrite-replay would duplicate them — "
-                "compact() closes the replay window for prior batch ids"
-            )
-        if existing and bid < existing[-1]:
-            raise ValueError(
-                f"batch_id {bid} precedes the latest stored batch "
-                f"({existing[-1]}): later batches already verified their "
-                "pairs against this batch's rows, so re-running it would "
-                "re-emit those cross-batch edges into a second partition — "
-                "only the LATEST batch id is replayable (the at-least-once "
-                "window); new deliveries must use a higher id"
-            )
-        stale = [x for x in self.incomplete_batch_ids() if x != bid]
-        if stale:
-            raise ValueError(
-                f"delta store {self.root} has incomplete batch(es) {stale}: "
-                "a prior add_batch/remove_ids crashed after writing its "
-                "anchor partition (files/ or removed/) but before edges/ "
-                "lineage completed — replay exactly that batch_id (same "
-                "delivery / same removal set) to heal the store before "
-                "adding new epochs"
-            )
-        return bid
-
-    def _write_batch(self, name: str, df: DataFrame, bid: int) -> DataFrame:
-        path = f"{self.root}/{name}/batch={bid}"
-        df.write.mode("overwrite").parquet(path)
-        # a batch REPLAY overwrites a path this session has already read;
-        # Spark's FileStatusCache would otherwise serve the deleted file list
-        self.spark.catalog.refreshByPath(f"{self.root}/{name}")
-        return self.spark.read.parquet(path)
-
-    def _write_lineage(self, name: str, bid: int, record: dict) -> None:
-        fs, hpath = self._fs(f"{self.root}/{name}/batch={bid}/_lineage.json")
-        stream = fs.create(hpath, True)
-        try:
-            stream.write(bytearray(json.dumps(record, sort_keys=True).encode()))
-        finally:
-            stream.close()
-
-    def _mark(self, stage: str, t0: float, **extra) -> float:
-        now = time.monotonic()
-        self.metrics.append(
-            {"stage": stage, "wall_s": round(now - t0, 3), **extra}
-        )
-        return now
 
     # ---- weighted (frozen-snapshot) legs ----
 
@@ -830,7 +671,6 @@ class DeltaDedup:
         over the surviving corpus, label for label — same caveats on engaged
         skew caps as :class:`DeltaDedup` itself.
         """
-        cfg = self.cfg
         if not isinstance(ids, DataFrame):
             ids = self.spark.createDataFrame([(int(i),) for i in ids], "id long")
             id_col = "id"
@@ -898,82 +738,15 @@ class DeltaDedup:
             self._write_batch(name, copies, bid)
         t0 = self._mark("rm_succession", t0, rows=n_successions, batch=bid)
 
-        # -- affected components: current labels of removed edge-graph nodes --
-        base = self._read("label_base", self._RELATIONS["label_base"])
-        closure = self._closure()
-        fixes = self._latest_fixes(exclude_bid=bid)
-        def _resolve(nodes: DataFrame) -> DataFrame:
-            """(node, cur) — current label under fix/closure precedence."""
-            return (
-                nodes.join(F.broadcast(fixes), "node", "left")
-                .select("node", "label", "fix_label")
-                .select("node", F.coalesce("fix_label", "label").alias("lab0"))
-                .join(F.broadcast(closure), F.col("lab0") == F.col("old_label"), "left")
-                .select("node", F.coalesce("new_label", "lab0").alias("cur"))
-            )
-        rm_nodes = base.join(
-            F.broadcast(rm.select(F.col("id").alias("node"))), "node"
-        ).select("node", "label")
-        affected = (
-            _resolve(rm_nodes).select("cur").distinct().localCheckpoint(eager=True)
+        # -- affected-component relabel (shared machinery; see
+        # DeltaStoreBase._relabel_after_removal) with the succession
+        # endpoint rewrites applied to the surviving subgraph --
+        rel = self._relabel_after_removal(
+            rm.select("id"), tomb_prior, bid, succ_map=succ_map
         )
-        # every member of an affected component: one scan of the base with
-        # broadcast fix/closure hops and a broadcast filter on the resolved
-        # label — scan-only, no shuffle of the base (same cost language as
-        # every other store probe); Δ' = affected component sizes
-        members = (
-            _resolve(base.select("node", "label"))
-            .join(F.broadcast(affected), "cur", "left_semi")
-            .select("node")
-            .localCheckpoint(eager=True)
+        t0 = self._mark(
+            "rm_relabel", t0, rows=rel["n_members_fixed"], batch=bid, **rel["cc"]
         )
-
-        # -- surviving subgraph of the affected components --
-        all_tomb = tomb_prior.unionByName(rm.select("id")).localCheckpoint(eager=True)
-        # semi-join on ONE endpoint suffices: members covers affected
-        # components in full, and an edge's endpoints share a component by
-        # construction (rows touching earlier-removed ids are dead either
-        # way — the anti-join below drops them)
-        sub = (
-            self._read("edges", "a long, b long, jaccard double")
-            .filter(F.col("batch") != bid)
-            .join(F.broadcast(members.withColumnRenamed("node", "a")), "a", "left_semi")
-            .withColumnRenamed("a", "ea")
-            .withColumnRenamed("b", "eb")
-            .join(F.broadcast(succ_map.withColumnsRenamed({"old": "ea", "succ": "sa"})), "ea", "left")
-            .join(F.broadcast(succ_map.withColumnsRenamed({"old": "eb", "succ": "sb"})), "eb", "left")
-            .select(
-                F.coalesce("sa", "ea").alias("a"),
-                F.coalesce("sb", "eb").alias("b"),
-                "jaccard",
-                (F.col("sa").isNotNull() | F.col("sb").isNotNull()).alias("rewritten"),
-            )
-            .join(F.broadcast(all_tomb.withColumnRenamed("id", "a")), "a", "left_anti")
-            .join(F.broadcast(all_tomb.withColumnRenamed("id", "b")), "b", "left_anti")
-            .filter(F.col("a") != F.col("b"))
-            .localCheckpoint(eager=True)
-        )
-        # persist ONLY the rewritten rows — the unchanged survivors already
-        # live in the store; views mask the originals they replace
-        n_rewritten = self._write_batch(
-            "edges", sub.filter("rewritten").select("a", "b", "jaccard"), bid
-        ).count()
-
-        # -- relabel the affected components' survivors --
-        cc_stats: dict = {}
-        sub_labels = connected_components(
-            sub.select("a", "b"),
-            max_iterations=cfg.max_cc_iterations,
-            checkpoint_every=cfg.checkpoint_every,
-            stats=cc_stats,
-        )
-        fixes_rows = (
-            members.join(F.broadcast(all_tomb.withColumnRenamed("id", "node")), "node", "left_anti")
-            .join(sub_labels, "node", "left")
-            .select("node", F.coalesce("label", "node").alias("label"))
-        )
-        n_fixed = self._write_batch("label_fix", fixes_rows, bid).count()
-        t0 = self._mark("rm_relabel", t0, rows=n_fixed, batch=bid, **cc_stats)
 
         summary = {
             "batch": bid,
@@ -982,304 +755,32 @@ class DeltaDedup:
             "n_removed": n_removed,
             "n_already_absent": n_requested - n_removed,
             "n_rep_successions": n_successions,
-            "n_edges_rewritten": n_rewritten,
-            "n_affected_components": affected.count(),
-            "n_members_fixed": n_fixed,
-            "cc": cc_stats,
+            **rel,
             "wall_s": round(time.monotonic() - t_start, 3),
         }
         self._write_lineage("edges", bid, {**summary, "config": json.loads(self._config_fingerprint())})
         self.metrics.append({"stage": "remove_total", **summary})
         return summary
 
-    def _closure(self) -> DataFrame:
-        """The folded (old_label → new_label) merge closure; empty on a
-        store that has never merged across batches."""
-        path = f"{self.root}/label_remaps"
-        if self._exists(f"{path}/_SUCCESS"):
-            return self.spark.read.parquet(path)
-        return self.spark.createDataFrame([], self._CLOSURE_SCHEMA)
-
-    def _write_closure(self, closure: DataFrame) -> None:
-        # cut lineage first: the new closure is derived from the parquet
-        # directory the write below overwrites
-        closure = closure.localCheckpoint(eager=True)
-        closure.write.mode("overwrite").parquet(f"{self.root}/label_remaps")
-        self.spark.catalog.refreshByPath(f"{self.root}/label_remaps")
-
-    def _update_labels(self, new_edges: DataFrame, bid: int, stats: dict) -> None:
-        cfg = self.cfg
-        if self.cc_mode == "full":
-            # O(edge store) by declaration: recompute every label, rewrite the
-            # base as one partition, clear the closure (the equivalence tests
-            # run this mode side-by-side with incremental stores)
-            all_edges = self._read("edges", "a long, b long, jaccard double").select("a", "b")
-            stats["mode"] = "full"
-            labels = connected_components(
-                all_edges, max_iterations=cfg.max_cc_iterations,
-                checkpoint_every=cfg.checkpoint_every, stats=stats,
-            ).localCheckpoint(eager=True)  # cut lineage to edges/ + old base
-            fs, base_dir = self._fs(f"{self.root}/label_base")
-            fs.delete(base_dir, True)
-            self._write_batch("label_base", labels, bid)
-            self._write_closure(self.spark.createDataFrame([], self._CLOSURE_SCHEMA))
-            return
-
-        # incremental: CC over the CONTRACTED graph. A stored label is by
-        # construction the MIN NODE of its component, so mapping each new
-        # edge's endpoints through their current labels (identity for
-        # never-seen nodes) yields a Δ-sized super-node graph whose
-        # components are exactly the merged ones, and whose min-node labels
-        # are the correct global minima (every old member is >= its
-        # component's label). Edges accumulate — components merge, never
-        # split — so neither the edge store nor any corpus-sized label
-        # relation is re-read or re-written: the endpoint set is Δ-sized and
-        # broadcast into a semi-join probe of the base (scan, no shuffle),
-        # and the merge outcome lands as closure rows, not member rewrites.
-        stats["mode"] = "incremental"
-        eps = (
-            new_edges.select(F.col("a").alias("node"))
-            .union(new_edges.select(F.col("b").alias("node")))
-            .distinct()
-            # consumed by the base probe, the resolve join and the entering
-            # anti-join — Δ-sized, so the materialization is cheap
-            .localCheckpoint(eager=True)
-        )
-        # base rows for exactly the endpoints this delivery touches. The
-        # broadcast keeps the probe a scan (no exchange on the base side); a
-        # delivery's endpoint set is Δ-sized by construction — a delivery too
-        # big to broadcast is split upstream, the same operational bound as
-        # the candidate prune. At cluster scale the scan itself prunes via
-        # bucketing/bloom on `node`.
-        base = self._read("label_base", self._RELATIONS["label_base"]).filter(
-            F.col("batch") != bid
-        )
-        base_hits = base.join(F.broadcast(eps), "node", "left_semi").select(
-            "node", "label"
-        ).localCheckpoint(eager=True)
-        closure = self._closure()
-        # post-removal fixes supersede the base label (and its closure hop):
-        # a removal may have SPLIT the component the base/closure still
-        # describe. The probe is Δ-sized (fix rows for exactly these eps).
-        fix_hits = self._latest_fixes(exclude_bid=bid).join(
-            F.broadcast(eps), "node"
-        )
-        resolved = (
-            eps.join(base_hits, "node", "left")
-            .join(fix_hits, "node", "left")
-            .select(
-                "node", F.coalesce("fix_label", "label", "node").alias("lab0")
-            )
-            .join(
-                F.broadcast(closure),
-                F.col("lab0") == F.col("old_label"),
-                "left",
-            )
-            .select("node", F.coalesce("new_label", "lab0").alias("cur"))
-        )
-        contracted = (
-            new_edges
-            .join(resolved.select(F.col("node").alias("a"), F.col("cur").alias("ca")), "a")
-            .join(resolved.select(F.col("node").alias("b"), F.col("cur").alias("cb")), "b")
-            .select(F.col("ca").alias("a"), F.col("cb").alias("b"))
-            # Δ-sized, two consumers inside connected_components (count +
-            # collect/star rounds) — materialize so the resolve joins run once
-            .localCheckpoint(eager=True)
-        )
-        sub_labels = connected_components(
-            contracted,
-            max_iterations=cfg.max_cc_iterations,
-            checkpoint_every=cfg.checkpoint_every,
-            stats=stats,
-        ).localCheckpoint(eager=True)  # consumed by entering + remap below
-
-        # super-nodes with no base row are exactly the nodes entering the
-        # edge graph this delivery (a stored current label is itself a node
-        # with a base row); their sub-label is already final
-        new_nodes = eps.join(base_hits.select("node"), "node", "left_anti")
-        entering = sub_labels.join(F.broadcast(new_nodes), "node", "left_semi")
-        self._write_batch("label_base", entering, bid)
-
-        # merges: an existing current label contracted into a smaller one.
-        # Fold into the closure: redirect stored rows whose target was
-        # merged this batch (one hop stays sufficient — this batch's targets
-        # are final within the batch), then append the new remaps.
-        remaps = (
-            sub_labels.filter(F.col("node") != F.col("label"))
-            .join(F.broadcast(new_nodes), "node", "left_anti")
-            .select(F.col("node").alias("old_label"), F.col("label").alias("new_label"))
-        )
-        updated = (
-            closure.join(
-                F.broadcast(remaps.withColumnsRenamed(
-                    {"old_label": "r_old", "new_label": "r_new"}
-                )),
-                F.col("new_label") == F.col("r_old"),
-                "left",
-            )
-            .select("old_label", F.coalesce("r_new", "new_label").alias("new_label"))
-        )
-        self._write_closure(updated.unionByName(remaps))
-
-    # ---- store maintenance ----
-
-    def compacted_through(self) -> int:
-        """Highest batch id folded into a consolidated partition by
-        :meth:`compact`; -1 when the store has never been compacted.
-        ``add_batch`` refuses batch ids at or below this horizon."""
-        # NOT underscore-prefixed: Spark file sources treat _-prefixed
-        # paths as hidden (explicit top-level reads work but WARN)
-        path = f"{self.root}/compaction_horizon"
-        if not self._exists(path):
-            return -1
-        row = self.spark.read.text(path).first()
-        return int(row.value) if row is not None else -1
+    # ---- store maintenance (compaction hooks; machinery in DeltaStoreBase) ----
 
     def compact(self, files_per_relation: int = 32) -> dict:
-        """Fold every ``batch=N`` partition of each additive relation into
-        ONE consolidated partition (``batch=<max existing id>``), rows
-        preserved verbatim except ``label_base``, which is consolidated with
-        the merge closure applied (``label_remaps`` then resets to empty —
-        every label is final as of the compaction). Future ``add_batch``
-        calls continue from max+1 exactly as before; replays of
-        pre-compaction batch ids are refused (see class docstring).
+        """Fold every ``batch=N`` partition into one consolidated partition
+        (see :meth:`DeltaStoreBase.compact` for the two-phase mechanics).
+        ``label_base`` is consolidated with the fix overlay and the merge
+        closure applied (``label_remaps`` then resets to empty — every label
+        is final as of the compaction), and tombstoned rows are PHYSICALLY
+        purged from every relation: compact() is the purge point for removed
+        content's derived data (sha256/shingles/signatures/edges), exactly
+        the LSM delete model.
 
         Run it when the store is quiescent (no live stream mid-epoch): the
-        streaming leg's at-least-once window only ever spans the LAST
-        epoch, whose id equals the compaction target, so a stream restarted
-        from its checkpoint resumes at target+1 and never collides.
-
-        Two-phase: all consolidated copies are written to
-        ``_compact_tmp/`` first, then each relation directory is swapped
-        via delete+rename. A crash mid-swap leaves ``_compact_tmp`` in
-        place (complete copies of every relation) and the constructor
-        refuses the store until it is resolved — no window loses rows.
-
-        ``files_per_relation`` bounds the output file count per relation
-        (the point of compacting: O(batches × partitions) small files →
-        O(1) right-sized ones)."""
-        bids = self.batch_ids()
-        t0 = time.monotonic()
-        if len(bids) <= 1:
-            return {"compacted": False, "n_batches": len(bids)}
-        target = bids[-1]
-        summary: dict = {
-            "compacted": True,
-            "into_batch": target,
-            "n_batches": len(bids),
-            "rows": {},
-        }
-        # phase 1: write every consolidated copy (no destructive step yet).
-        # label_base is consolidated WITH the fix overlay and the closure
-        # applied (both reset below) — compaction is what bounds the closure
-        # to the merge events and the fixes/tombstones to the removals of
-        # the current epoch. Tombstoned rows are PHYSICALLY dropped from
-        # every relation here: compact() is the purge point for removed
-        # content's derived data (sha256/shingles/signatures/edges).
-        closure = self._closure().localCheckpoint(eager=True)
-        tomb = self._tombstones().localCheckpoint(eager=True)
-        fixes = self._latest_fixes().localCheckpoint(eager=True)
-        for name, schema in self._relations.items():
-            tmp = f"{self.root}/_compact_tmp/{name}/batch={target}"
-            df = self._read(name, schema).drop("batch")
-            if name == "edges":
-                df = df.join(
-                    F.broadcast(tomb.withColumnRenamed("id", "a")), "a", "left_anti"
-                ).join(F.broadcast(tomb.withColumnRenamed("id", "b")), "b", "left_anti")
-            elif name == "label_base":
-                df = (
-                    df.join(F.broadcast(tomb.withColumnRenamed("id", "node")), "node", "left_anti")
-                    .join(F.broadcast(fixes), "node", "left")
-                    .select("node", F.coalesce("fix_label", "label").alias("lab0"))
-                    .join(F.broadcast(closure), F.col("lab0") == F.col("old_label"), "left")
-                    .select("node", F.coalesce("new_label", "lab0").alias("label"))
-                )
-            else:
-                df = df.join(F.broadcast(tomb), "id", "left_anti")
-            df.repartition(files_per_relation).write.mode("overwrite").parquet(tmp)
-            summary["rows"][name] = self.spark.read.parquet(tmp).count()
-        self.spark.createDataFrame([], self._CLOSURE_SCHEMA).write.mode(
-            "overwrite"
-        ).parquet(f"{self.root}/_compact_tmp/label_remaps")
-        # epoch relations fold away: tombstones are now applied (purged) and
-        # fixes live inside the consolidated base. batch=target keeps the
-        # directory shape uniform for _read's partition discovery.
-        for name, schema in self._EPOCH_RELATIONS.items():
-            self.spark.createDataFrame([], schema).write.mode("overwrite").parquet(
-                f"{self.root}/_compact_tmp/{name}/batch={target}"
-            )
-        # advance the horizon BEFORE any destructive swap: a crash between
-        # the swap and a trailing horizon write would silently reopen the
-        # replay window for folded batch ids (a replay would then duplicate
-        # rows already inside the consolidated partition). Advancing early
-        # errs the safe way — a crash before the swap leaves replays of
-        # still-unfolded ids refused, and the constructor's _compact_tmp
-        # guard forces manual resolution there anyway.
-        self.spark.createDataFrame([(str(target),)], "value string").coalesce(
-            1
-        ).write.mode("overwrite").text(f"{self.root}/compaction_horizon")
-        # phase 2: swap directories (metadata-only; crash leaves tmp intact,
-        # and the constructor refuses the store until resolved). label_fix
-        # and label_remaps swap to empty AFTER label_base swaps to the
-        # applied copy — re-applying an old fix or closure row to
-        # already-final labels is a no-op (a fix of a since-merged label
-        # still resolves through the closure, which swaps last; a final
-        # label is never an old_label of the folded closure).
-        for name in [*self._relations, *self._EPOCH_RELATIONS, "label_remaps"]:
-            fs, old = self._fs(f"{self.root}/{name}")
-            fs.delete(old, True)
-            _, tmp_path = self._fs(f"{self.root}/_compact_tmp/{name}")
-            fs.rename(tmp_path, old)
-            self.spark.catalog.refreshByPath(f"{self.root}/{name}")
-        fs, tmp_root = self._fs(f"{self.root}/_compact_tmp")
-        fs.delete(tmp_root, True)
-        summary["wall_s"] = round(time.monotonic() - t0, 3)
-        self._write_lineage("edges", target, {"compaction": summary})
-        self.metrics.append({"stage": "compact", **summary})
-        return summary
+        streaming leg's at-least-once window only ever spans the LAST epoch,
+        whose id equals the compaction target, so a stream restarted from
+        its checkpoint resumes at target+1 and never collides."""
+        return super().compact(files_per_relation)
 
     # ---- outputs ----
-
-    def edges(self) -> DataFrame:
-        """Verified dup edges between SURVIVING files: tombstoned endpoints
-        are masked at read time (their rows purge physically at compact());
-        rep-succession rewrites live as ordinary edge rows under the removal
-        epoch's partition."""
-        tomb = self._tombstones()
-        return (
-            self._read("edges", "a long, b long, jaccard double")
-            .join(F.broadcast(tomb.withColumnRenamed("id", "a")), "a", "left_anti")
-            .join(F.broadcast(tomb.withColumnRenamed("id", "b")), "b", "left_anti")
-            .select("a", "b", "jaccard")
-        )
-
-    def clusters(self) -> DataFrame:
-        """(id, cluster) for every SURVIVING file — cluster = min id of the
-        connected component, id itself for singletons (same contract as
-        ``DedupPipeline.run().clusters``). Resolves the label overlay at read
-        time with removal-fix precedence: ``closure[fix ?? base] ?? (fix ??
-        base)`` (fixes express the component splits the merge-only closure
-        cannot — see :meth:`remove_ids`)."""
-        tomb = self._tombstones()
-        files = (
-            self._read("files", self._RELATIONS["files"])
-            .join(F.broadcast(tomb), "id", "left_anti")
-            .select("id")
-        )
-        base = self._read("label_base", self._RELATIONS["label_base"])
-        labels = (
-            base.join(self._latest_fixes(), "node", "left")
-            .select("node", F.coalesce("fix_label", "label").alias("lab0"))
-            .join(
-                F.broadcast(self._closure()),
-                F.col("lab0") == F.col("old_label"),
-                "left",
-            )
-            .select("node", F.coalesce("new_label", "lab0").alias("label"))
-        )
-        return files.join(labels, files.id == labels.node, "left").select(
-            "id", F.coalesce("label", F.col("id")).alias("cluster")
-        )
 
     def deduplicate(
         self,
@@ -1300,8 +801,3 @@ class DeltaDedup:
         return deduplicate_corpus(
             files, self.clusters(), strategy, id_col=id_col, content_col=content_col
         )
-
-    def write_metrics(self, path: str) -> None:
-        with open(path, "w") as f:
-            for m in self.metrics:
-                f.write(json.dumps(m) + "\n")

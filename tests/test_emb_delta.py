@@ -1,0 +1,257 @@
+"""Incremental embedding near-dup store: the delta runner must be
+edge-for-edge and label-for-label equivalent to one batch
+``embedding_near_dups`` + connected-components run over the unioned corpus
+(the dense-vector twin of the text delta≡full theorem), idempotent under
+batch replay, and frozen-codebook guarded."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sycl_jaccard_spark.operators.ann import (
+    embedding_near_dups,
+    quantized_centroids,
+    train_ivf_centroids,
+)
+from sycl_jaccard_spark.plans.emb_delta import EmbeddingDeltaStore
+from tests.conftest import UnionFind
+
+DIM = 16
+K = 8
+NPROBE = 2
+SEED = 42
+THRESHOLD = 0.95
+CAP = 10**9  # parity tests run uncapped (cap parity caveat same as text)
+
+
+def _emb_corpus(spark, n=150, n_clusters=20, seed=11):
+    """Deterministic synthetic embeddings: ~2/3 of ids are members of tight
+    planted clusters (pairwise cosine ≳ 0.999), the rest are random unit
+    vectors (near-orthogonal at dim 16 — no planted pair crosses 0.95)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(n):
+        if i % 3 != 2:
+            v = centers[i % n_clusters] + rng.normal(scale=0.01, size=DIM)
+        else:
+            v = rng.normal(size=DIM)
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).localCheckpoint(eager=True)
+
+
+def _batches(vectors, n):
+    """Disjoint split by row-hash pmod — arrival order uncorrelated with id
+    order (same convention as the text delta tests)."""
+    return [
+        vectors.filter(F.pmod(F.xxhash64("vec_id"), F.lit(n)) == i) for i in range(n)
+    ]
+
+
+def _batch_state(spark, vectors, cb, threshold=THRESHOLD):
+    """(edge set, label dict) from the BATCH path: embedding_near_dups with
+    the same frozen codebook + driver-side union-find over its edges."""
+    edges = embedding_near_dups(
+        vectors, dim=DIM, threshold=threshold, method="ivf",
+        n_centroids=K, nprobe=NPROBE, seed=SEED, bucket_cap=CAP, centroids_q=cb,
+    ).collect()
+    uf = UnionFind()
+    for r in edges:
+        uf.union(r["a"], r["b"])
+    lab = uf.labels()
+    ids = [r["vec_id"] for r in vectors.select("vec_id").collect()]
+    return (
+        {(r["a"], r["b"]) for r in edges},
+        {i: lab.get(i, i) for i in ids},
+    )
+
+
+def _store_state(store):
+    return (
+        {(r["a"], r["b"]) for r in store.edges().collect()},
+        {r["id"]: r["cluster"] for r in store.clusters().collect()},
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return _emb_corpus(spark)
+
+
+@pytest.fixture(scope="module")
+def codebook(spark, corpus):
+    return train_ivf_centroids(
+        corpus, dim=DIM, n_centroids=K, n_iters=2, seed=SEED
+    )
+
+
+def test_emb_delta_equals_batch_run(spark, tmp_path, corpus, codebook):
+    """Three deliveries through the store == one batch embedding_near_dups +
+    CC over the union: same edge set, same (id, cluster) labels."""
+    store = EmbeddingDeltaStore(
+        spark, str(tmp_path / "store"), DIM, codebook,
+        threshold=THRESHOLD, nprobe=NPROBE, bucket_cap=CAP,
+    )
+    for b in _batches(corpus, 3):
+        store.add_batch(b)
+    got_edges, got_labels = _store_state(store)
+    exp_edges, exp_labels = _batch_state(spark, corpus, codebook)
+    assert got_edges == exp_edges
+    assert got_labels == exp_labels
+    # the planted clusters actually exercise the path (non-trivial graph)
+    assert len(exp_edges) > 20
+
+
+def test_emb_delta_incremental_cc_equals_full(spark, tmp_path, corpus, codebook):
+    batches = _batches(corpus, 3)
+    inc = EmbeddingDeltaStore(
+        spark, str(tmp_path / "inc"), DIM, codebook,
+        threshold=THRESHOLD, bucket_cap=CAP, cc_mode="incremental",
+    )
+    ful = EmbeddingDeltaStore(
+        spark, str(tmp_path / "ful"), DIM, codebook,
+        threshold=THRESHOLD, bucket_cap=CAP, cc_mode="full",
+    )
+    for b in batches:
+        s_i = inc.add_batch(b)
+        s_f = ful.add_batch(b)
+        assert s_i["n_new_edges"] == s_f["n_new_edges"]
+    assert _store_state(inc) == _store_state(ful)
+
+
+def test_emb_delta_replay_idempotent(spark, tmp_path, corpus, codebook):
+    """Replaying the LATEST delivery overwrites its partitions: same edges,
+    same labels, no duplicate rows (at-least-once safety)."""
+    batches = _batches(corpus, 2)
+    store = EmbeddingDeltaStore(
+        spark, str(tmp_path / "store"), DIM, codebook,
+        threshold=THRESHOLD, bucket_cap=CAP,
+    )
+    store.add_batch(batches[0], batch_id=0)
+    store.add_batch(batches[1], batch_id=1)
+    before = _store_state(store)
+    n_edge_rows = store.edges().count()
+    store.add_batch(batches[1], batch_id=1)  # replay
+    assert _store_state(store) == before
+    assert store.edges().count() == n_edge_rows
+
+
+def test_emb_redelivered_ids_dropped(spark, tmp_path, corpus, codebook):
+    """An id delivered twice (crawler revisit) keeps its first row; the
+    second delivery reports the drop."""
+    batches = _batches(corpus, 2)
+    store = EmbeddingDeltaStore(
+        spark, str(tmp_path / "s"), DIM, codebook, threshold=THRESHOLD, bucket_cap=CAP
+    )
+    s0 = store.add_batch(batches[0])
+    s1 = store.add_batch(batches[0].unionByName(batches[1]))
+    assert s1["n_redelivered"] == s0["n_new"]
+    assert store.clusters().count() == corpus.count()
+
+
+def test_emb_codebook_and_config_guards(spark, tmp_path, corpus, codebook):
+    store = EmbeddingDeltaStore(
+        spark, str(tmp_path / "s"), DIM, codebook, threshold=THRESHOLD, bucket_cap=CAP
+    )
+    store.add_batch(_batches(corpus, 2)[0])
+    # reopen without centroids: loads the persisted codebook
+    re = EmbeddingDeltaStore(
+        spark, str(tmp_path / "s"), DIM, threshold=THRESHOLD, bucket_cap=CAP
+    )
+    assert np.array_equal(re._codebook, codebook)
+    # different codebook refused
+    other = quantized_centroids(DIM, K, seed=SEED + 1)
+    with pytest.raises(ValueError, match="different codebook"):
+        EmbeddingDeltaStore(
+            spark, str(tmp_path / "s"), DIM, other, threshold=THRESHOLD, bucket_cap=CAP
+        )
+    # different scoring config refused (threshold changes the fingerprint)
+    with pytest.raises(ValueError, match="different config"):
+        EmbeddingDeltaStore(
+            spark, str(tmp_path / "s"), DIM, threshold=0.5, bucket_cap=CAP
+        )
+    # a NEW store requires an explicit codebook
+    with pytest.raises(ValueError, match="requires centroids_q"):
+        EmbeddingDeltaStore(spark, str(tmp_path / "fresh"), DIM, threshold=THRESHOLD)
+
+
+def test_emb_remove_equals_batch_over_survivors(spark, tmp_path, corpus, codebook):
+    """Tombstone epoch + affected-component relabel == batch run over the
+    surviving vectors (same frozen codebook)."""
+    store = EmbeddingDeltaStore(
+        spark, str(tmp_path / "s"), DIM, codebook, threshold=THRESHOLD, bucket_cap=CAP
+    )
+    for b in _batches(corpus, 2):
+        store.add_batch(b)
+    _, labels = _store_state(store)
+    # remove the min-id member of some clusters (forces relabeling) plus a
+    # singleton and an unknown id (idempotence by state)
+    clustered = sorted({v for k, v in labels.items() if k != v})
+    rm = clustered[:3] + [max(labels) + 1000]
+    summary = store.remove_ids(rm)
+    assert summary["n_already_absent"] == 1
+    assert summary["n_members_fixed"] > 0
+    survivors = corpus.filter(~F.col("vec_id").isin([int(x) for x in rm]))
+    exp_edges, exp_labels = _batch_state(spark, survivors, codebook)
+    got_edges, got_labels = _store_state(store)
+    assert got_edges == exp_edges
+    assert got_labels == exp_labels
+
+
+def test_emb_compact_preserves_state_and_continues(spark, tmp_path, corpus, codebook):
+    """compact() folds batch partitions + purges tombstones; labels and
+    edges are invariant and later deliveries keep working."""
+    batches = _batches(corpus, 3)
+    store = EmbeddingDeltaStore(
+        spark, str(tmp_path / "s"), DIM, codebook, threshold=THRESHOLD, bucket_cap=CAP
+    )
+    store.add_batch(batches[0])
+    store.add_batch(batches[1])
+    _, labels = _store_state(store)
+    rm = [min(labels)]
+    store.remove_ids(rm)
+    before = _store_state(store)
+    summary = store.compact()
+    assert summary["compacted"]
+    assert _store_state(store) == before
+    # tombstoned rows physically purged
+    purged = store._read("vectors", store._relations["vectors"])
+    assert purged.filter(F.col("id").isin([int(x) for x in rm])).count() == 0
+    # store keeps working post-compaction and still matches batch
+    store.add_batch(batches[2])
+    survivors = corpus.filter(~F.col("vec_id").isin([int(x) for x in rm]))
+    exp = _batch_state(spark, survivors, codebook)
+    assert _store_state(store) == exp
+    # replay window closed for folded ids
+    with pytest.raises(ValueError, match="compaction horizon"):
+        store.add_batch(batches[0], batch_id=0)
+
+
+def test_emb_exact_duplicate_vectors_connect(spark, tmp_path, codebook):
+    """Identical embeddings delivered under different ids in different
+    batches connect through the IVF path itself (cosine 1.0) — the embedding
+    store needs no sha256 pre-pass."""
+    rng = np.random.default_rng(5)
+    v = rng.normal(size=DIM)
+    v = [float(x) for x in v / np.linalg.norm(v)]
+    w = rng.normal(size=DIM)
+    w = [float(x) for x in w / np.linalg.norm(w)]
+    store = EmbeddingDeltaStore(
+        spark, str(tmp_path / "s"), DIM, codebook, threshold=THRESHOLD, bucket_cap=CAP
+    )
+    store.add_batch(
+        spark.createDataFrame([(1, v), (2, w)], "vec_id long, embedding array<float>")
+    )
+    store.add_batch(
+        spark.createDataFrame([(3, v)], "vec_id long, embedding array<float>")
+    )
+    edges = {(r["a"], r["b"]): r["cosine"] for r in store.edges().collect()}
+    assert edges[(1, 3)] == pytest.approx(1.0)
+    labels = {r["id"]: r["cluster"] for r in store.clusters().collect()}
+    assert labels == {1: 1, 2: 2, 3: 1}
