@@ -309,24 +309,63 @@ def train_ivf_centroids(
     return cents
 
 
-def ivf_assign_udf(centroids_q: np.ndarray, nprobe: int):
+def ivf_assign_udf(centroids_q: np.ndarray, nprobe: int, with_cos: bool = False):
     """pandas UDF: embedding -> array<int> of the ``nprobe`` nearest centroid
     ids. Ranking key is the exact integer score -2*v.c + |c|^2 (adding the
     per-row constant |v|^2 gives squared L2, which cannot change the order),
-    ties broken by centroid id — bit-identical to the SQL replay."""
+    ties broken by centroid id — bit-identical to the SQL replay.
+
+    ``with_cos=True`` returns ``struct<cids: array<int>, cos: double>``
+    instead, where ``cos`` is the cosine of the vector to its NEAREST
+    centroid — a codebook-fit diagnostic (how well the frozen codebook still
+    covers incoming data), computed from the same matmul at zero extra
+    passes. The cids ranking stays the exact integer argmin; only the
+    diagnostic is floating-point."""
     ct = centroids_q.T.copy()                      # (dim, K)
     c2 = (centroids_q * centroids_q).sum(axis=1)   # (K,)
+    cnorm = np.sqrt(c2.astype(np.float64))
 
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def _assign(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype="object")
+    def _rank(vecs: pd.Series):
         m = _round_half_away(np.stack(vecs.to_numpy()).astype(np.float64) * VEC_SCALE)
-        scores = -2 * (m @ ct) + c2[None, :]
+        dots = m @ ct
+        scores = -2 * dots + c2[None, :]
         order = np.argsort(scores, axis=1, kind="stable")[:, :nprobe]
-        return pd.Series([row.astype("int32").tolist() for row in order])
+        return m, dots, order
 
-    return _assign
+    if not with_cos:
+
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def _assign(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:
+                return pd.Series([], dtype="object")
+            _m, _dots, order = _rank(vecs)
+            return pd.Series([row.astype("int32").tolist() for row in order])
+
+        return _assign
+
+    out_type = T.StructType(
+        [
+            T.StructField("cids", T.ArrayType(T.IntegerType())),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(out_type)
+    def _assign_cos(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame({"cids": pd.Series([], dtype="object"),
+                                 "cos": pd.Series([], dtype="float64")})
+        m, dots, order = _rank(vecs)
+        best = order[:, 0]
+        vnorm = np.sqrt((m * m).sum(axis=1))
+        denom = vnorm * cnorm[best]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = np.where(denom > 0, dots[np.arange(len(best)), best] / denom, 0.0)
+        return pd.DataFrame(
+            {"cids": [row.astype("int32").tolist() for row in order], "cos": cos}
+        )
+
+    return _assign_cos
 
 
 def ivf_candidates(

@@ -1,3 +1,5 @@
+from sycl_jaccard_spark.plans.delta import DeltaDedup
+from sycl_jaccard_spark.plans.emb_delta import EmbeddingDeltaStore
 from sycl_jaccard_spark.plans.pipeline import DedupPipeline, PipelineResult
 
-__all__ = ["DedupPipeline", "PipelineResult"]
+__all__ = ["DedupPipeline", "DeltaDedup", "EmbeddingDeltaStore", "PipelineResult"]

@@ -203,6 +203,41 @@ class EmbeddingDeltaStore(DeltaStoreBase):
             sort_keys=True,
         )
 
+    # ---- codebook-fit drift ----
+
+    def _codebook_drift(self, delta: DataFrame) -> dict:
+        """Per-delivery codebook-fit counters — the dense-vector analog of
+        the text store's ``idf_drift`` block: the codebook is frozen, so when
+        the corpus distribution moves away from the training sample, the
+        cosine of new vectors to their nearest centroid DECLINES (vectors
+        land in lists that carve their neighborhood poorly, recall decays
+        silently). The first delivery's stats are persisted as the baseline;
+        every summary reports the delivery's mean/p10 cosine-to-centroid and
+        the drop vs baseline. When the drop is sustained, retrain and
+        re-ingest into a new store (the documented codebook lifecycle)."""
+        row = delta.agg(
+            F.mean("assign_cos").alias("mean"),
+            F.expr("percentile_approx(assign_cos, 0.1)").alias("p10"),
+        ).first()
+        if row is None or row["mean"] is None:
+            return {}  # fully-redelivered batch: no new vectors to measure
+        mean, p10 = float(row["mean"]), float(row["p10"])
+        path = f"{self.root}/drift_baseline"
+        if self._exists(path):
+            first = self.spark.read.text(path).first()
+            base = json.loads(first.value)
+        else:
+            base = {"assign_cos_mean": round(mean, 6), "assign_cos_p10": round(p10, 6)}
+            self.spark.createDataFrame(
+                [(json.dumps(base, sort_keys=True),)], "value string"
+            ).coalesce(1).write.mode("overwrite").text(path)
+        return {
+            "assign_cos_mean": round(mean, 6),
+            "assign_cos_p10": round(p10, 6),
+            "baseline_mean": base["assign_cos_mean"],
+            "drop_vs_baseline": round(base["assign_cos_mean"] - mean, 6),
+        }
+
     # ---- epochs ----
 
     def add_batch(
@@ -221,14 +256,26 @@ class EmbeddingDeltaStore(DeltaStoreBase):
         t_start = t0
 
         # ONE pass over the delivery: JVM-side quantization + the Arrow
-        # assignment matmul against the broadcast codebook, checkpointed —
-        # every write/count below would otherwise re-run the input DAG
-        # (including the pandas UDF) from scratch
-        delta = vectors.select(
-            F.col(id_col).alias("id"),
-            _quantized(F.col(vec_col)).alias("vq"),
-            ivf_assign_udf(self._codebook, self.nprobe)(F.col(vec_col)).alias("cids"),
-        ).localCheckpoint(eager=True)
+        # assignment matmul against the broadcast codebook (which also emits
+        # the cosine-to-nearest-centroid codebook-fit diagnostic),
+        # checkpointed — every write/count below would otherwise re-run the
+        # input DAG (including the pandas UDF) from scratch
+        delta = (
+            vectors.select(
+                F.col(id_col).alias("id"),
+                _quantized(F.col(vec_col)).alias("vq"),
+                ivf_assign_udf(self._codebook, self.nprobe, with_cos=True)(
+                    F.col(vec_col)
+                ).alias("asg"),
+            )
+            .select(
+                "id",
+                "vq",
+                F.col("asg.cids").alias("cids"),
+                F.col("asg.cos").alias("assign_cos"),
+            )
+            .localCheckpoint(eager=True)
+        )
         n_delivered = delta.count()
 
         # redelivery drop — corpus-sized store relations are SCAN-ONLY in
@@ -246,7 +293,8 @@ class EmbeddingDeltaStore(DeltaStoreBase):
 
         self._write_batch("vectors", delta.select("id", "vq"), bid)
         n_new = delta.count()
-        t0 = self._mark("quantize_assign", t0, rows=n_new, batch=bid)
+        drift = self._codebook_drift(delta)
+        t0 = self._mark("quantize_assign", t0, rows=n_new, batch=bid, **drift)
 
         # inverted-list membership: nprobe rows per vector
         new_lists = delta.select("id", F.explode("cids").alias("cid"))
@@ -339,6 +387,7 @@ class EmbeddingDeltaStore(DeltaStoreBase):
             "n_redelivered": n_delivered - n_new,
             "n_new": n_new,
             "n_new_edges": n_new_edges,
+            "codebook_drift": drift,
             "cc": cc_stats,
             "wall_s": round(time.monotonic() - t_start, 3),
         }

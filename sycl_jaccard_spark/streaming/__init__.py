@@ -1,3 +1,15 @@
-from sycl_jaccard_spark.streaming.ingest import incremental_exact_dedup, incremental_signatures
+from sycl_jaccard_spark.streaming.ingest import (
+    delta_store_batch_writer,
+    emb_store_batch_writer,
+    incremental_exact_dedup,
+    incremental_signatures,
+    weighted_signature_batch_writer,
+)
 
-__all__ = ["incremental_exact_dedup", "incremental_signatures"]
+__all__ = [
+    "delta_store_batch_writer",
+    "emb_store_batch_writer",
+    "incremental_exact_dedup",
+    "incremental_signatures",
+    "weighted_signature_batch_writer",
+]

@@ -174,3 +174,42 @@ def weighted_signature_batch_writer(
         )
 
     return write_batch
+
+
+def emb_store_batch_writer(store, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """``foreachBatch`` function that delivers each micro-batch of embedding
+    rows into an :class:`~sycl_jaccard_spark.plans.emb_delta.EmbeddingDeltaStore`
+    — the dense-vector twin of :func:`delta_store_batch_writer`: the stream
+    keeps near-dup edges and cluster labels current as an upstream model
+    embeds new files; batch consumers read ``store.edges()`` /
+    ``store.clusters()`` whenever they need state.
+
+    Same replay contract: ``foreachBatch`` is at-least-once with a monotone
+    epoch id, and ``add_batch(batch_id=epoch)`` overwrites that epoch's
+    partitions on redelivery, so a crash between write and commit cannot
+    duplicate rows. Dedicate the store to ONE stream. The frozen-codebook
+    rule does the heavy lifting here: because list membership depends only on
+    the codebook, a vector signed in micro-batch 3 is directly comparable
+    with one signed in micro-batch 3000 — no per-batch retraining, no state
+    migration. Watch ``summary['codebook_drift']`` (logged to the store's
+    metrics) for when the frozen codebook has gone stale.
+
+    Usage::
+
+        store = EmbeddingDeltaStore(spark, store_dir, dim=768, centroids_q=cb)
+        (spark.readStream.schema("vec_id long, embedding array<float>")
+            .parquet(src).writeStream
+            .foreachBatch(emb_store_batch_writer(store))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start())
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        store.add_batch(
+            batch_df.select(id_col, vec_col),
+            id_col=id_col,
+            vec_col=vec_col,
+            batch_id=batch_id,
+        )
+
+    return write_batch

@@ -255,3 +255,72 @@ def test_emb_exact_duplicate_vectors_connect(spark, tmp_path, codebook):
     assert edges[(1, 3)] == pytest.approx(1.0)
     labels = {r["id"]: r["cluster"] for r in store.clusters().collect()}
     assert labels == {1: 1, 2: 2, 3: 1}
+
+
+def test_emb_streaming_store_equals_batch(spark, tmp_path, corpus, codebook):
+    """Streaming leg: two availableNow waves through
+    foreachBatch(emb_store_batch_writer) must leave the store edge-for-edge
+    and label-for-label equal to the batch path over all vectors — the
+    dense-vector twin of test_streaming_delta_store_equals_full_run."""
+    from sycl_jaccard_spark.streaming.ingest import emb_store_batch_writer
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = EmbeddingDeltaStore(
+        spark, str(tmp_path / "store"), DIM, codebook,
+        threshold=THRESHOLD, nprobe=NPROBE, bucket_cap=CAP,
+    )
+    waves = _batches(corpus, 2)
+    for wave in waves:
+        wave.write.mode("append").parquet(src)
+        q = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .parquet(src)
+            .writeStream.foreachBatch(emb_store_batch_writer(store))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    expect = _batch_state(spark, corpus, codebook)
+    assert _store_state(store) == expect
+    assert store.clusters().count() == corpus.count()
+
+
+def test_emb_codebook_drift_reported(spark, tmp_path, corpus, codebook):
+    """Codebook-fit drift: an in-distribution delivery sets the baseline; an
+    out-of-distribution delivery (vectors in the null space of the trained
+    codebook — cosine ~0 to EVERY centroid by construction) must report a
+    positive drop_vs_baseline — the retrain signal. The baseline is frozen
+    at first delivery (replays don't move it)."""
+    store = EmbeddingDeltaStore(
+        spark, str(tmp_path / "store"), DIM, codebook,
+        threshold=THRESHOLD, nprobe=NPROBE, bucket_cap=CAP,
+    )
+    s0 = store.add_batch(corpus, batch_id=0)
+    d0 = s0["codebook_drift"]
+    assert d0["baseline_mean"] == d0["assign_cos_mean"]
+    assert d0["drop_vs_baseline"] == 0.0
+    assert -1.0 <= d0["assign_cos_p10"] <= d0["assign_cos_mean"] <= 1.0
+
+    # orthonormal basis of the codebook's null space (K < DIM): every OOD
+    # vector has exact float cosine 0 to every centroid; only quantization
+    # rounding (~1e-4) survives
+    _u, _s, vt = np.linalg.svd(codebook.astype(np.float64))
+    null_basis = vt[np.linalg.matrix_rank(codebook):]
+    assert len(null_basis) >= 2
+    ood = spark.createDataFrame(
+        [(10_000 + i, [float(x) for x in null_basis[i % len(null_basis)]])
+         for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    s1 = store.add_batch(ood, batch_id=1)
+    d1 = s1["codebook_drift"]
+    assert d1["baseline_mean"] == d0["assign_cos_mean"]  # frozen
+    assert d1["drop_vs_baseline"] > 0.1
+    assert d1["assign_cos_mean"] < d0["assign_cos_mean"]
+
+    # replay of the OOD batch reports the same numbers and keeps the baseline
+    s1r = store.add_batch(ood, batch_id=1)
+    assert s1r["codebook_drift"] == d1
