@@ -76,6 +76,7 @@ from sycl_jaccard_spark.operators.ann import (
     _norm2,
     _quantized,
     ivf_assign_udf,
+    train_ivf_centroids,
 )
 from sycl_jaccard_spark.operators.lsh import candidate_pairs
 from sycl_jaccard_spark.plans.store_base import DeltaStoreBase
@@ -470,3 +471,79 @@ class EmbeddingDeltaStore(DeltaStoreBase):
         )
         self.metrics.append({"stage": "remove_total", **summary})
         return summary
+
+    # ---- retrain lifecycle ----
+
+    def surviving_vectors(self) -> DataFrame:
+        """(vec_id, embedding) of every surviving row, dequantized from the
+        stored int64 ``vq``. The round-trip is EXACT: ``vq`` is an integer
+        with \\|vq\\| ≲ VEC_SCALE, so float32 carries ``vq / VEC_SCALE`` with
+        absolute error ≪ 0.5 ulp of the integer grid, and re-quantization
+        (round half away from zero) recovers ``vq`` bit-for-bit — delivering
+        these rows into another store stores identical vectors."""
+        tomb = self._tombstones()
+        return (
+            self._read("vectors", self._relations["vectors"])
+            .join(F.broadcast(tomb), "id", "left_anti")
+            .select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    "vq",
+                    lambda x: (x.cast("double") / F.lit(float(VEC_SCALE))).cast(
+                        "float"
+                    ),
+                ).alias("embedding"),
+            )
+        )
+
+    def migrate(
+        self,
+        new_store_dir: str,
+        centroids_q: np.ndarray | None = None,
+        n_centroids: int | None = None,
+        n_iters: int = 2,
+        seed: int = 42,
+    ) -> "EmbeddingDeltaStore":
+        """Retrain-and-reingest — the documented response to a sustained
+        ``codebook_drift`` drop. Reads the SURVIVING corpus (exact vq
+        round-trip, no original floats needed), trains a fresh distributed
+        Lloyd codebook on it (or uses ``centroids_q`` if given), and delivers
+        everything into a NEW store under this store's
+        threshold/nprobe/cap/skew config in one epoch.
+
+        The old store is untouched — a read-only cutover: point consumers at
+        the new store, then delete the old directory. Labels are recomputed
+        under the new codebook (list memberships change, so edges can too);
+        the new store's state equals a batch ``embedding_near_dups`` run over
+        the survivors with the new codebook (tested). The drift baseline
+        resets to the re-ingested corpus — by construction the post-migration
+        fit, so subsequent deliveries measure drift against the NEW codebook.
+
+        The text store has no analog: re-signing text requires the original
+        content, which :class:`DeltaDedup` does not retain (signatures only)
+        — retrain IDF there by re-ingesting from the source-of-truth corpus.
+        """
+        vecs = self.surviving_vectors().localCheckpoint(eager=True)
+        if centroids_q is None:
+            k = n_centroids if n_centroids is not None else self._codebook.shape[0]
+            centroids_q = train_ivf_centroids(
+                vecs, dim=self.dim, n_centroids=k, n_iters=n_iters, seed=seed
+            )
+        new_store = EmbeddingDeltaStore(
+            self.spark,
+            new_store_dir,
+            dim=self.dim,
+            centroids_q=centroids_q,
+            threshold=self.threshold,
+            nprobe=self.nprobe,
+            bucket_cap=self.bucket_cap,
+            skew_mode=self._ccfg.skew_mode,
+            cc_mode=self.cc_mode,
+            max_cc_iterations=self._cc_max_iterations,
+            checkpoint_every=self._cc_checkpoint_every,
+        )
+        summary = new_store.add_batch(vecs)
+        self.metrics.append(
+            {"stage": "migrate", "new_store": new_store.root, **summary}
+        )
+        return new_store

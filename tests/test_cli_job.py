@@ -360,3 +360,68 @@ def test_delta_mode_rejects_unsupported_flags(tmp_path):
     # --substring IS available in delta mode (the store carries the
     # containment pass — tests/test_delta.py proves batch parity)
     assert parse_args(base + ["--substring"]).substring
+
+
+def test_cli_emb_store_full_lifecycle(spark, tmp_path):
+    """jobs/run_emb_store.py: train+deliver, second delivery, removal,
+    compaction and migration epochs through the CLI, state preserved."""
+    import pytest
+
+    from jobs.run_emb_store import main as emb_main
+    from jobs.run_emb_store import parse_args as emb_parse
+
+    # flag validation
+    with pytest.raises(SystemExit):
+        emb_parse(["--store", "s"])  # no input, not compact/migrate
+    with pytest.raises(SystemExit):
+        emb_parse(["--store", "s", "--input", "x", "--compact"])
+    with pytest.raises(SystemExit):
+        emb_parse(["--store", "s", "--input", "x", "--remove", "--compact"])
+    with pytest.raises(SystemExit):
+        emb_parse(["--store", "s", "--input", "x", "--train",
+                   "--codebook", "cb"])
+    with pytest.raises(SystemExit):
+        emb_parse(["--store", "s", "--input", "x", "--train"])  # no --dim
+
+    src = str(tmp_path / "vecs")
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).write.parquet(src)
+    store_dir = str(tmp_path / "store")
+    common = ["--store", store_dir, "--threshold", "0.95", "--nprobe", "2",
+              "--bucket-cap", str(10**9)]
+
+    # epoch 0: train on the first delivery (even vec_ids)
+    w0, w1 = str(tmp_path / "w0"), str(tmp_path / "w1")
+    df = spark.read.parquet(src)
+    df.filter(F.pmod("vec_id", F.lit(2)) == 0).write.parquet(w0)
+    df.filter(F.pmod("vec_id", F.lit(2)) == 1).write.parquet(w1)
+    assert emb_main(common + ["--input", w0, "--dim", "64", "--train",
+                              "--train-k", "16"]) == 0
+    # epoch 1: reopen (codebook loaded from the store), deliver the rest
+    assert emb_main(common + ["--input", w1]) == 0
+
+    from sycl_jaccard_spark.plans.emb_delta import EmbeddingDeltaStore
+    store = EmbeddingDeltaStore(
+        spark, store_dir, dim=64, threshold=0.95, nprobe=2, bucket_cap=10**9
+    )
+    n_all = df.count()
+    assert store.clusters().count() == n_all
+
+    # epoch 2: removal by id relation
+    ids = str(tmp_path / "rm")
+    df.select("vec_id").limit(5).write.parquet(ids)
+    assert emb_main(common + ["--input", ids, "--remove"]) == 0
+    assert store.clusters().count() == n_all - 5
+
+    # epoch 3: compaction (no input)
+    assert emb_main(common + ["--compact"]) == 0
+    assert store.clusters().count() == n_all - 5
+
+    # migration into a new store (retrains on survivors)
+    new_dir = str(tmp_path / "store2")
+    assert emb_main(common + ["--migrate", new_dir, "--train-k", "16"]) == 0
+    new = EmbeddingDeltaStore(
+        spark, new_dir, dim=64, threshold=0.95, nprobe=2, bucket_cap=10**9
+    )
+    assert new.clusters().count() == n_all - 5

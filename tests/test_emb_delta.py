@@ -324,3 +324,47 @@ def test_emb_codebook_drift_reported(spark, tmp_path, corpus, codebook):
     # replay of the OOD batch reports the same numbers and keeps the baseline
     s1r = store.add_batch(ood, batch_id=1)
     assert s1r["codebook_drift"] == d1
+
+
+def test_emb_migrate_retrains_and_equals_batch(spark, tmp_path, corpus, codebook):
+    """migrate() — the retrain-and-reingest lifecycle: after deliveries and a
+    removal on a stale seeded codebook, migrating must (a) train the same
+    codebook a from-scratch training run over the survivors produces (the
+    exact vq→float round-trip), (b) leave the new store edge-for-edge equal
+    to a batch run over the survivors under that codebook, and (c) leave the
+    old store untouched."""
+    from sycl_jaccard_spark.operators.ann import _quantized
+
+    stale = quantized_centroids(DIM, K, seed=3)  # pretend-drifted codebook
+    store = EmbeddingDeltaStore(
+        spark, str(tmp_path / "old"), DIM, stale,
+        threshold=THRESHOLD, nprobe=NPROBE, bucket_cap=CAP,
+    )
+    batches = _batches(corpus, 2)
+    store.add_batch(batches[0])
+    store.add_batch(batches[1])
+    rm = [r["vec_id"] for r in batches[0].select("vec_id").limit(10).collect()]
+    store.remove_ids(rm)
+    old_state = _store_state(store)
+    survivors = corpus.filter(~F.col("vec_id").isin(rm)).localCheckpoint(eager=True)
+
+    # vq -> float32 -> vq round-trip is exact (migrate's correctness hinge)
+    rt = {
+        (r["vec_id"], tuple(r["rq"]))
+        for r in store.surviving_vectors()
+        .select("vec_id", _quantized(F.col("embedding")).alias("rq")).collect()
+    }
+    orig = {
+        (r["vec_id"], tuple(r["vq"]))
+        for r in survivors.select(
+            "vec_id", _quantized(F.col("embedding")).alias("vq")
+        ).collect()
+    }
+    assert rt == orig
+
+    new = store.migrate(str(tmp_path / "new"), n_centroids=K, n_iters=2, seed=SEED)
+    cb2 = train_ivf_centroids(survivors, dim=DIM, n_centroids=K, n_iters=2, seed=SEED)
+    assert np.array_equal(new._codebook, cb2)
+    assert _store_state(new) == _batch_state(spark, survivors, cb2)
+    assert _store_state(store) == old_state  # read-only cutover
+    assert new.batch_ids() == [0]
