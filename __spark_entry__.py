@@ -294,6 +294,33 @@ def q_doc_pair_containment(spark, sf_dir):
     )
 
 
+def q_doc_pair_lcs_contained(spark, sf_dir):
+    """Suffix-array exact-LCS verification of the substring pass
+    (functions/suffix.py) on the same rare-shingle candidate set:
+    ``contained`` is True iff byte-LCS == min byte length, i.e. the smaller
+    text is literally a substring of the larger (or the texts are equal).
+
+    The Spark side derives the flag from a genuine generalized suffix array
+    (Manber-Myers doubling + binary-lifted LCP); the DuckDB oracle checks the
+    same boundary with an independent ``position(short IN long)`` predicate —
+    byte and character containment coincide for valid UTF-8 (lead/ASCII bytes
+    never appear as continuation bytes), so a hash match here SQL-certifies
+    the suffix array at the containment boundary. The LCS length itself is
+    property-tested against an O(n·m) DP oracle in tests/test_suffix.py."""
+    from sycl_jaccard_spark.functions.suffix import pair_lcs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.col("text").alias("content")
+    )
+    pairs = _rare_shingle_scored(spark, sf_dir).select("a", "b")
+    return pair_lcs(pairs, docs).select(
+        "a",
+        "b",
+        F.col("min_bytes").cast("long").alias("min_bytes"),
+        (F.col("lcs_len") == F.col("min_bytes")).alias("contained"),
+    )
+
+
 def q_idf_weights(spark, sf_dir):
     """Corpus IDF over the portable shingle relation — the weight source of
     the weighted (CWS) dedup pipeline mode (candidate_weights="idf"; the
@@ -679,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shingle_stats": q_doc_shingle_stats,
         "doc_pair_jaccard": q_doc_pair_jaccard,
         "doc_pair_containment": q_doc_pair_containment,
+        "doc_pair_lcs_contained": q_doc_pair_lcs_contained,
         "idf_weights": q_idf_weights,
         "minhash_signatures": q_minhash_signatures,
         "lsh_band_hashes": q_lsh_band_hashes,
@@ -850,6 +878,21 @@ SELECT c.a, c.b,
        CAST(COALESCE(i.inter, 0) AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE) AS containment
 FROM cand c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
 JOIN sz sa ON sa.doc_id = c.a JOIN sz sb ON sb.doc_id = c.b"""
+    sql["doc_pair_lcs_contained"] = f"""
+WITH {_SH.strip()},
+shx AS (SELECT doc_id, unnest(s) AS s1 FROM sh),
+rare AS (SELECT s1 FROM shx GROUP BY s1 HAVING count(*) <= {DF_CAP}),
+shr AS (SELECT doc_id, s1 FROM shx JOIN rare USING (s1)),
+cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         FROM shr a JOIN shr b ON a.s1 = b.s1 AND a.doc_id < b.doc_id)
+SELECT c.a, c.b,
+       CAST(least(strlen(da.text), strlen(db.text)) AS BIGINT) AS min_bytes,
+       (CASE WHEN strlen(da.text) <= strlen(db.text)
+             THEN position(da.text IN db.text) > 0
+             ELSE position(db.text IN da.text) > 0 END) AS contained
+FROM cand c
+JOIN documents da ON da.doc_id = c.a
+JOIN documents db ON db.doc_id = c.b"""
     sql["idf_weights"] = f"""
 {_shh_cte()},
 shd AS (SELECT DISTINCT doc_id, h FROM shh),
