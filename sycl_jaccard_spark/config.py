@@ -98,6 +98,18 @@ class PipelineConfig:
     # components transitively glues them all into one giant cluster — the
     # small-hub failure mode of containment scoring.
     containment_min_size: int = 50
+    # "shingle" (default): containment acceptance is the count-based
+    # inter/min rule above — order-blind, so a file whose lines were
+    # cherry-picked from MANY places in a bigger file scores ~1.0 without
+    # any contiguous shared region. "lcs": pairs passing the shingle rule
+    # (but failing the J threshold) are additionally verified with an exact
+    # suffix-array longest-common-substring (functions/suffix.py) and kept
+    # only when lcs_bytes/min_bytes >= containment_threshold — order-aware,
+    # 1.0 iff the smaller file is literally embedded in the larger. A pure
+    # refinement: never adds pairs, only removes order-blind false merges.
+    # Batch-pipeline mode only: the delta store does not persist content,
+    # so it refuses this setting (DeltaDedup raises at construction).
+    substring_verify: str = "shingle"
 
     # --- execution ---
     shuffle_partitions: int = 32
@@ -117,6 +129,8 @@ class PipelineConfig:
             raise ValueError(f"unknown candidate_weights {self.candidate_weights!r}")
         if self.shingle_mode not in ("token", "char"):
             raise ValueError(f"unknown shingle_mode {self.shingle_mode!r}")
+        if self.substring_verify not in ("shingle", "lcs"):
+            raise ValueError(f"unknown substring_verify {self.substring_verify!r}")
 
     @property
     def lsh_threshold(self) -> float:

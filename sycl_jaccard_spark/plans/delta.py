@@ -183,6 +183,16 @@ class DeltaDedup(DeltaStoreBase):
             )
         if cc_mode not in ("incremental", "full"):
             raise ValueError(f"unknown cc_mode {cc_mode!r}")
+        if enable_substring and self.cfg.substring_verify == "lcs":
+            # the store persists shingle sets, not content — old sides of a
+            # candidate pair have no text to re-read, so the exact-LCS
+            # refinement cannot run here. Refuse loudly instead of silently
+            # degrading to the shingle rule (the dead-knob failure mode).
+            raise ValueError(
+                "substring_verify='lcs' is a batch-pipeline mode: the delta "
+                "store does not persist content, so stored pair sides cannot "
+                "be LCS-scored — use substring_verify='shingle' for stores"
+            )
         self.enable_simhash = enable_simhash
         self.enable_substring = enable_substring
         self.cc_mode = cc_mode

@@ -474,12 +474,34 @@ class DedupPipeline:
             # min-size floor: a tiny stub is contained ~1.0 in MANY unrelated
             # files, and CC would transitively glue them into one giant
             # cluster — containment only counts for non-trivial small sides
-            accept = accept | (
-                (containment >= cfg.containment_threshold)
-                & (F.least("size_a", "size_b") >= cfg.containment_min_size)
+            containment_rule = (containment >= cfg.containment_threshold) & (
+                F.least("size_a", "size_b") >= cfg.containment_min_size
             )
+            if cfg.substring_verify == "lcs":
+                # exact suffix-array refinement: the count-based rule is
+                # order-blind (lines cherry-picked from many places score
+                # ~1.0 with no contiguous shared region); re-score ONLY the
+                # pairs it would add — pairs failing J but passing the
+                # shingle rule, a tiny subset — with the exact byte-level
+                # LCS and keep those literally embedded. Never adds pairs.
+                from sycl_jaccard_spark.functions.suffix import pair_lcs
+
+                j_pass = scored.filter(accept).select("a", "b", "jaccard")
+                refine = scored.filter(~accept & containment_rule).select(
+                    "a", "b", "jaccard"
+                )
+                kept = pair_lcs(
+                    refine, shingled.select("id", "content")
+                ).filter(F.col("lcs_frac") >= cfg.containment_threshold)
+                verified_df = j_pass.unionByName(kept.select("a", "b", "jaccard"))
+            else:
+                verified_df = scored.filter(accept | containment_rule).select(
+                    "a", "b", "jaccard"
+                )
+        else:
+            verified_df = scored.filter(accept).select("a", "b", "jaccard")
         verified = self._stage(
-            "verify", scored.filter(accept).select("a", "b", "jaccard"),
+            "verify", verified_df,
             upstream=("shingles", "minhash"),
         )
 

@@ -194,6 +194,60 @@ def synth_containment_files(
     return files, planted
 
 
+def synth_scattered_files(
+    spark: SparkSession,
+    n_files: int = 200,
+    pair_frac: float = 0.2,
+    host_lines: int = 90,
+    runs: int = 6,
+    run_len: int = 6,
+    seed: int = 42,
+) -> tuple[DataFrame, set[tuple[int, int]]]:
+    """Planted ORDER-BLIND FALSE-POSITIVE corpus for the substring pass.
+
+    For k < n_files*pair_frac/2: file 2k+1 is a host of ``host_lines``
+    unique lines; file 2k is a CHERRY-PICKED excerpt — ``runs`` non-adjacent
+    runs of ``run_len`` consecutive host lines, concatenated. Nearly every
+    token shingle of the excerpt appears in the host (inter/min ≈ 0.93 at
+    the defaults, above the containment threshold) and each run fires the
+    line-gram candidate pass, BUT there is no contiguous shared region longer
+    than one run — the excerpt is NOT a substring of the host. The count-based
+    containment rule merges these pairs; the exact suffix-array LCS rule
+    (``substring_verify="lcs"``) must reject every one. Remaining ids are
+    unique filler files. Returns ((id, content) DataFrame, planted pairs).
+    """
+    n_pairs = int(n_files * pair_frac) // 2
+    stride = host_lines // runs
+    if stride <= run_len:
+        raise ValueError("runs*run_len too dense: excerpt runs would be adjacent")
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_id, out_content = [], []
+            for fid in pdf["id"]:
+                fid = int(fid)
+                k = fid // 2
+                if k < n_pairs and fid % 2 == 1:
+                    lines = [_det_line(seed, f"H{k}", i) for i in range(host_lines)]
+                elif k < n_pairs:
+                    lines = [
+                        _det_line(seed, f"H{k}", j * stride + i)
+                        for j in range(runs)
+                        for i in range(run_len)
+                    ]
+                else:
+                    lines = [_det_line(seed, f"F{fid}", i) for i in range(run_len * runs)]
+                out_id.append(fid)
+                out_content.append("\n".join(lines))
+            yield pd.DataFrame({"id": out_id, "content": out_content})
+
+    files = spark.range(n_files).mapInPandas(gen, "id long, content string")
+    planted = {(2 * k, 2 * k + 1) for k in range(n_pairs)}
+    return files, planted
+
+
 def truth_pairs(truth: dict[tuple[str, str, str], int]) -> set[tuple]:
     """All unordered within-cluster key pairs — the recall denominator."""
     by_cluster: dict[int, list] = {}

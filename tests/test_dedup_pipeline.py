@@ -656,3 +656,63 @@ def test_char_mode_catches_minified_duplicates(spark):
     planted = {(2 * i, 2 * i + 1) for i in range(12)}
     assert planted <= char_pairs, f"char mode missed {planted - char_pairs}"
     assert not (planted & token_pairs), "token mode unexpectedly caught minified pairs"
+
+
+def test_lcs_verify_rejects_order_blind_containment(spark):
+    """The scattered-excerpt corpus (lines cherry-picked from many places in
+    a host — shingle containment ≈0.93, no contiguous shared region): the
+    count-based rule merges every planted pair (an order-blind false merge
+    for a SUBSTRING pass); substring_verify="lcs" re-scores them with the
+    exact suffix-array LCS and rejects them all, while the genuinely embedded
+    pairs of the containment corpus stay merged (pure refinement)."""
+    from sycl_jaccard_spark.sources.corpus import (
+        synth_containment_files,
+        synth_scattered_files,
+    )
+
+    files, planted = synth_scattered_files(spark, n_files=200, pair_frac=0.2, seed=11)
+    files = files.localCheckpoint(eager=True)
+
+    res_shingle = DedupPipeline(
+        spark, PipelineConfig(), enable_simhash=True, enable_substring=True,
+        count_rows=False,
+    ).run(files)
+    lab_s = {r.id: r.cluster for r in res_shingle.clusters.collect()}
+    assert all(lab_s[a] == lab_s[b] for a, b in planted)  # the false merges
+
+    res_lcs = DedupPipeline(
+        spark, PipelineConfig(substring_verify="lcs"), enable_simhash=True,
+        enable_substring=True, count_rows=False,
+    ).run(files)
+    lab_l = {r.id: r.cluster for r in res_lcs.clusters.collect()}
+    assert sum(1 for a, b in planted if lab_l[a] == lab_l[b]) == 0
+    assert len(set(lab_l.values())) == len(lab_l)  # everything singleton
+
+    # refinement, not regression: true shifted-containment pairs (small file
+    # embedded VERBATIM in the host) still merge in lcs mode — lcs_frac = 1.0
+    cfiles, cplanted = synth_containment_files(spark, n_files=200, pair_frac=0.2, seed=11)
+    cfiles = cfiles.localCheckpoint(eager=True)
+    res_c = DedupPipeline(
+        spark, PipelineConfig(substring_verify="lcs"), enable_simhash=True,
+        enable_substring=True, count_rows=False,
+    ).run(cfiles)
+    lab_c = {r.id: r.cluster for r in res_c.clusters.collect()}
+    assert all(lab_c[a] == lab_c[b] for a, b in cplanted)
+
+
+def test_lcs_verify_config_validation(spark, tmp_path):
+    """Unknown substring_verify values are rejected; the delta store refuses
+    the lcs mode (it does not persist content to re-score stored sides)."""
+    import pytest as _pytest
+
+    from sycl_jaccard_spark.plans.delta import DeltaDedup
+
+    with _pytest.raises(ValueError, match="substring_verify"):
+        PipelineConfig(substring_verify="fuzzy")
+    with _pytest.raises(ValueError, match="batch-pipeline mode"):
+        DeltaDedup(
+            spark, str(tmp_path / "store"),
+            cfg=PipelineConfig(substring_verify="lcs"), enable_substring=True,
+        )
+    # harmless when the substring pass is off — the knob is inert by design
+    DeltaDedup(spark, str(tmp_path / "store2"), cfg=PipelineConfig(substring_verify="lcs"))
