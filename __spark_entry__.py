@@ -53,6 +53,8 @@ K = 3                      # word-shingle size for document queries
 DF_CAP = 50                # max shingle document-frequency joined in pair-gen
 N_PERMS = 16               # portable minhash perms (oracle-replayed)
 N_BANDS = 4                # portable LSH bands (rows_per_band = 4)
+WINNOW_K = 30              # winnow fingerprint char-gram length
+WINNOW_W = 50              # winnow window width (guarantee = k + w - 1 chars)
 PART_OFFSET = 10_000_000   # disjoint id space for part vertices
 PAIR_MOD = 5               # order-pair subset filter for bounded outputs
 TOPK = 5                   # ann top-k
@@ -318,6 +320,24 @@ def q_doc_pair_lcs_contained(spark, sf_dir):
         "b",
         F.col("min_bytes").cast("long").alias("min_bytes"),
         (F.col("lcs_len") == F.col("min_bytes")).alias("contained"),
+    )
+
+
+def q_doc_winnow_fps(spark, sf_dir):
+    """Winnowed char-gram fingerprints (Schleimer SIGMOD'03 — the MOSS
+    scheme; functions/shingles.py:winnow_hashes) over whitespace-normalized
+    text: the substring pass's re-wrap-robust candidate variant
+    (cfg.substring_pass="winnow"). Entirely JVM-side (nested let-bound
+    higher-order functions, no UDF); the DuckDB oracle replays the full
+    normalize → char-gram-hash → sliding-window-min chain bit-for-bit."""
+    from sycl_jaccard_spark.functions.shingles import winnow_hashes
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.explode(
+            winnow_hashes(F.col("text"), WINNOW_K, WINNOW_W, portable=True)
+        ).alias("fp"),
     )
 
 
@@ -707,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pair_jaccard": q_doc_pair_jaccard,
         "doc_pair_containment": q_doc_pair_containment,
         "doc_pair_lcs_contained": q_doc_pair_lcs_contained,
+        "doc_winnow_fps": q_doc_winnow_fps,
         "idf_weights": q_idf_weights,
         "minhash_signatures": q_minhash_signatures,
         "lsh_band_hashes": q_lsh_band_hashes,
@@ -893,6 +914,21 @@ SELECT c.a, c.b,
 FROM cand c
 JOIN documents da ON da.doc_id = c.a
 JOIN documents db ON db.doc_id = c.b"""
+    sql["doc_winnow_fps"] = f"""
+WITH nrm AS (SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS t FROM documents),
+g AS (SELECT doc_id,
+        CASE WHEN length(t) >= {WINNOW_K}
+             THEN list_transform(range(1, length(t) - {WINNOW_K} + 2),
+                  i -> ('0x' || substr(md5(substr(t, i, {WINNOW_K})), 1, 15))::BIGINT)
+             ELSE [('0x' || substr(md5(t), 1, 15))::BIGINT] END AS gr
+      FROM nrm),
+f AS (SELECT doc_id,
+        CASE WHEN len(gr) >= {WINNOW_W}
+             THEN list_transform(range(1, len(gr) - {WINNOW_W} + 2),
+                  j -> list_min(gr[j:j+{WINNOW_W - 1}]))
+             ELSE [list_min(gr)] END AS fp
+      FROM g)
+SELECT DISTINCT doc_id, unnest(fp) AS fp FROM f"""
     sql["idf_weights"] = f"""
 {_shh_cte()},
 shd AS (SELECT DISTINCT doc_id, h FROM shh),

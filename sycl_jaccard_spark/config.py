@@ -86,7 +86,18 @@ class PipelineConfig:
     checkpoint_every: int = 3
 
     # --- substring (suffix-array analog) pass ---
+    # "linegram" (default): hashed runs of `substring_lines` whole lines —
+    # ~1 hash/line, but zero shared grams if the embed was re-wrapped or
+    # re-indented (every physical line differs). "winnow": MOSS winnowed
+    # char-k-gram fingerprints (Schleimer SIGMOD'03) over whitespace-
+    # normalized text — any shared normalized run >= winnow_w + winnow_k - 1
+    # chars fires regardless of line breaks, at ~2/winnow_w hashes per char.
+    # Part of the delta-store config fingerprint: a linegram store and a
+    # winnow store can never silently mix.
+    substring_pass: str = "linegram"
     substring_lines: int = 4        # w-line gram width (content-anchored)
+    winnow_k: int = 30              # winnow: char-gram length
+    winnow_w: int = 50              # winnow: window width (guarantee k+w-1)
     # when the substring pass is on, verify ALSO accepts containment pairs:
     # inter / min(|A|, |B|) >= threshold (a file embedded in a larger file has
     # low symmetric Jaccard but ~1.0 containment — the case the suffix-array
@@ -131,6 +142,8 @@ class PipelineConfig:
             raise ValueError(f"unknown shingle_mode {self.shingle_mode!r}")
         if self.substring_verify not in ("shingle", "lcs"):
             raise ValueError(f"unknown substring_verify {self.substring_verify!r}")
+        if self.substring_pass not in ("linegram", "winnow"):
+            raise ValueError(f"unknown substring_pass {self.substring_pass!r}")
 
     @property
     def lsh_threshold(self) -> float:

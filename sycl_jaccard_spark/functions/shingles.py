@@ -124,6 +124,77 @@ def line_gram_hashes(text: Column, w: int = 4, portable: bool = False) -> Column
     return F.array_sort(F.array_distinct(F.transform(let(lines, body), hash_one)))
 
 
+def winnow_hashes(
+    text: Column, k: int = 30, w: int = 50, portable: bool = False
+) -> Column:
+    """Winnowed char-k-gram fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS local fingerprinting scheme) over
+    whitespace-NORMALIZED text: the alternative substring candidate pass
+    (``cfg.substring_pass="winnow"``).
+
+    Guarantee: any two files sharing a normalized run of >= w + k - 1 chars
+    share at least one fingerprint — regardless of byte offset AND of where
+    line breaks fall. Line grams (:func:`line_gram_hashes`) are cheaper
+    (~one hash per line vs ~2n/w here) but require w whole UNMODIFIED lines;
+    re-wrapped or re-indented embeds produce zero shared line grams. Density
+    is ~2/w fingerprints per position, so the banded relation stays bounded.
+
+    Entirely JVM-side (nested let-bound higher-order functions, no UDF), and
+    with ``portable=True`` replayable verbatim in DuckDB SQL — the driver
+    oracle cross-checks the full fingerprint relation (`doc_winnow_fps`).
+    """
+    norm = F.regexp_replace(F.trim(text), r"\s+", " ")
+
+    hash_one = (
+        (lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"))
+        if portable
+        else (lambda s: F.xxhash64(s))
+    )
+
+    def over_grams(grams: Column) -> Column:
+        ng = F.size(grams)
+        fps = F.when(
+            ng >= w,
+            F.transform(
+                F.sequence(F.lit(1), ng - w + 1),
+                lambda j: F.array_min(F.slice(grams, j, w)),
+            ),
+        ).otherwise(F.array(F.array_min(grams)))
+        return F.array_sort(F.array_distinct(fps))
+
+    def body(t: Column) -> Column:
+        n = F.length(t)
+        grams = F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1), lambda i: hash_one(t.substr(i, F.lit(k)))
+            ),
+        ).otherwise(F.array(hash_one(t)))
+        return let(grams, over_grams)
+
+    return let(norm, body)
+
+
+def substring_band_hashes(content: Column, cfg) -> Column:
+    """The substring candidate pass's band-hash array, dispatched on
+    ``cfg.substring_pass`` — the ONE place the linegram/winnow choice lives,
+    shared by the batch pipeline and the delta store (so a store and its
+    deliveries can never band substrings differently; the choice is part of
+    the store's config fingerprint).
+
+    * ``"linegram"`` — hashed w-line grams: content-anchored, ~1 hash/line,
+      needs ``substring_lines`` whole unmodified lines to fire.
+    * ``"winnow"`` — MOSS winnowed char fingerprints over normalized text:
+      fires on any shared normalized run >= winnow_w + winnow_k - 1 chars,
+      robust to re-wrapping/re-indentation, ~2/winnow_w hashes per char.
+    """
+    if cfg.substring_pass == "linegram":
+        return line_gram_hashes(content, cfg.substring_lines)
+    if cfg.substring_pass == "winnow":
+        return winnow_hashes(content, cfg.winnow_k, cfg.winnow_w)
+    raise ValueError(f"unknown substring_pass {cfg.substring_pass!r}")
+
+
 def doc_shingle_hashes(content: Column, cfg) -> Column:
     """The pipeline's shingle-set column, dispatched on
     ``cfg.shingle_mode`` — the ONE place the token/char choice lives, shared

@@ -100,7 +100,7 @@ from pyspark.sql import functions as F
 
 from sycl_jaccard_spark.config import PipelineConfig
 from sycl_jaccard_spark.functions.minhash import minhash_simhash_udf, minhash_udf
-from sycl_jaccard_spark.functions.shingles import doc_shingle_hashes, line_gram_hashes
+from sycl_jaccard_spark.functions.shingles import doc_shingle_hashes, substring_band_hashes
 from sycl_jaccard_spark.functions.simhash import n_simhash_tables
 from sycl_jaccard_spark.operators.lsh import candidate_pairs
 from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs
@@ -487,7 +487,7 @@ class DeltaDedup(DeltaStoreBase):
             sub_banded = new_uniques.select(
                 "id",
                 F.explode(
-                    line_gram_hashes(F.col("content"), cfg.substring_lines)
+                    substring_band_hashes(F.col("content"), cfg)
                 ).alias("band_hash"),
             ).select(
                 "id",

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from sycl_jaccard_spark.config import PipelineConfig
 from sycl_jaccard_spark.functions.shingles import (
     doc_shingle_hashes,
-    line_gram_hashes,
+    substring_band_hashes,
 )
 from sycl_jaccard_spark.functions.simhash import (
     n_simhash_tables,
@@ -391,11 +391,13 @@ class DedupPipeline:
         n_sim_tables = n_simhash_tables(cfg.simhash_blocks, cfg.simhash_max_hamming)
 
         if self.enable_substring:
-            # substring pass (suffix-array analog): shared w-line runs produce
-            # candidates regardless of byte offset (containment/near-miss)
+            # substring pass (suffix-array analog): shared runs produce
+            # candidates regardless of byte offset (containment/near-miss).
+            # linegram/winnow dispatch lives in substring_band_hashes —
+            # shared with the delta runner so the two can never drift.
             sub_banded = shingled.select(
                 "id",
-                F.explode(line_gram_hashes(F.col("content"), cfg.substring_lines)).alias("band_hash"),
+                F.explode(substring_band_hashes(F.col("content"), cfg)).alias("band_hash"),
             ).select("id", F.lit(cfg.bands + n_sim_tables).alias("band"), "band_hash")
             banded = banded.unionByName(sub_banded)
 
@@ -484,12 +486,16 @@ class DedupPipeline:
                 # pairs it would add — pairs failing J but passing the
                 # shingle rule, a tiny subset — with the exact byte-level
                 # LCS and keep those literally embedded. Never adds pairs.
+                # The accepted pair set is materialized BEFORE the split:
+                # filtering `scored` twice would re-run the whole verify
+                # aggregation (the dominant stage) once per branch.
                 from sycl_jaccard_spark.functions.suffix import pair_lcs
 
-                j_pass = scored.filter(accept).select("a", "b", "jaccard")
-                refine = scored.filter(~accept & containment_rule).select(
-                    "a", "b", "jaccard"
-                )
+                pre = scored.filter(accept | containment_rule).select(
+                    "a", "b", "jaccard", accept.alias("_j_pass")
+                ).localCheckpoint(eager=True)
+                j_pass = pre.filter("_j_pass").select("a", "b", "jaccard")
+                refine = pre.filter(~F.col("_j_pass")).select("a", "b", "jaccard")
                 kept = pair_lcs(
                     refine, shingled.select("id", "content")
                 ).filter(F.col("lcs_frac") >= cfg.containment_threshold)

@@ -149,6 +149,7 @@ def synth_containment_files(
     host_lines: int = 200,
     embed_lines: int = 30,
     seed: int = 42,
+    rewrap: int = 0,
 ) -> tuple[DataFrame, set[tuple[int, int]]]:
     """Planted SHIFTED-CONTAINMENT corpus, generated DISTRIBUTED (mapInPandas
     over spark.range — no driver-side materialization, so it scales far past
@@ -162,6 +163,13 @@ def synth_containment_files(
     SimHash both MISS these pairs by construction; only the substring
     (line-gram containment) pass can recover them. Remaining ids are unique
     filler files. Returns ((id, content) DataFrame, planted (2k, 2k+1) pairs).
+
+    ``rewrap > 0``: the HOST's embedded copy is RE-WRAPPED — groups of
+    ``rewrap`` logical lines joined into one physical line. The token stream
+    (and hence the shingle sets and exact-verify scores) is unchanged, but
+    not one physical line is shared, so the line-gram substring pass finds
+    zero candidates by construction — only the winnowed-fingerprint pass
+    (``substring_pass="winnow"``, whitespace-normalized) can recover these.
     """
     n_pairs = int(n_files * pair_frac) // 2
     pre = (host_lines - embed_lines) // 2
@@ -178,9 +186,15 @@ def synth_containment_files(
                 if k < n_pairs and fid % 2 == 0:
                     lines = [_det_line(seed, f"A{k}", i) for i in range(embed_lines)]
                 elif k < n_pairs:
+                    emb = [_det_line(seed, f"A{k}", i) for i in range(embed_lines)]
+                    if rewrap:
+                        emb = [
+                            " ".join(emb[i : i + rewrap])
+                            for i in range(0, len(emb), rewrap)
+                        ]
                     lines = (
                         [_det_line(seed, f"P{k}", i) for i in range(pre)]
-                        + [_det_line(seed, f"A{k}", i) for i in range(embed_lines)]
+                        + emb
                         + [_det_line(seed, f"S{k}", i) for i in range(suf)]
                     )
                 else:

@@ -716,3 +716,36 @@ def test_lcs_verify_config_validation(spark, tmp_path):
         )
     # harmless when the substring pass is off — the knob is inert by design
     DeltaDedup(spark, str(tmp_path / "store2"), cfg=PipelineConfig(substring_verify="lcs"))
+
+
+def test_winnow_pass_recovers_rewrapped_containment(spark):
+    """Re-wrapped containment (the embedded copy's lines joined 3-per-line in
+    the host): token shingles are preserved — exact verify would accept — but
+    not one physical line is shared, so the line-gram pass finds ZERO
+    candidates; the winnowed-fingerprint pass (substring_pass="winnow",
+    whitespace-normalized) recovers every planted pair."""
+    from sycl_jaccard_spark.sources.corpus import synth_containment_files
+
+    files, planted = synth_containment_files(
+        spark, n_files=200, pair_frac=0.2, seed=7, rewrap=3
+    )
+    files = files.localCheckpoint(eager=True)
+
+    res_lg = DedupPipeline(
+        spark, PipelineConfig(), enable_simhash=True, enable_substring=True,
+        count_rows=False,
+    ).run(files)
+    lab_lg = {r.id: r.cluster for r in res_lg.clusters.collect()}
+    assert sum(1 for a, b in planted if lab_lg[a] == lab_lg[b]) == 0
+
+    res_wn = DedupPipeline(
+        spark, PipelineConfig(substring_pass="winnow"), enable_simhash=True,
+        enable_substring=True, count_rows=False,
+    ).run(files)
+    lab_wn = {r.id: r.cluster for r in res_wn.clusters.collect()}
+    assert all(lab_wn[a] == lab_wn[b] for a, b in planted)
+    # precision: only the planted pairs merged
+    from collections import Counter
+
+    sizes = Counter(Counter(lab_wn.values()).values())
+    assert sizes[2] == len(planted) and set(sizes) == {1, 2}

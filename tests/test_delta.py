@@ -805,3 +805,31 @@ def test_weighted_delta_substring_equals_batch(spark, tmp_path):
 
     full = DedupPipeline(spark, WCFG, enable_substring=True, count_rows=False).run(files)
     assert lab == _clusters(full.clusters)
+
+
+def test_delta_winnow_pass_equals_batch(spark, tmp_path):
+    """substring_pass="winnow" flows through the store via the shared
+    substring_band_hashes dispatch: a winnow store matches the winnow batch
+    pipeline label for label on the re-wrapped containment corpus (where the
+    default line-gram pass finds nothing), and the pass choice is part of
+    the store fingerprint — a linegram store refuses a winnow reopen."""
+    from sycl_jaccard_spark.sources.corpus import synth_containment_files
+
+    wcfg = PipelineConfig(substring_pass="winnow")
+    files, planted = synth_containment_files(
+        spark, n_files=200, pair_frac=0.2, seed=13, rewrap=3
+    )
+    files = files.localCheckpoint(eager=True)
+
+    store = DeltaDedup(spark, str(tmp_path / "wn"), wcfg, enable_substring=True)
+    for batch in _batches(files, 2):
+        store.add_batch(batch)
+    full = DedupPipeline(
+        spark, wcfg, enable_substring=True, count_rows=False
+    ).run(files)
+    lab = _clusters(store.clusters())
+    assert lab == _clusters(full.clusters)
+    assert all(lab[a] == lab[b] for a, b in planted)
+
+    with pytest.raises(ValueError, match="different config"):
+        DeltaDedup(spark, str(tmp_path / "wn"), CFG, enable_substring=True)

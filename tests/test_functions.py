@@ -313,3 +313,74 @@ def test_config_rejects_unknown_shingle_mode():
 
     with pytest.raises(ValueError, match="shingle_mode"):
         PipelineConfig(shingle_mode="word")
+
+
+def _winnow_py(text: str, k: int, w: int) -> set[int]:
+    """Independent pure-Python winnowing oracle (portable md5-60bit hash)."""
+    import re
+
+    t = re.sub(r"\s+", " ", text.strip(" "))
+    if len(t) >= k:
+        grams = [
+            int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:15], 16)
+            for i in range(len(t) - k + 1)
+        ]
+    else:
+        grams = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16)]
+    if len(grams) >= w:
+        return {min(grams[j : j + w]) for j in range(len(grams) - w + 1)}
+    return {min(grams)}
+
+
+def test_winnow_hashes_matches_python_oracle(spark):
+    """Winnowed fingerprints (MOSS/Schleimer SIGMOD'03): the full
+    normalize -> char-gram-hash -> sliding-window-min chain agrees with an
+    independent pure-Python implementation, including the short-text arms."""
+    from sycl_jaccard_spark.functions.shingles import winnow_hashes
+
+    texts = [
+        "def f(x):\n    return x + 1\n\n\ndef g(y):\n\treturn y * 2\n",
+        "  leading and trailing   ",
+        "tiny",
+        "",
+        "x" * 200,
+        "\n".join(f"line_{i} = compute({i})" for i in range(40)),
+    ]
+    k, w = 8, 5
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    rows = df.select(
+        "i", winnow_hashes(F.col("t"), k, w, portable=True).alias("fps")
+    ).collect()
+    for r in rows:
+        assert set(r["fps"]) == _winnow_py(texts[r["i"]], k, w), texts[r["i"]][:30]
+        assert r["fps"] == sorted(set(r["fps"]))  # distinct + sorted
+
+
+def test_winnow_guarantee_shared_run_fires(spark):
+    """The winnowing guarantee: two texts sharing a normalized run of
+    >= w + k - 1 chars share at least one fingerprint — REGARDLESS of where
+    line breaks fall (the case that zeroes out line grams)."""
+    from sycl_jaccard_spark.functions.shingles import winnow_hashes
+
+    k, w = 8, 5
+    shared_lines = [f"common_{i} = shared({i})" for i in range(4)]
+    a = "\n".join(["prefix_a = 1"] + shared_lines + ["suffix_a = 2"])
+    # same logical content, re-wrapped onto ONE physical line inside b
+    b = "other_b = 9\n" + " ".join(shared_lines) + "\nmore_b = 8"
+    assert len(" ".join(shared_lines)) >= w + k - 1
+    df = spark.createDataFrame([(0, a), (1, b), (2, "unrelated = 0")], ["i", "t"])
+    fps = {
+        r["i"]: set(r["fps"])
+        for r in df.select(
+            "i", winnow_hashes(F.col("t"), k, w).alias("fps")
+        ).collect()
+    }
+    assert fps[0] & fps[1], "shared normalized run must produce a shared fingerprint"
+    assert not (fps[0] & fps[2])
+
+
+def test_config_rejects_unknown_substring_pass():
+    from sycl_jaccard_spark.config import PipelineConfig
+
+    with pytest.raises(ValueError, match="substring_pass"):
+        PipelineConfig(substring_pass="suffixtree")
