@@ -53,7 +53,17 @@ def parse_args(argv=None):
         help="md5-prefix hashes replayable in DuckDB (slower; for oracle-diff runs)",
     )
     p.add_argument("--no-simhash", action="store_true")
-    p.add_argument("--substring", action="store_true", help="enable line-gram containment pass")
+    p.add_argument("--substring", action="store_true", help="enable substring containment pass")
+    p.add_argument(
+        "--substring-pass", choices=["linegram", "winnow"], default="linegram",
+        help="substring candidate pass: w-line grams (cheap, needs whole "
+             "unmodified lines) or MOSS winnowed fingerprints (re-wrap robust)",
+    )
+    p.add_argument(
+        "--substring-verify", choices=["shingle", "lcs"], default="shingle",
+        help="containment acceptance: count-based inter/min, or + exact "
+             "suffix-array LCS refinement (batch only; rejects order-blind merges)",
+    )
     p.add_argument(
         "--weighted", action="store_true",
         help="IDF-weighted candidates + weighted-Jaccard verify (CWS signatures; "
@@ -117,6 +127,14 @@ def parse_args(argv=None):
     if args.weighted_threshold is not None and not args.weighted:
         p.error("--weighted-threshold only applies with --weighted "
                 "(the unweighted verify uses --threshold)")
+    if not args.substring and (
+        args.substring_pass != "linegram" or args.substring_verify != "shingle"
+    ):
+        p.error("--substring-pass/--substring-verify only apply with --substring "
+                "(the containment pass is off without it)")
+    if args.delta_store is not None and args.substring_verify == "lcs":
+        p.error("--substring-verify lcs is a batch-pipeline mode (the delta "
+                "store does not persist content to LCS-score stored sides)")
     if args.delta_compact:
         if args.delta_store is None:
             p.error("--delta-compact only applies with --delta-store "
@@ -184,6 +202,8 @@ def main(argv=None) -> int:
         portable_hashes=args.portable_hashes,
         candidate_weights="idf" if args.weighted else "none",
         weighted_verify_threshold=args.weighted_threshold,
+        substring_pass=args.substring_pass,
+        substring_verify=args.substring_verify,
     )
 
     if args.delta_store is not None:

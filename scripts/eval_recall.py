@@ -111,6 +111,83 @@ containment duplicates matter.
     return 0 if r_on >= 0.99 else 1
 
 
+def winnow_eval() -> int:
+    """Measure the winnowed-fingerprint substring pass where it matters: the
+    RE-WRAPPED containment corpus (the embedded copy's lines joined 3-per-line
+    inside the host — token stream preserved, zero shared physical lines).
+    Line grams structurally find nothing; winnowing must recover every pair.
+    Records recall + wall + banding volume for both passes.
+
+    Usage: python scripts/eval_recall.py --winnow
+    """
+    from sycl_jaccard_spark.sources.corpus import synth_containment_files
+
+    n_files = int(os.environ.get("SPARK_GRAFT_EVAL_FILES", "100000"))
+    seed = int(os.environ.get("SPARK_GRAFT_EVAL_SEED", "42"))
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("winnow_eval", cores=cores, shuffle_partitions=cores)
+    files, planted = synth_containment_files(
+        spark, n_files=n_files, seed=seed, rewrap=3
+    )
+    files = files.localCheckpoint(eager=True)
+
+    warm, _ = synth_containment_files(spark, n_files=min(n_files, 5000), seed=seed + 1)
+    DedupPipeline(
+        spark, PipelineConfig(substring_pass="winnow"), enable_simhash=True,
+        enable_substring=True, count_rows=False,
+    ).run(warm).clusters.count()
+
+    results = {}
+    for sub_pass in ("linegram", "winnow"):
+        t0 = time.monotonic()
+        pipe = DedupPipeline(
+            spark, PipelineConfig(substring_pass=sub_pass), enable_simhash=True,
+            enable_substring=True, count_rows=False, collect_pass_stats=True,
+        )
+        labels = {r.id: r.cluster for r in pipe.run(files).clusters.collect()}
+        wall = time.monotonic() - t0
+        rec = sum(1 for a, b in planted if labels[a] == labels[b]) / len(planted)
+        stats = next(
+            (m for m in pipe.metrics if m["stage"] == "candidate_pass_stats"), {}
+        )
+        sub_rows = stats.get("passes", {}).get("substring", {}).get("memberships", -1)
+        results[sub_pass] = (rec, wall, sub_rows)
+
+    (rl, wl, ml), (rw, ww, mw) = results["linegram"], results["winnow"]
+    _replace_section("\n\n## Winnowed-fingerprint substring pass", f"""
+
+## Winnowed-fingerprint substring pass (substring_pass="winnow")
+
+Re-wrapped containment corpus, {n_files} files, {len(planted)} planted
+pairs (30-line file embedded in a 200-line host with the embedded copy's
+lines REJOINED 3-per-line — token shingles and exact-verify scores are
+unchanged, zero physical lines shared), seed={seed}, local[{cores}].
+
+| substring pass | containment-pair recall | band memberships (substring pass) | wall (s) |
+|---|---|---|---|
+| linegram (default) | {rl:.5f} | {ml} | {wl:.1f} |
+| winnow (MOSS, k={PipelineConfig().winnow_k} w={PipelineConfig().winnow_w}) | **{rw:.5f}** | {mw} | {ww:.1f} |
+
+Line grams structurally cannot see a re-wrapped embed (every physical line
+differs — recall {rl:.2f}); winnowing fires on any shared NORMALIZED run of
+winnow_w + winnow_k − 1 chars regardless of line breaks. The cost is band
+volume ({mw / max(ml, 1):.1f}× the line-gram memberships here — winnowing
+emits ~2/w fingerprints per char vs ~1 hash per line) plus the window-min
+pass: gram hashing stays JVM-side, the sliding minima run in ONE vectorized
+Arrow batch (the all-JVM HOF form allocates a w-slice per window and
+measured 889.6 s for this same job — 6.4× the line-gram wall — before the
+Arrow rework; it remains the oracle/golden form, bit-equality-tested).
+A MODE per corpus: keep line grams for formatted code, switch to winnow
+when embeds get reformatted in flight.
+""")
+    print(
+        f"winnow eval: recall linegram={rl:.4f} winnow={rw:.4f}; "
+        f"memberships {ml} -> {mw}; wall {wl:.1f}s -> {ww:.1f}s"
+    )
+    spark.stop()
+    return 0 if rw >= 0.99 else 1
+
+
 def lcs_eval() -> int:
     """Measure substring_verify="lcs" where it matters: a mixed corpus of
     true shifted-containment pairs (small file embedded VERBATIM in a host —
@@ -460,6 +537,8 @@ if __name__ == "__main__":
         sys.exit(containment_eval())
     if "--lcs" in sys.argv:
         sys.exit(lcs_eval())
+    if "--winnow" in sys.argv:
+        sys.exit(winnow_eval())
     if "--weighted" in sys.argv:
         sys.exit(weighted_eval())
     if "--char-mode" in sys.argv:

@@ -142,7 +142,25 @@ def winnow_hashes(
     Entirely JVM-side (nested let-bound higher-order functions, no UDF), and
     with ``portable=True`` replayable verbatim in DuckDB SQL — the driver
     oracle cross-checks the full fingerprint relation (`doc_winnow_fps`).
+
+    SCALE NOTE: the HOF window-min allocates a w-element slice per window
+    (HOF lambdas are interpreted, no codegen), measured 6.4× the line-gram
+    pipeline wall at 100k×6KB files — the PIPELINES therefore compute the
+    same grams JVM-side (:func:`winnow_grams`) and run the sliding min in
+    one vectorized Arrow batch (:func:`winnow_min_udf`), bit-identical to
+    this expression (dual-impl equality test). This full-expression form is
+    the oracle/golden path, not the hot path.
     """
+
+    def body(grams: Column) -> Column:
+        return winnow_select_expr(grams, w)
+
+    return let(winnow_grams(text, k, portable=portable), body)
+
+
+def winnow_grams(text: Column, k: int, portable: bool = False) -> Column:
+    """Rolling char-k-gram hash array over whitespace-normalized text — the
+    JVM half of the winnow pass (cheap: one substr+hash per position)."""
     norm = F.regexp_replace(F.trim(text), r"\s+", " ")
 
     hash_one = (
@@ -151,28 +169,56 @@ def winnow_hashes(
         else (lambda s: F.xxhash64(s))
     )
 
-    def over_grams(grams: Column) -> Column:
-        ng = F.size(grams)
-        fps = F.when(
-            ng >= w,
-            F.transform(
-                F.sequence(F.lit(1), ng - w + 1),
-                lambda j: F.array_min(F.slice(grams, j, w)),
-            ),
-        ).otherwise(F.array(F.array_min(grams)))
-        return F.array_sort(F.array_distinct(fps))
-
     def body(t: Column) -> Column:
         n = F.length(t)
-        grams = F.when(
+        return F.when(
             n >= k,
             F.transform(
                 F.sequence(F.lit(1), n - k + 1), lambda i: hash_one(t.substr(i, F.lit(k)))
             ),
         ).otherwise(F.array(hash_one(t)))
-        return let(grams, over_grams)
 
     return let(norm, body)
+
+
+def winnow_select_expr(grams: Column, w: int) -> Column:
+    """Sliding-window minima of a gram array as a column expression —
+    O(n·w) with a per-window slice allocation; the golden form the Arrow
+    implementation is equality-tested against."""
+    ng = F.size(grams)
+    fps = F.when(
+        ng >= w,
+        F.transform(
+            F.sequence(F.lit(1), ng - w + 1),
+            lambda j: F.array_min(F.slice(grams, j, w)),
+        ),
+    ).otherwise(F.array(F.array_min(grams)))
+    return F.array_sort(F.array_distinct(fps))
+
+
+def winnow_min_udf(w: int):
+    """Arrow-batched sliding-window minima: distinct sorted minima of every
+    w-window of each gram array, vectorized per row with NumPy's C sliding
+    window (the gram HASHING stays JVM-side — only int64 arrays cross the
+    Arrow boundary, the same shape as the MinHash signature UDF). Returns
+    exactly :func:`winnow_select_expr`'s value (bit-equality tested)."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 (type hint target)
+    from numpy.lib.stride_tricks import sliding_window_view
+    from pyspark.sql import types as T
+
+    def _winnow(grams):
+        out = []
+        for arr in grams:
+            a = np.asarray(arr, dtype=np.int64)
+            if a.size <= w:
+                out.append(np.array([a.min()], dtype=np.int64))
+            else:
+                out.append(np.unique(sliding_window_view(a, w).min(axis=1)))
+        return pd.Series(out)
+
+    _winnow.__annotations__ = {"grams": pd.Series, "return": pd.Series}
+    return F.pandas_udf(T.ArrayType(T.LongType()))(_winnow)
 
 
 def substring_band_hashes(content: Column, cfg) -> Column:

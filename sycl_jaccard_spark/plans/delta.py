@@ -100,12 +100,12 @@ from pyspark.sql import functions as F
 
 from sycl_jaccard_spark.config import PipelineConfig
 from sycl_jaccard_spark.functions.minhash import minhash_simhash_udf, minhash_udf
-from sycl_jaccard_spark.functions.shingles import doc_shingle_hashes, substring_band_hashes
+from sycl_jaccard_spark.functions.shingles import doc_shingle_hashes
 from sycl_jaccard_spark.functions.simhash import n_simhash_tables
 from sycl_jaccard_spark.operators.lsh import candidate_pairs
 from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs
 from sycl_jaccard_spark.operators.weighted_dedup import weighted_signatures
-from sycl_jaccard_spark.plans.pipeline import banded_relation
+from sycl_jaccard_spark.plans.pipeline import banded_relation, substring_banded
 from sycl_jaccard_spark.plans.store_base import DeltaStoreBase
 
 class DeltaDedup(DeltaStoreBase):
@@ -478,26 +478,20 @@ class DeltaDedup(DeltaStoreBase):
             signed = signed.localCheckpoint(eager=True)
         new_banded = banded_relation(signed, cfg, self.enable_simhash)
         if self.enable_substring:
-            # substring pass (suffix-array analog) — SAME band-id layout as
-            # the batch pipeline (cfg.bands + n_simhash_tables, regardless of
-            # whether SimHash is on) so the two runners can never drift.
-            # Line grams are computed from this delivery's content at signing
-            # time; only (id, band, band_hash) rows persist — the store never
-            # carries content.
-            sub_banded = new_uniques.select(
-                "id",
-                F.explode(
-                    substring_band_hashes(F.col("content"), cfg)
-                ).alias("band_hash"),
-            ).select(
-                "id",
-                F.lit(
+            # substring pass (suffix-array analog) — SAME banding helper and
+            # band-id layout as the batch pipeline (cfg.bands +
+            # n_simhash_tables, regardless of whether SimHash is on) so the
+            # two runners can never drift. Substring fingerprints are
+            # computed from this delivery's content at signing time; only
+            # (id, band, band_hash) rows persist — the store never carries
+            # content.
+            new_banded = new_banded.unionByName(
+                substring_banded(
+                    new_uniques, cfg,
                     cfg.bands
-                    + n_simhash_tables(cfg.simhash_blocks, cfg.simhash_max_hamming)
-                ).alias("band"),
-                "band_hash",
+                    + n_simhash_tables(cfg.simhash_blocks, cfg.simhash_max_hamming),
+                )
             )
-            new_banded = new_banded.unionByName(sub_banded)
         self._write_batch("banded", new_banded, bid)
         t0 = self._mark("banding", t0, batch=bid)
 

@@ -61,6 +61,44 @@ def banded_relation(signed: DataFrame, cfg: PipelineConfig, enable_simhash: bool
     return banded
 
 
+def substring_banded(files_df: DataFrame, cfg: PipelineConfig, band_id: int) -> DataFrame:
+    """The substring pass's (id, band, band_hash) rows — SHARED by the batch
+    pipeline and the delta runner (so the two can never band substrings
+    differently; ``cfg.substring_pass`` is part of the store fingerprint).
+
+    * ``"linegram"`` — one JVM explode of the w-line-gram hashes.
+    * ``"winnow"`` — gram hashing stays JVM-side (``winnow_grams``), the
+      sliding window-min runs in ONE vectorized Arrow batch
+      (``winnow_min_udf`` — the HOF expression form allocates a w-slice per
+      window and measured 6.4× the pipeline wall at 100k files; the UDF is
+      bit-identical, dual-impl tested). TWO materialization barriers are
+      load-bearing, not optional: the gram ARRAYS are checkpointed before
+      the UDF (CollapseProject otherwise re-inlines the lambda-bearing HOF
+      expression as the Python UDF's child, which ExtractPythonUDFs cannot
+      split — interpreted-projection INTERNAL_ERROR at run time), and the
+      fingerprint column is checkpointed before the explode (Catalyst
+      cannot host a Python UDF inside a generator — the r1 error shape).
+      Both barriers are Δ-sized and transient; only (id, band, band_hash)
+      rows persist.
+    """
+    from sycl_jaccard_spark.functions.shingles import winnow_grams, winnow_min_udf
+
+    if cfg.substring_pass == "linegram":
+        src = files_df.select(
+            "id",
+            F.explode(substring_band_hashes(F.col("content"), cfg)).alias("band_hash"),
+        )
+    else:
+        grams = files_df.select(
+            "id", winnow_grams(F.col("content"), cfg.winnow_k).alias("grams")
+        ).localCheckpoint(eager=True)
+        fps = grams.select(
+            "id", winnow_min_udf(cfg.winnow_w)(F.col("grams")).alias("fps")
+        ).localCheckpoint(eager=True)
+        src = fps.select("id", F.explode("fps").alias("band_hash"))
+    return src.select("id", F.lit(band_id).alias("band"), "band_hash")
+
+
 @dataclass
 class PipelineResult:
     clusters: DataFrame          # (id, cluster) — cluster = min id in component
@@ -393,13 +431,11 @@ class DedupPipeline:
         if self.enable_substring:
             # substring pass (suffix-array analog): shared runs produce
             # candidates regardless of byte offset (containment/near-miss).
-            # linegram/winnow dispatch lives in substring_band_hashes —
-            # shared with the delta runner so the two can never drift.
-            sub_banded = shingled.select(
-                "id",
-                F.explode(substring_band_hashes(F.col("content"), cfg)).alias("band_hash"),
-            ).select("id", F.lit(cfg.bands + n_sim_tables).alias("band"), "band_hash")
-            banded = banded.unionByName(sub_banded)
+            # linegram/winnow dispatch lives in substring_banded — shared
+            # with the delta runner so the two can never drift.
+            banded = banded.unionByName(
+                substring_banded(shingled, cfg, cfg.bands + n_sim_tables)
+            )
 
         if self.collect_pass_stats:
             from sycl_jaccard_spark.operators.lsh import candidate_pass_stats, capped_docs

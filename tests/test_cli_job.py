@@ -425,3 +425,28 @@ def test_cli_emb_store_full_lifecycle(spark, tmp_path):
         spark, new_dir, dim=64, threshold=0.95, nprobe=2, bucket_cap=10**9
     )
     assert new.clusters().count() == n_all - 5
+
+
+def test_substring_knobs_require_substring_flag():
+    """--substring-pass/--substring-verify without --substring are parse-time
+    errors (the pass is off — silently ignored flags are the dead-knob
+    failure mode), and --substring-verify lcs is refused in delta mode at
+    parse time (the store persists shingles, not content)."""
+    import pytest
+
+    from jobs.run_pipeline import parse_args
+
+    with pytest.raises(SystemExit):
+        parse_args(["--input", "x", "--output", "y", "--substring-pass", "winnow"])
+    with pytest.raises(SystemExit):
+        parse_args(["--input", "x", "--output", "y", "--substring-verify", "lcs"])
+    with pytest.raises(SystemExit):
+        parse_args([
+            "--input", "x", "--output", "y", "--delta-store", "d",
+            "--substring", "--substring-verify", "lcs",
+        ])
+    args = parse_args([
+        "--input", "x", "--output", "y", "--substring",
+        "--substring-pass", "winnow", "--substring-verify", "lcs",
+    ])
+    assert args.substring_pass == "winnow" and args.substring_verify == "lcs"

@@ -384,3 +384,40 @@ def test_config_rejects_unknown_substring_pass():
 
     with pytest.raises(ValueError, match="substring_pass"):
         PipelineConfig(substring_pass="suffixtree")
+
+
+def test_winnow_arrow_impl_bit_equals_expression(spark):
+    """The pipeline's Arrow window-min (winnow_min_udf over JVM-hashed grams)
+    is bit-identical to the golden HOF expression form (winnow_hashes) — the
+    dual-implementation discipline every other kernel follows. Covers the
+    short-gram arm (n_grams <= w) and multi-window rows, both hash families."""
+    from sycl_jaccard_spark.functions.shingles import (
+        winnow_grams,
+        winnow_hashes,
+        winnow_min_udf,
+    )
+
+    texts = [
+        "tiny",
+        " ".join(f"tok{i}" for i in range(5)),
+        "\n".join(f"line_{i} = compute({i}) + offset_{i % 7}" for i in range(60)),
+        "x" * 400,
+        "a b " * 300,
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    k, w = 12, 9
+    for portable in (False, True):
+        expr = df.select(
+            "i", winnow_hashes(F.col("t"), k, w, portable=portable).alias("fps")
+        )
+        # the gram arrays are materialized before the UDF, exactly as the
+        # pipeline helper does — CollapseProject otherwise re-inlines the
+        # lambda-bearing HOF expression as the UDF's child, which
+        # ExtractPythonUDFs cannot split (run-time INTERNAL_ERROR)
+        grams = df.select(
+            "i", winnow_grams(F.col("t"), k, portable=portable).alias("grams")
+        ).localCheckpoint(eager=True)
+        arrow = grams.select("i", winnow_min_udf(w)(F.col("grams")).alias("fps"))
+        e = {r["i"]: r["fps"] for r in expr.collect()}
+        a = {r["i"]: r["fps"] for r in arrow.collect()}
+        assert e == a, f"portable={portable}"

@@ -246,3 +246,51 @@ def test_bucketed_checkpoint_recovers_from_crashed_write(spark, tmp_path):
     assert got == expected
     shingle_metric = next(m for m in rerun.metrics if m["stage"] == "shingles")
     assert shingle_metric["resumed"] is False  # the crashed stage re-ran, not resumed
+
+
+def test_substring_band_passes_are_pure_jvm(spark):
+    """The substring pass EXPRESSION forms — line grams and the golden
+    winnow form (normalize → char-gram hash → HOF window-min) — are pure
+    column expressions: no Python eval anywhere in the banding explode.
+    (The pipelines route winnow's window-min through an Arrow batch instead
+    — see test_winnow_pipeline_banding_is_arrow_vectorized.)"""
+    from sycl_jaccard_spark.config import PipelineConfig
+    from sycl_jaccard_spark.functions.shingles import substring_band_hashes
+
+    docs = spark.createDataFrame(
+        [(1, "a = 1\nb = 2\nc = 3\nd = 4\ne = 5")], "id long, content string"
+    )
+    for sub_pass in ("linegram", "winnow"):
+        cfg = PipelineConfig(substring_pass=sub_pass, winnow_k=4, winnow_w=3)
+        p = _plan(
+            docs.select("id", F.explode(substring_band_hashes(F.col("content"), cfg)))
+        )
+        assert "EvalPython" not in p, f"{sub_pass}: Python in the banding path"
+        assert "Generate" in p  # the explode stays a JVM generator
+
+
+def test_winnow_pipeline_banding_is_arrow_vectorized(spark):
+    """The pipelines' winnow banding (plans.pipeline.substring_banded): gram
+    hashing JVM-side, window-min as ONE ArrowEvalPython (never per-row
+    BatchEvalPython), explode over a materialized fingerprint column — and
+    the result matches the golden expression form row-for-row."""
+    from sycl_jaccard_spark.config import PipelineConfig
+    from sycl_jaccard_spark.functions.shingles import winnow_hashes
+    from sycl_jaccard_spark.plans.pipeline import substring_banded
+
+    cfg = PipelineConfig(substring_pass="winnow", winnow_k=4, winnow_w=3)
+    docs = spark.createDataFrame(
+        [(1, "a = 1\nb = 2\nc = 3\nd = 4"), (2, "x" * 40)], "id long, content string"
+    )
+    banded = substring_banded(docs, cfg, band_id=99)
+    p = _plan(banded)
+    assert "BatchEvalPython" not in p
+    got = {(r["id"], r["band"], r["band_hash"]) for r in banded.collect()}
+    want = {
+        (r["id"], 99, h)
+        for r in docs.select(
+            "id", winnow_hashes(F.col("content"), 4, 3).alias("fps")
+        ).collect()
+        for h in r["fps"]
+    }
+    assert got == want
