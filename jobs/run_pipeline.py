@@ -114,6 +114,26 @@ def parse_args(argv=None):
              "replay window for folded batch ids",
     )
     p.add_argument(
+        "--idf-snapshot", default=None, metavar="PARQUET",
+        help="with --delta-store --weighted: persisted (elem, w) idf_weights "
+             "relation for a NEW store (reopening loads the store's frozen "
+             "snapshot and fingerprint-checks this one if given)",
+    )
+    p.add_argument(
+        "--idf-train", action="store_true",
+        help="with --delta-store --weighted: train the frozen IDF snapshot "
+             "on this first delivery (train_idf_snapshot) instead of "
+             "loading --idf-snapshot — the text twin of run_emb_store's "
+             "--train",
+    )
+    p.add_argument(
+        "--delta-migrate", default=None, metavar="NEW_DIR",
+        help="with --delta-store --weighted: retrain IDF on the surviving "
+             "corpus and re-ingest into a NEW store at this path (the "
+             "sustained-idf_drift response; read-only cutover). --input is "
+             "the source-of-truth corpus covering every survivor",
+    )
+    p.add_argument(
         "--compact-files", type=int, default=32, metavar="N",
         help="parquet part files per relation written by --delta-compact",
     )
@@ -149,19 +169,45 @@ def parse_args(argv=None):
         p.error("--input is required (only --delta-compact runs without one)")
     if args.delta_store is not None:
         for flag, val, default in (
-            ("--weighted", args.weighted, False),
             ("--pass-stats", args.pass_stats, False),
             ("--rep-strategy", args.rep_strategy, "none"),
             ("--checkpoint-dir", args.checkpoint_dir, None),
         ):
             if val != default:
                 p.error(f"{flag} is not available in --delta-store mode")
+        if args.delta_migrate is not None:
+            if args.delta_remove or args.delta_compact or args.delta_batch_id is not None:
+                p.error("--delta-migrate cannot be combined with "
+                        "--delta-remove/--delta-compact/--delta-batch-id "
+                        "(one epoch per run)")
+            if args.idf_train or args.idf_snapshot is not None:
+                p.error("--delta-migrate retrains its snapshot internally on "
+                        "the surviving corpus (the old store's frozen "
+                        "snapshot loads from the store)")
     elif args.delta_batch_id is not None:
         p.error("--delta-batch-id only applies with --delta-store "
                 "(a batch id is meaningless for a one-shot pipeline run)")
     elif args.delta_remove:
         p.error("--delta-remove only applies with --delta-store "
                 "(removal is an operation on the persistent store)")
+    elif args.delta_migrate is not None:
+        p.error("--delta-migrate only applies with --delta-store "
+                "(migration is an operation on the persistent store)")
+    if (args.idf_snapshot is not None or args.idf_train) and not (
+        args.weighted and args.delta_store is not None
+    ):
+        p.error("--idf-snapshot/--idf-train only apply with --delta-store "
+                "--weighted (the batch pipeline trains IDF internally)")
+    if args.idf_snapshot is not None and args.idf_train:
+        p.error("--idf-snapshot and --idf-train are mutually exclusive "
+                "(load a persisted snapshot OR train one on this delivery)")
+    if args.idf_train and (args.delta_remove or args.delta_compact):
+        p.error("--idf-train only applies to a delivery epoch (removal "
+                "input is ids, compaction has none — nothing to train on)")
+    if args.delta_migrate is not None and not args.weighted:
+        p.error("--delta-migrate only applies with --weighted (unweighted "
+                "signatures are content-deterministic — a rebuild would "
+                "reproduce the same store; use --delta-compact for hygiene)")
     return args
 
 
@@ -207,12 +253,18 @@ def main(argv=None) -> int:
     )
 
     if args.delta_store is not None:
-        from sycl_jaccard_spark.plans.delta import DeltaDedup
+        from sycl_jaccard_spark.plans.delta import DeltaDedup, train_idf_snapshot
 
+        idf_snapshot = None
+        if args.idf_snapshot is not None:
+            idf_snapshot = spark.read.parquet(args.idf_snapshot)
+        elif args.idf_train:
+            idf_snapshot = train_idf_snapshot(files, cfg)
         store = DeltaDedup(
             spark, args.delta_store, cfg,
             enable_simhash=not args.no_simhash,
             enable_substring=args.substring,
+            idf_snapshot=idf_snapshot,
         )
         t0 = time.monotonic()
         if args.delta_compact:
@@ -221,6 +273,12 @@ def main(argv=None) -> int:
             summary = store.remove_ids(
                 files.select("id"), batch_id=args.delta_batch_id
             )
+        elif args.delta_migrate is not None:
+            new_store = store.migrate(args.delta_migrate, files)
+            summary = {"op": "migrate", "new_store": new_store.root}
+            # clusters/ and metrics.jsonl below describe the cutover target
+            new_store.metrics.append({"stage": "migrate", "old_store": store.root})
+            store = new_store
         else:
             summary = store.add_batch(files, batch_id=args.delta_batch_id)
         store.clusters().write.mode("overwrite").parquet(

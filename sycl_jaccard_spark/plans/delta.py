@@ -85,9 +85,11 @@ fingerprint-checked on reopen); shingles the snapshot has never seen get the
 snapshot's max weight (unseen = at least as rare as the rarest seen), and
 every batch summary carries an ``idf_drift`` block (fraction of the batch's
 distinct shingles absent from the snapshot) — the operational retrain
-signal. When drift exceeds tolerance, retrain IDF in batch and re-ingest
-into a NEW store: stored CWS signatures and verify scores are definitionally
-as-of their snapshot, so a store never silently re-weights history.
+signal. When drift exceeds tolerance, :meth:`DeltaDedup.migrate` retrains on
+the surviving corpus and re-ingests into a NEW store (read-only cutover, the
+same lifecycle as ``EmbeddingDeltaStore.migrate``): stored CWS signatures
+and verify scores are definitionally as-of their snapshot, so a store never
+silently re-weights history.
 """
 
 from __future__ import annotations
@@ -104,9 +106,37 @@ from sycl_jaccard_spark.functions.shingles import doc_shingle_hashes
 from sycl_jaccard_spark.functions.simhash import n_simhash_tables
 from sycl_jaccard_spark.operators.lsh import candidate_pairs
 from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs
-from sycl_jaccard_spark.operators.weighted_dedup import weighted_signatures
+from sycl_jaccard_spark.operators.weighted_dedup import idf_weights, weighted_signatures
 from sycl_jaccard_spark.plans.pipeline import banded_relation, substring_banded
 from sycl_jaccard_spark.plans.store_base import DeltaStoreBase
+
+
+def train_idf_snapshot(
+    files: DataFrame,
+    cfg: PipelineConfig | None = None,
+    id_col: str = "id",
+    content_col: str = "content",
+) -> DataFrame:
+    """``idf_weights`` over the post-exact-dedup uniques of ``files`` —
+    exactly the relation :class:`~sycl_jaccard_spark.plans.pipeline.DedupPipeline`
+    trains internally before CWS signing (``idf_weights`` is deterministic,
+    so a store signed against this snapshot is label-comparable with a batch
+    pipeline run over the same corpus — the tested weighted delta≡full
+    parity depends on that). This is the snapshot to pass as
+    ``idf_snapshot=`` when opening a weighted :class:`DeltaDedup` store or
+    constructing the streaming leg's ``weighted_signature_batch_writer``."""
+    from sycl_jaccard_spark.operators.exact_dedup import dedup_exact, with_sha256
+
+    cfg = cfg or PipelineConfig()
+    named = files.select(
+        F.col(id_col).alias("id"), F.col(content_col).alias("content")
+    )
+    uniques, _ = dedup_exact(with_sha256(named), "id", "content")
+    shingled = uniques.select(
+        "id", doc_shingle_hashes(F.col("content"), cfg).alias("shingle_hashes")
+    )
+    return idf_weights(shingled)
+
 
 class DeltaDedup(DeltaStoreBase):
     """Persistent incremental dedup over a growing corpus.
@@ -232,7 +262,8 @@ class DeltaDedup(DeltaStoreBase):
                 raise ValueError(
                     f"delta store {self.root} was created with a different "
                     "IDF snapshot; stored CWS signatures are as-of that "
-                    "snapshot — retrain + re-ingest into a new store instead"
+                    "snapshot — migrate() (retrain + re-ingest into a new "
+                    "store) is the supported re-weighting path"
                 )
             self._idf = stored
         else:
@@ -783,6 +814,96 @@ class DeltaDedup(DeltaStoreBase):
         whose id equals the compaction target, so a stream restarted from
         its checkpoint resumes at target+1 and never collides."""
         return super().compact(files_per_relation)
+
+    # ---- retrain lifecycle ----
+
+    def surviving_ids(self) -> DataFrame:
+        """(id) of every surviving corpus row — the store's identity relation
+        with tombstones masked (their rows purge physically at compact())."""
+        tomb = self._tombstones()
+        return (
+            self._read("files", self._relations["files"])
+            .join(F.broadcast(tomb), "id", "left_anti")
+            .select("id")
+        )
+
+    def migrate(
+        self,
+        new_store_dir: str,
+        files: DataFrame,
+        idf_snapshot: DataFrame | None = None,
+        id_col: str = "id",
+        content_col: str = "content",
+    ) -> "DeltaDedup":
+        """Retrain-and-reingest — the documented response to a sustained
+        ``idf_drift`` rise (the dense-vector twin is
+        ``EmbeddingDeltaStore.migrate``). Weighted stores only: unweighted
+        signatures are content-deterministic, so a rebuild would reproduce
+        the store bit-for-bit (use :meth:`compact` for store hygiene).
+
+        Unlike the embedding store — whose quantized vectors round-trip
+        exactly, so it re-ingests from its own rows — this store persists
+        signatures, not content: pass the source-of-truth corpus relation
+        (id, content), the same relation :meth:`deduplicate` takes. It must
+        carry exactly one row per surviving id (validated; signing fewer
+        files than the store labels would silently shrink the corpus, and a
+        duplicate id would fan out every downstream join). IDF retrains on
+        the survivors' post-exact-dedup uniques via
+        :func:`train_idf_snapshot` (or ``idf_snapshot`` is used verbatim),
+        and everything delivers into a NEW store under this store's config
+        in one epoch.
+
+        The old store is untouched — a read-only cutover: point consumers at
+        the new store, then delete the old directory. Labels are recomputed
+        under the new weights (CWS signatures and verify scores change, so
+        edges can too); the new store's state equals a batch weighted
+        ``DedupPipeline`` run over the survivors (tested), whose internal
+        training the retrained snapshot reproduces. The new store's
+        ``idf_drift`` counters are as-of the fresh snapshot by construction.
+
+        Cost: O(corpus) by definition — one validation count plus one
+        delivery over the full surviving corpus (two scans of the source
+        table; nothing corpus-sized is collected or pinned). Migration is
+        the rare full-rebuild event the per-delivery O(Δ) path exists to
+        amortize."""
+        if not self._weighted:
+            raise ValueError(
+                "migrate() is the idf_drift response — only weighted "
+                "(candidate_weights='idf') stores have a snapshot to "
+                "retrain; unweighted signatures are content-deterministic, "
+                "so a rebuild would reproduce the same state (use compact() "
+                "for store hygiene)"
+            )
+        surv = self.surviving_ids()
+        n_surv = surv.count()
+        corpus = files.select(
+            F.col(id_col).alias("id"), F.col(content_col).alias("content")
+        ).join(surv, "id")
+        n_rows = corpus.count()
+        if n_rows != n_surv:
+            raise ValueError(
+                f"source corpus must carry exactly one row per surviving id "
+                f"(store labels {n_surv} survivors, the join matched "
+                f"{n_rows} rows) — the store persists signatures, not "
+                "content, so migrate() needs the source-of-truth relation "
+                "covering every survivor exactly once"
+            )
+        if idf_snapshot is None:
+            idf_snapshot = train_idf_snapshot(corpus, self.cfg)
+        new_store = DeltaDedup(
+            self.spark,
+            new_store_dir,
+            self.cfg,
+            enable_simhash=self.enable_simhash,
+            enable_substring=self.enable_substring,
+            cc_mode=self.cc_mode,
+            idf_snapshot=idf_snapshot,
+        )
+        summary = new_store.add_batch(corpus)
+        self.metrics.append(
+            {"stage": "migrate", "new_store": new_store.root, **summary}
+        )
+        return new_store
 
     # ---- outputs ----
 

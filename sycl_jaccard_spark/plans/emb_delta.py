@@ -519,9 +519,10 @@ class EmbeddingDeltaStore(DeltaStoreBase):
         resets to the re-ingested corpus — by construction the post-migration
         fit, so subsequent deliveries measure drift against the NEW codebook.
 
-        The text store has no analog: re-signing text requires the original
-        content, which :class:`DeltaDedup` does not retain (signatures only)
-        — retrain IDF there by re-ingesting from the source-of-truth corpus.
+        The text-store twin is ``DeltaDedup.migrate`` — same lifecycle, but
+        re-signing text needs the original content, which that store does
+        not retain (signatures only), so it takes the source-of-truth corpus
+        relation as an argument where this store re-ingests its own rows.
         """
         vecs = self.surviving_vectors().localCheckpoint(eager=True)
         if centroids_q is None:

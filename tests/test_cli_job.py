@@ -313,6 +313,42 @@ def test_run_pipeline_cli_delta_mode(spark, tmp_path):
     assert files_rel.filter(F.col("id").isin(removed_ids)).count() == 0
 
 
+def test_run_pipeline_cli_weighted_delta_lifecycle(spark, tmp_path):
+    """Weighted delta lifecycle through the CLI: --idf-train creates the
+    store's frozen snapshot on the first delivery, a reopen-delivery loads
+    it from the store, and --delta-migrate retrains on the survivors and
+    cuts over to a new store that equals a full --weighted CLI run."""
+    from jobs.run_pipeline import main
+
+    store, new_store = str(tmp_path / "w"), str(tmp_path / "w2")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d0, d1 = str(tmp_path / "d0"), str(tmp_path / "d1")
+    docs.filter(F.pmod("doc_id", F.lit(2)) == 0).write.parquet(d0)
+    docs.filter(F.pmod("doc_id", F.lit(2)) == 1).write.parquet(d1)
+    common = ["--input-kind", "documents", "--num-perms", "64",
+              "--bands", "16", "--weighted"]
+    rc = main(["--input", d0, "--output", str(tmp_path / "o0"),
+               "--delta-store", store, "--idf-train", *common])
+    assert rc == 0
+    rc = main(["--input", d1, "--output", str(tmp_path / "o1"),
+               "--delta-store", store, *common])  # snapshot loads from store
+    assert rc == 0
+    rc = main(["--input", "/root/testdata/sf0.001/documents.parquet",
+               "--output", str(tmp_path / "mig"), "--delta-store", store,
+               "--delta-migrate", new_store, *common])
+    assert rc == 0
+    rc = main(["--input", "/root/testdata/sf0.001/documents.parquet",
+               "--output", str(tmp_path / "full"), *common])
+    assert rc == 0
+    migrated = spark.read.parquet(str(tmp_path / "mig" / "clusters"))
+    full = spark.read.parquet(str(tmp_path / "full" / "clusters"))
+    assert {(r.id, r.cluster) for r in migrated.collect()} == {
+        (r.id, r.cluster) for r in full.collect()
+    }
+    # the cutover target is a real store at the new path
+    assert spark.read.parquet(new_store + "/idf").count() > 0
+
+
 def test_cli_delta_remove_requires_store():
     import pytest
 
@@ -354,12 +390,47 @@ def test_delta_mode_rejects_unsupported_flags(tmp_path):
     base = [
         "--input", "x", "--output", "y", "--delta-store", str(tmp_path / "s"),
     ]
-    for extra in (["--weighted"], ["--checkpoint-dir", "c"]):
+    for extra in (["--pass-stats"], ["--checkpoint-dir", "c"]):
         with _pytest.raises(SystemExit):
             parse_args(base + extra)
     # --substring IS available in delta mode (the store carries the
     # containment pass — tests/test_delta.py proves batch parity)
     assert parse_args(base + ["--substring"]).substring
+    # --weighted IS available in delta mode (snapshot via --idf-snapshot /
+    # --idf-train on a new store, loaded from the store on reopen)
+    assert parse_args(base + ["--weighted", "--idf-train"]).idf_train
+
+
+def test_cli_idf_and_migrate_flag_validation(tmp_path):
+    """--idf-snapshot/--idf-train/--delta-migrate preconditions are
+    parse-time errors, not deep runtime failures."""
+    import pytest as _pytest
+
+    from jobs.run_pipeline import parse_args
+
+    store = str(tmp_path / "s")
+    base = ["--input", "x", "--output", "y", "--delta-store", store]
+    # idf flags need --delta-store AND --weighted
+    for bad in (
+        ["--input", "x", "--output", "y", "--weighted", "--idf-train"],
+        base + ["--idf-train"],
+        base + ["--idf-snapshot", "p"],
+        # mutually exclusive
+        base + ["--weighted", "--idf-train", "--idf-snapshot", "p"],
+        # training input must be a delivery
+        base + ["--weighted", "--idf-train", "--delta-remove"],
+        # migrate: store + weighted, no other epoch, no idf flags, no
+        # batch id (the new store's first epoch is internal)
+        ["--input", "x", "--output", "y", "--delta-migrate", "n"],
+        base + ["--delta-migrate", "n"],  # missing --weighted
+        base + ["--weighted", "--delta-migrate", "n", "--delta-remove"],
+        base + ["--weighted", "--delta-migrate", "n", "--delta-batch-id", "3"],
+        base + ["--weighted", "--delta-migrate", "n", "--idf-train"],
+    ):
+        with _pytest.raises(SystemExit):
+            parse_args(bad)
+    args = parse_args(base + ["--weighted", "--delta-migrate", "n"])
+    assert args.delta_migrate == "n" and args.weighted
 
 
 def test_cli_emb_store_full_lifecycle(spark, tmp_path):

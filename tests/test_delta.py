@@ -19,19 +19,13 @@ WCFG = PipelineConfig(candidate_weights="idf")
 
 
 def _train_idf(spark, files, cfg=WCFG):
-    """Exactly the batch pipeline's IDF training input: shingles of the
-    post-exact-dedup uniques (idf_weights is deterministic, so this snapshot
-    equals the one DedupPipeline trains internally — the weighted parity
-    tests depend on that)."""
-    from sycl_jaccard_spark.functions.shingles import doc_shingle_hashes
-    from sycl_jaccard_spark.operators.exact_dedup import dedup_exact, with_sha256
-    from sycl_jaccard_spark.operators.weighted_dedup import idf_weights
+    """The library trainer (train_idf_snapshot == the batch pipeline's
+    internal IDF training relation; idf_weights is deterministic, so this
+    snapshot equals the one DedupPipeline trains — the weighted parity tests
+    depend on that), checkpointed for reuse across test assertions."""
+    from sycl_jaccard_spark.plans.delta import train_idf_snapshot
 
-    uniques, _ = dedup_exact(with_sha256(files), "id", "content")
-    shingled = uniques.select(
-        "id", doc_shingle_hashes(F.col("content"), cfg).alias("shingle_hashes")
-    )
-    return idf_weights(shingled).localCheckpoint(eager=True)
+    return train_idf_snapshot(files, cfg).localCheckpoint(eager=True)
 
 
 def _corpus(spark, n_files=240, seed=7, exact_dup_rate=0.3):
@@ -492,6 +486,59 @@ def test_weighted_delta_compact_preserves_and_continues(spark, tmp_path, corpus)
     store.add_batch(b[2])
     full = DedupPipeline(spark, WCFG, enable_substring=False).run(corpus)
     assert _clusters(store.clusters()) == _clusters(full.clusters)
+
+
+def test_weighted_delta_migrate_equals_fresh_batch(spark, tmp_path, corpus):
+    """migrate() = retrain IDF on the survivors + re-ingest into a NEW
+    store: after deliveries signed against a deliberately STALE snapshot
+    (trained on one batch only — drift by construction) and a removal
+    epoch, the migrated store's clusters equal one weighted batch pipeline
+    run over the surviving corpus (whose internally-trained snapshot the
+    retrain reproduces — train_idf_snapshot determinism). The old store is
+    untouched (read-only cutover)."""
+    b = _batches(corpus, 3)
+    stale = _train_idf(spark, b[0])
+    old = DeltaDedup(spark, str(tmp_path / "old"), WCFG, idf_snapshot=stale)
+    for batch in b:
+        old.add_batch(batch)
+    removed = [r["id"] for r in corpus.orderBy("id").limit(5).collect()]
+    old.remove_ids(removed)
+    before = _clusters(old.clusters())
+
+    new = old.migrate(str(tmp_path / "new"), corpus)
+    survivors = corpus.filter(~F.col("id").isin(removed))
+    full = DedupPipeline(spark, WCFG, enable_substring=False).run(survivors)
+    assert _clusters(new.clusters()) == _clusters(full.clusters)
+    # read-only cutover: the old store still answers exactly as before, and
+    # the migrate event is recorded in its metrics
+    assert _clusters(old.clusters()) == before
+    assert any(m["stage"] == "migrate" for m in old.metrics)
+    # the new store is a normal store: next delivery continues the lifecycle
+    novel = spark.createDataFrame(
+        [(20_000_001, "wholly new content " * 40)], "id long, content string"
+    )
+    s = new.add_batch(novel)
+    assert s["n_new_uniques"] == 1 and "idf_drift" in s
+
+
+def test_delta_migrate_guards(spark, tmp_path, corpus):
+    """Unweighted stores refuse migrate() (nothing to retrain — a rebuild
+    reproduces the same state); a source corpus missing a survivor, or
+    duplicating one, is refused BEFORE any signing."""
+    u = DeltaDedup(spark, str(tmp_path / "u"), CFG)
+    u.add_batch(corpus)
+    with pytest.raises(ValueError, match="idf_drift response"):
+        u.migrate(str(tmp_path / "un"), corpus)
+
+    idf = _train_idf(spark, corpus)
+    w = DeltaDedup(spark, str(tmp_path / "w"), WCFG, idf_snapshot=idf)
+    w.add_batch(corpus)
+    some_id = corpus.orderBy("id").first()["id"]
+    with pytest.raises(ValueError, match="exactly one row per surviving id"):
+        w.migrate(str(tmp_path / "m1"), corpus.filter(F.col("id") != some_id))
+    with pytest.raises(ValueError, match="exactly one row per surviving id"):
+        w.migrate(str(tmp_path / "m2"), corpus.unionByName(corpus.limit(1)))
+
 
 # ---- removals (remove_ids: tombstones, rep succession, component splits) ----
 
