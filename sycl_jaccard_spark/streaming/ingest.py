@@ -116,9 +116,10 @@ def weighted_signature_batch_writer(
 ):
     """Streaming leg of the weighted (IDF/CWS) mode: a ``foreachBatch``
     function that signs each micro-batch of files with CWS signatures against
-    a STATIC IDF snapshot (trained on a batch corpus — streaming IDF would
-    drift per micro-batch and break signature comparability; retrain + resign
-    in batch when the corpus shifts).
+    a STATIC IDF snapshot (``plans.delta.train_idf_snapshot`` over a batch
+    corpus — streaming IDF would drift per micro-batch and break signature
+    comparability; ``DeltaDedup.migrate`` is the retrain-and-resign response
+    when the corpus shifts).
 
     The per-file (elems, weights) pairing needs a groupBy after the weight
     join, which Structured Streaming would treat as unbounded stateful
