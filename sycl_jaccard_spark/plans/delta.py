@@ -879,14 +879,18 @@ class DeltaDedup(DeltaStoreBase):
         corpus = files.select(
             F.col(id_col).alias("id"), F.col(content_col).alias("content")
         ).join(surv, "id")
-        n_rows = corpus.count()
-        if n_rows != n_surv:
+        # one aggregation checks both halves — row count alone would accept a
+        # corpus where a duplicated id masks a missing survivor (counts cancel)
+        cov = corpus.agg(
+            F.count(F.lit(1)).alias("n"), F.count_distinct("id").alias("d")
+        ).first()
+        if cov["n"] != n_surv or cov["d"] != n_surv:
             raise ValueError(
                 f"source corpus must carry exactly one row per surviving id "
                 f"(store labels {n_surv} survivors, the join matched "
-                f"{n_rows} rows) — the store persists signatures, not "
-                "content, so migrate() needs the source-of-truth relation "
-                "covering every survivor exactly once"
+                f"{cov['n']} rows over {cov['d']} distinct ids) — the store "
+                "persists signatures, not content, so migrate() needs the "
+                "source-of-truth relation covering every survivor exactly once"
             )
         if idf_snapshot is None:
             idf_snapshot = train_idf_snapshot(corpus, self.cfg)

@@ -538,6 +538,13 @@ def test_delta_migrate_guards(spark, tmp_path, corpus):
         w.migrate(str(tmp_path / "m1"), corpus.filter(F.col("id") != some_id))
     with pytest.raises(ValueError, match="exactly one row per surviving id"):
         w.migrate(str(tmp_path / "m2"), corpus.unionByName(corpus.limit(1)))
+    # the cancel-out shape: one survivor missing AND another duplicated —
+    # the row count matches the survivor count, only distinct ids catch it
+    cancel = corpus.filter(F.col("id") != some_id).unionByName(
+        corpus.orderBy(F.col("id").desc()).limit(1)
+    )
+    with pytest.raises(ValueError, match="exactly one row per surviving id"):
+        w.migrate(str(tmp_path / "m3"), cancel)
 
 
 # ---- removals (remove_ids: tombstones, rep succession, component splits) ----
