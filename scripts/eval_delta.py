@@ -8,6 +8,15 @@ flat-ish walls = per-batch cost ∝ batch; a full-pipeline rerun over the
 final corpus is the comparison point (what a batch-only engine would pay
 per delivery).
 
+Each (grow → probe → remove) delivery triple runs in its OWN fresh
+SparkSession against the persisted store. This is both the real
+operational shape (a delivery is its own job attaching to the store) and
+the fair measurement: a single long-lived session accumulates driver-side
+block-manager state (localCheckpoint blocks from earlier 300k-file grows)
+that polluted later probes — an in-run third probe measured 47s while a
+fresh probe on the SAME ~900k store measured 16.5s. Fresh sessions make
+every probe positionally identical: warmup → grow → probe → remove.
+
 Usage: python scripts/eval_delta.py          # 20k/40k/60k stores, 2k probes
        SPARK_GRAFT_DELTA_FILES=8000 SPARK_GRAFT_DELTA_PROBE=1000 ...
 Writes/updates the '## Incremental (delta) dedup' section of BENCH/DELTA.md.
@@ -34,55 +43,73 @@ from sycl_jaccard_spark.sources.corpus import CorpusSpec, synth_source_files  # 
 from sycl_jaccard_spark.sources.tables import with_file_id  # noqa: E402
 
 
+def _fresh_spark(cores: int):
+    return get_spark("eval_delta", cores=cores, shuffle_partitions=cores)
+
+
+def _read_seg(spark, store_dir: str, i: int):
+    return spark.read.parquet(f"{store_dir}/segments/seg{i}")
+
+
+def _probe_batch(seg, n_probe: int, j: int):
+    """n_probe near-dup/exact-dup copies of stored content — the worst
+    case for the store join (every probe file touches stored buckets).
+    orderBy before limit: deterministic across sessions/parquet reads."""
+    return (
+        seg.orderBy("id").limit(n_probe)
+        .select(
+            F.col("id").bitwiseXOR(F.lit((10 + j) * (1 << 41))).alias("id"),
+            F.concat(F.col("content"), F.lit(f"\nprobe = {j}")).alias("content"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _warmup(spark, store_dir: str, cfg, seg, n_probe: int) -> None:
+    """Untimed warmup delivery against a throwaway store: JVM codegen, Arrow
+    and Python-worker startup otherwise land in the first timed op of each
+    session (first rows measured ~3-8x slower than identical later work)."""
+    warm = DeltaDedup(spark, f"{store_dir}/warm", cfg)
+    warm.add_batch(seg.orderBy("id").limit(500))
+    warm.add_batch(_probe_batch(seg, min(500, n_probe), 99))
+    shutil.rmtree(f"{store_dir}/warm", ignore_errors=True)
+
+
 def main() -> int:
     n_seg = int(os.environ.get("SPARK_GRAFT_DELTA_FILES", "20000"))  # per growth segment
     n_probe = int(os.environ.get("SPARK_GRAFT_DELTA_PROBE", "2000"))
+    n_rm = int(os.environ.get("SPARK_GRAFT_DELTA_REMOVE", "500"))
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_spark("eval_delta", cores=cores, shuffle_partitions=cores)
     cfg = PipelineConfig()
+    store_dir = tempfile.mkdtemp(prefix="delta_store_")
 
-    segs = []
+    # ---- session 0: synthesize the three growth segments to parquet ----
+    spark = _fresh_spark(cores)
     for i in range(3):
         spec = CorpusSpec(
             n_files=n_seg, n_clusters=n_seg // 8, cluster_min=2, cluster_max=6,
             edit_rate=0.06, exact_dup_rate=0.25, seed=100 + i,
         )
         files, _ = synth_source_files(spark, spec)
-        segs.append(
-            with_file_id(files).select(
-                F.col("id").bitwiseXOR(F.lit(i * (1 << 45))).alias("id"), "content"
-            ).localCheckpoint(eager=True)
+        (
+            with_file_id(files)
+            .select(F.col("id").bitwiseXOR(F.lit(i * (1 << 45))).alias("id"), "content")
+            .write.mode("overwrite").parquet(f"{store_dir}/segments/seg{i}")
         )
+    spark.stop()
 
-    def probe_batch(seg, j):
-        """n_probe near-dup/exact-dup copies of stored content — the worst
-        case for the store join (every probe file touches stored buckets)."""
-        return (
-            seg.limit(n_probe)
-            .select(
-                F.col("id").bitwiseXOR(F.lit((10 + j) * (1 << 41))).alias("id"),
-                F.concat(F.col("content"), F.lit(f"\nprobe = {j}")).alias("content"),
-            )
-            .localCheckpoint(eager=True)
-        )
-
-    store_dir = tempfile.mkdtemp(prefix="delta_store_")
-
-    # untimed warmup delivery against a throwaway store: JVM codegen, Arrow
-    # and Python-worker startup otherwise land entirely in the first measured
-    # growth batch and flatter the probe-growth ratio (first rows measured
-    # ~3-8x slower than identical later work before this was added)
-    warm = DeltaDedup(spark, f"{store_dir}/warm", cfg)
-    warm.add_batch(segs[0].limit(500))
-    warm.add_batch(probe_batch(segs[0], 99))
-    shutil.rmtree(f"{store_dir}/warm", ignore_errors=True)
-
-    store = DeltaDedup(spark, f"{store_dir}/store", cfg)
+    # ---- one fresh session per delivery triple (grow → probe×2 → remove×2):
+    # the real operational cadence, and positionally identical measurement
+    # state at every store size ----
     rows = []
     rm_rows = []
-    n_rm = int(os.environ.get("SPARK_GRAFT_DELTA_REMOVE", "500"))
     corpus_size = 0
-    for i, seg in enumerate(segs):
+    for i in range(3):
+        spark = _fresh_spark(cores)
+        seg = _read_seg(spark, store_dir, i)
+        _warmup(spark, store_dir, cfg, seg, n_probe)
+        store = DeltaDedup(spark, f"{store_dir}/store", cfg)
+
         t0 = time.monotonic()
         store.add_batch(seg)
         grow_wall = time.monotonic() - t0
@@ -92,8 +119,9 @@ def main() -> int:
         # carry a 1.5x swing that would dominate the growth ratio)
         probe_wall = float("inf")
         for rep in range(2):
+            pb = _probe_batch(seg, n_probe, 2 * i + rep)
             t0 = time.monotonic()
-            summary = store.add_batch(probe_batch(seg, 2 * i + rep))
+            summary = store.add_batch(pb)
             probe_wall = min(probe_wall, time.monotonic() - t0)
             corpus_size += n_probe
         rows.append((corpus_size, n_seg, grow_wall, n_probe, probe_wall, summary["n_new_edges"]))
@@ -120,19 +148,27 @@ def main() -> int:
         )
         print(
             f"store={corpus_size}: grow({n_seg})={grow_wall:.1f}s "
-            f"probe({n_probe})={probe_wall:.1f}s remove({n_rm})={rm_wall:.1f}s"
+            f"probe({n_probe})={probe_wall:.1f}s remove({n_rm})={rm_wall:.1f}s",
+            flush=True,
         )
+        spark.stop()
+
+    # ---- final session: batch-engine comparison point + compaction ----
+    spark = _fresh_spark(cores)
+    seg0 = _read_seg(spark, store_dir, 0)
+    _warmup(spark, store_dir, cfg, seg0, n_probe)
+    store = DeltaDedup(spark, f"{store_dir}/store", cfg)
 
     # comparison point: one full-pipeline run over the final corpus — the
     # per-delivery price of a batch-only engine
-    full_corpus = segs[0]
-    for seg in segs[1:]:
-        full_corpus = full_corpus.unionByName(seg)
+    full_corpus = seg0
+    for i in range(1, 3):
+        full_corpus = full_corpus.unionByName(_read_seg(spark, store_dir, i))
     t0 = time.monotonic()
     res = DedupPipeline(spark, cfg, count_rows=False).run(full_corpus)
     res.clusters.count()
     full_wall = time.monotonic() - t0
-    print(f"full pipeline over {3 * n_seg} files: {full_wall:.1f}s")
+    print(f"full pipeline over {3 * n_seg} files: {full_wall:.1f}s", flush=True)
 
     # -- compaction payoff: fragment the store with many tiny deliveries
     # (the daily-cadence shape), CLONE it, compact only the clone, then
@@ -142,7 +178,7 @@ def main() -> int:
     n_tiny = int(os.environ.get("SPARK_GRAFT_DELTA_TINY_BATCHES", "20"))
     for j in range(n_tiny):
         store.add_batch(
-            segs[j % 3].limit(200).select(
+            _read_seg(spark, store_dir, j % 3).orderBy("id").limit(200).select(
                 F.col("id").bitwiseXOR(F.lit((100 + j) * (1 << 41))).alias("id"),
                 F.concat(F.col("content"), F.lit(f"\ntiny = {j}")).alias("content"),
             )
@@ -162,7 +198,7 @@ def main() -> int:
     files_after = count_part_files(clone)
     walls: dict[str, list[float]] = {"frag": [], "compact": []}
     for rnd in range(2):
-        pb = probe_batch(segs[rnd], 20 + rnd)
+        pb = _probe_batch(_read_seg(spark, store_dir, rnd), n_probe, 20 + rnd)
         order = [("frag", store), ("compact", cstore)]
         if rnd % 2:
             order.reverse()
@@ -175,7 +211,8 @@ def main() -> int:
     print(
         f"compaction: {files_before} part files -> {files_after}; probe "
         f"{frag_probe_wall:.1f}s (fragmented, {csum['n_batches']} batches) vs "
-        f"{compact_probe_wall:.1f}s (compacted); fold wall {csum['wall_s']}s"
+        f"{compact_probe_wall:.1f}s (compacted); fold wall {csum['wall_s']}s",
+        flush=True,
     )
 
     probe_walls = [r[4] for r in rows]
@@ -196,12 +233,17 @@ def main() -> int:
 
 ## Incremental (delta) dedup — per-batch cost vs corpus size (scripts/eval_delta.py)
 
-local[{cores}], config defaults (MinHash 128, LSH 32x4, SimHash on). Probe
-batches are {n_probe:,} near-dups of STORED content (worst case: every probe
-file touches stored buckets); probe walls are best-of-2 (min-estimator —
-single observations on this box carry a 1.5x swing). Corpus grew
-{corpus_growth:.1f}x across probes; probe wall grew {growth:.2f}x ->
-**{verdict}** (per-batch cost tracks batch size, not corpus size).
+local[{cores}], config defaults (MinHash 128, LSH 32x4, SimHash on). Each
+delivery triple (grow → probe → remove) runs in its own fresh SparkSession
+attached to the persisted store — the real per-delivery job shape, and the
+fair protocol: a long-lived session accumulates localCheckpoint blocks from
+earlier grows that polluted later probes (47s in-run vs 16.5s fresh on the
+same store). Probe batches are {n_probe:,} near-dups of STORED content
+(worst case: every probe file touches stored buckets); probe walls are
+best-of-2 (min-estimator — single observations on this box carry a 1.5x
+swing). Corpus grew {corpus_growth:.1f}x across probes; probe wall grew
+{growth:.2f}x -> **{verdict}** (per-batch cost tracks batch size, not
+corpus size).
 
 | store size after | growth batch | wall (s) | probe batch | probe wall (s) |
 |---|---|---|---|---|
