@@ -7,7 +7,7 @@ ANSI-SQL oracle where the semantics are SQL-expressible. Column names are
 aligned on both sides; doubles are only ever produced by a single division /
 sqrt of exact integers so both engines agree bit-for-bit.
 
-ALL 29 queries are hash-checked, including the END-TO-END pipeline twice
+ALL 36 queries are hash-checked, including the END-TO-END pipeline twice
 (``dedup_pipeline_clusters``: MinHash-LSH only; ``dedup_pipeline_full``:
 plus the SimHash near-miss pass — its bit-voting and combinatorial block
 tables replayed in plain SQL — both on portable hashes with WITH RECURSIVE
@@ -44,6 +44,7 @@ from sycl_jaccard_spark.operators.ann import (
 from sycl_jaccard_spark.operators.graph_jaccard import jaccard_all_edges
 from sycl_jaccard_spark.operators.lsh import band_hashes, candidate_pairs, minhash_signatures
 from sycl_jaccard_spark.operators.normalize import canonical_pairs, invert_direction, symmetrize
+from sycl_jaccard_spark.operators.collections import collection_pair_jaccard
 from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs, jaccard_pairs_weighted
 from sycl_jaccard_spark.plans.pipeline import DedupPipeline
 from sycl_jaccard_spark.sources.tables import documents_as_files, load_table
@@ -51,6 +52,7 @@ from sycl_jaccard_spark.sources.tables import documents_as_files, load_table
 # ---- shared constants (must match the SQL text below) ----
 K = 3                      # word-shingle size for document queries
 DF_CAP = 50                # max shingle document-frequency joined in pair-gen
+SRC_DF_CAP = 10            # max shingle COLLECTION-frequency in source pair-gen
 N_PERMS = 16               # portable minhash perms (oracle-replayed)
 N_BANDS = 4                # portable LSH bands (rows_per_band = 4)
 WINNOW_K = 30              # winnow fingerprint char-gram length
@@ -321,6 +323,18 @@ def q_doc_pair_lcs_contained(spark, sf_dir):
         F.col("min_bytes").cast("long").alias("min_bytes"),
         (F.col("lcs_len") == F.col("min_bytes")).alias("contained"),
     )
+
+
+def q_src_pair_jaccard(spark, sf_dir):
+    """Collection-level (fork/mirror) similarity: exact Jaccard + containment
+    between SOURCES, where a source's set is the distinct union of its
+    documents' word-K-gram shingles (operators/collections.py). Candidate
+    pairs share at least one shingle present in ≤ SRC_DF_CAP sources — the
+    inverted-index df-cap discipline one granularity up; scores are exact
+    over the FULL sets (capped shingles still count in sizes/intersections)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    members = _doc_shingles(spark, sf_dir).join(docs, "doc_id")
+    return collection_pair_jaccard(members, "source", "sh", max_df=SRC_DF_CAP)
 
 
 def q_doc_winnow_fps(spark, sf_dir):
@@ -727,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pair_jaccard": q_doc_pair_jaccard,
         "doc_pair_containment": q_doc_pair_containment,
         "doc_pair_lcs_contained": q_doc_pair_lcs_contained,
+        "src_pair_jaccard": q_src_pair_jaccard,
         "doc_winnow_fps": q_doc_winnow_fps,
         "idf_weights": q_idf_weights,
         "minhash_signatures": q_minhash_signatures,
@@ -914,6 +929,28 @@ SELECT c.a, c.b,
 FROM cand c
 JOIN documents da ON da.doc_id = c.a
 JOIN documents db ON db.doc_id = c.b"""
+    sql["src_pair_jaccard"] = f"""
+WITH {_SH.strip()},
+mem AS (SELECT DISTINCT d.source AS src, x.s1
+        FROM (SELECT doc_id, unnest(s) AS s1 FROM sh) x
+        JOIN documents d USING (doc_id)),
+rare AS (SELECT s1 FROM mem GROUP BY s1 HAVING count(*) <= {SRC_DF_CAP}),
+memr AS (SELECT src, s1 FROM mem JOIN rare USING (s1)),
+cand AS (SELECT DISTINCT a.src AS a, b.src AS b
+         FROM memr a JOIN memr b ON a.s1 = b.s1 AND a.src < b.src),
+sz AS (SELECT src, count(*) AS sz FROM mem GROUP BY src),
+inter AS (SELECT x.src AS a, y.src AS b, count(*) AS inter
+          FROM cand JOIN mem x ON x.src = cand.a
+                    JOIN mem y ON y.src = cand.b AND y.s1 = x.s1
+          GROUP BY 1, 2)
+SELECT c.a, c.b, COALESCE(i.inter, 0) AS inter,
+       CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+       CAST(COALESCE(i.inter, 0) AS DOUBLE)
+         / CAST(sa.sz + sb.sz - COALESCE(i.inter, 0) AS DOUBLE) AS jaccard,
+       CAST(COALESCE(i.inter, 0) AS DOUBLE)
+         / CAST(least(sa.sz, sb.sz) AS DOUBLE) AS containment
+FROM cand c LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+JOIN sz sa ON sa.src = c.a JOIN sz sb ON sb.src = c.b"""
     sql["doc_winnow_fps"] = f"""
 WITH nrm AS (SELECT doc_id, regexp_replace(trim(text), '\\s+', ' ', 'g') AS t FROM documents),
 g AS (SELECT doc_id,

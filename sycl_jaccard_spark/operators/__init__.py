@@ -9,8 +9,14 @@ from sycl_jaccard_spark.operators.rowsum import degrees, volumes
 from sycl_jaccard_spark.operators.graph_jaccard import jaccard_all_edges
 from sycl_jaccard_spark.operators.pair_jaccard import (
     jaccard_pairs,
+    jaccard_pairs_memberships,
     jaccard_pairs_weighted,
     jaccard_pairs_weighted_arrays,
+)
+from sycl_jaccard_spark.operators.collections import (
+    collection_candidates,
+    collection_memberships,
+    collection_pair_jaccard,
 )
 from sycl_jaccard_spark.operators.ann import (
     cosine_topk,
@@ -40,6 +46,10 @@ __all__ = [
     "volumes",
     "jaccard_all_edges",
     "jaccard_pairs",
+    "jaccard_pairs_memberships",
+    "collection_memberships",
+    "collection_candidates",
+    "collection_pair_jaccard",
     "jaccard_pairs_weighted",
     "jaccard_pairs_weighted_arrays",
     "cosine_topk",

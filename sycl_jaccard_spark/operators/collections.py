@@ -1,0 +1,115 @@
+"""Collection-level similarity — fork / mirror / vendored-copy detection.
+
+A 10^12-file source-code corpus is not a flat bag of files: it is ~10^8
+repositories, and wholesale duplication happens at REPOSITORY granularity
+— forks, org-to-org mirrors, vendored third-party directories. The
+file-level pipeline (``plans/pipeline.py``) finds the member pairs; what
+it cannot answer directly is "which COLLECTIONS are near-copies of each
+other" — the question a corpus curator asks before dropping whole forks
+rather than file-by-file survivors. This module answers it with the same
+exact-Jaccard primitive the reference computes per vertex pair
+(``jaccard.cpp:272-311`` — neighbor-set intersection over CSR rows): the
+"vertex" is a collection (repo / source), and its "neighbor set" is the
+distinct union of its members' shingles.
+
+Scale shape (100 TB):
+
+* everything stays relational — a collection's element set is NEVER
+  collected into an array column (a large repository's shingle union can
+  run to 10^8 elements; no row can hold it). The membership relation
+  (collection, elem) shards across partitions like any table, and scoring
+  goes through :func:`~sycl_jaccard_spark.operators.pair_jaccard.
+  jaccard_pairs_memberships` (sizes = one groupBy; intersections = a hash
+  probe per shared element).
+* candidate generation is the same inverted-index + document-frequency
+  cap discipline as the file-level pipeline: an element present in more
+  than ``max_df`` collections is boilerplate (license headers, build
+  scaffolding, vocabulary words) and generates NO pairs — pair fan-out is
+  bounded by Σ df² over rare elements only. Capped elements still count
+  toward the exact sizes and intersections, so scores are exact; only
+  candidate RECALL is governed by the cap, exactly like the file-level
+  ``DF_CAP`` inverted index (``__spark_entry__._rare_shingle_scored``).
+* for corpora where even the rare-element index is too dense, feed
+  per-member MinHash signatures instead of raw shingles: collection
+  Jaccard over the union of members' signature values approximates
+  collection shingle Jaccard (union-closure of MinHash), with the
+  membership relation shrunk by |doc|/num_perms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sycl_jaccard_spark.functions.jaccard import containment_from_counts
+from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs_memberships
+
+
+def collection_memberships(
+    members: DataFrame,
+    group_col: str,
+    elems_col: str,
+) -> DataFrame:
+    """DISTINCT (collection, elem) membership relation from per-member
+    element arrays — the collection's set in relational form.
+
+    ``members`` carries one row per member file with ``group_col`` (the
+    collection key: repo, source, org/…) and ``elems_col`` an array column
+    (shingle strings, shingle hashes, MinHash values — any element type).
+    The distinct is the set-union across members: an element owned by many
+    members of one collection counts once."""
+    return (
+        members.select(
+            F.col(group_col).alias("collection"), F.explode(elems_col).alias("elem")
+        )
+        .dropDuplicates(["collection", "elem"])
+    )
+
+
+def collection_candidates(memberships: DataFrame, max_df: int) -> DataFrame:
+    """(a, b) collection pairs sharing ≥1 element whose collection-level
+    document frequency is ≤ ``max_df`` — the inverted-index pair generator
+    at collection granularity.
+
+    The df cap is the fan-out bound: without it, one element present in
+    every fork of a popular repo would emit |forks|² pairs. With it, each
+    rare element emits ≤ max_df·(max_df−1)/2 pairs, and the join that
+    produces them groups per element — the standard skew-safe shape."""
+    rare = (
+        memberships.groupBy("elem")
+        .agg(F.count(F.lit(1)).alias("cdf"))
+        .filter(F.col("cdf") <= max_df)
+        .select("elem")
+    )
+    mr = memberships.join(rare, "elem")
+    return (
+        mr.select(F.col("collection").alias("a"), "elem")
+        .join(mr.select(F.col("collection").alias("b"), "elem"), "elem")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def collection_pair_jaccard(
+    members: DataFrame,
+    group_col: str,
+    elems_col: str,
+    max_df: int = 10,
+) -> DataFrame:
+    """Fork/mirror scorecard: exact Jaccard AND containment between every
+    collection pair sharing a rare (cdf ≤ ``max_df``) element.
+
+    Returns (a, b, inter, size_a, size_b, jaccard, containment). The two
+    scores answer different curator questions: ``jaccard`` ≈ 1 flags full
+    mirrors; ``containment`` (inter / min size) ≈ 1 with low jaccard flags
+    a fork EMBEDDED in a larger repo — the collection-level analog of the
+    file pipeline's substring pass accept rule
+    (``plans/pipeline.py`` containment accept)."""
+    mem = collection_memberships(members, group_col, elems_col)
+    pairs = collection_candidates(mem, max_df)
+    scored = jaccard_pairs_memberships(mem, pairs, id_col="collection")
+    return scored.withColumn(
+        "containment",
+        containment_from_counts(F.col("inter"), F.col("size_a"), F.col("size_b")),
+    )

@@ -57,37 +57,58 @@ def jaccard_pairs(
         elems = items.select(
             F.col(id_col).alias("_id"), F.explode(F.array_distinct(set_col)).alias("elem")
         )
-        sizes = elems.groupBy("_id").agg(F.count("*").alias("sz"))
-        pa = pairs.select("a", "b")
-        # intersection count: expand pair with a's elements, then inner-join
-        # on (b, elem) — a hash probe per element, never |A|×|B| (this is the
-        # binary-search-probe analog, jaccard.cpp:494-508 → hash join)
-        ea = elems.select(F.col("_id").alias("a"), "elem")
-        eb = elems.select(F.col("_id").alias("b"), "elem")
-        inter = (
-            pa.join(ea, "a")
-            .join(eb, ["b", "elem"])
-            .groupBy("a", "b")
-            .agg(F.count("*").alias("inter"))
-        )
-        sa = sizes.select(F.col("_id").alias("a"), F.col("sz").alias("size_a"))
-        sb = sizes.select(F.col("_id").alias("b"), F.col("sz").alias("size_b"))
-        return (
-            pa.join(inter, ["a", "b"], "left")
-            .join(sa, "a")
-            .join(sb, "b")
-            .select(
-                "a",
-                "b",
-                F.coalesce("inter", F.lit(0)).cast("long").alias("inter"),
-                "size_a",
-                "size_b",
-                jaccard_from_counts(
-                    F.coalesce("inter", F.lit(0)).cast("long"), F.col("size_a"), F.col("size_b")
-                ).alias("jaccard"),
-            )
-        )
+        return jaccard_pairs_memberships(elems, pairs, id_col="_id")
     raise ValueError(f"unknown impl {impl!r}")
+
+
+def jaccard_pairs_memberships(
+    memberships: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    elem_col: str = "elem",
+) -> DataFrame:
+    """Exact Jaccard scoring over an already-exploded DISTINCT membership
+    relation (id, elem) instead of per-row set arrays — semantics identical
+    to ``jaccard_pairs(impl="exploded")`` (which delegates here).
+
+    This is the form that scales when a single set is too large to
+    materialize as one array column: a collection-level set (the shingle
+    union of a whole repository, ``operators/collections.py``) can run to
+    10^8 elements, which no row can hold, while the relational form shards
+    it across partitions like any other table. Rows must already be
+    distinct per (id, elem) — duplicates would inflate both sizes and
+    intersections."""
+    elems = memberships.select(F.col(id_col).alias("_id"), F.col(elem_col).alias("elem"))
+    sizes = elems.groupBy("_id").agg(F.count("*").alias("sz"))
+    pa = pairs.select("a", "b")
+    # intersection count: expand pair with a's elements, then inner-join
+    # on (b, elem) — a hash probe per element, never |A|×|B| (this is the
+    # binary-search-probe analog, jaccard.cpp:494-508 → hash join)
+    ea = elems.select(F.col("_id").alias("a"), "elem")
+    eb = elems.select(F.col("_id").alias("b"), "elem")
+    inter = (
+        pa.join(ea, "a")
+        .join(eb, ["b", "elem"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("_id").alias("a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("_id").alias("b"), F.col("sz").alias("size_b"))
+    return (
+        pa.join(inter, ["a", "b"], "left")
+        .join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.coalesce("inter", F.lit(0)).cast("long").alias("inter"),
+            "size_a",
+            "size_b",
+            jaccard_from_counts(
+                F.coalesce("inter", F.lit(0)).cast("long"), F.col("size_a"), F.col("size_b")
+            ).alias("jaccard"),
+        )
+    )
 
 
 def jaccard_pairs_weighted(

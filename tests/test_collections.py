@@ -1,0 +1,106 @@
+"""Collection-level (fork/mirror) similarity — operators/collections.py.
+
+Pure-Python set oracles per pair (conftest.exact_jaccard), plus the df-cap
+fan-out contract: boilerplate elements generate no pairs but still count
+toward exact scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sycl_jaccard_spark.operators.collections import (
+    collection_candidates,
+    collection_memberships,
+    collection_pair_jaccard,
+)
+from sycl_jaccard_spark.operators.pair_jaccard import (
+    jaccard_pairs,
+    jaccard_pairs_memberships,
+)
+from tests.conftest import exact_jaccard
+
+
+def _members(spark, data):
+    """data: dict collection -> list of member element-lists."""
+    rows = [(c, elems) for c, groups in data.items() for elems in groups]
+    return spark.createDataFrame(rows, "src string, elems array<string>")
+
+
+def _scored(spark, data, max_df=10):
+    df = collection_pair_jaccard(_members(spark, data), "src", "elems", max_df=max_df)
+    return {(r["a"], r["b"]): r for r in df.collect()}
+
+
+def _sets(data):
+    return {c: {e for elems in groups for e in elems} for c, groups in data.items()}
+
+
+def test_mirror_and_embedded_fork(spark):
+    # r2 is an exact mirror of r1 (members sliced differently — union equal);
+    # r3 is r1 embedded in a larger repo (containment 1, low jaccard)
+    data = {
+        "r1": [["a", "b"], ["c", "d"]],
+        "r2": [["a", "b", "c"], ["d"]],
+        "r3": [["a", "b", "c", "d"], ["e", "f", "g", "h", "i", "j"]],
+    }
+    got = _scored(spark, data)
+    sets = _sets(data)
+    assert got[("r1", "r2")]["jaccard"] == 1.0
+    assert got[("r1", "r2")]["containment"] == 1.0
+    assert got[("r1", "r3")]["containment"] == 1.0
+    assert got[("r1", "r3")]["jaccard"] == exact_jaccard(sets["r1"], sets["r3"]) == 0.4
+    for (a, b), r in got.items():
+        assert r["jaccard"] == exact_jaccard(sets[a], sets[b])
+        assert r["inter"] == len(sets[a] & sets[b])
+        assert r["size_a"] == len(sets[a]) and r["size_b"] == len(sets[b])
+
+
+def test_df_cap_prunes_pairs_but_not_scores(spark):
+    # 'LICENSE' is in every collection (df 4 > cap 3): alone it must not
+    # generate pairs — only r1/r2 share the rare 'x' — but it still counts
+    # in r1/r2's exact intersection and sizes.
+    data = {
+        "r1": [["LICENSE", "x", "p"]],
+        "r2": [["LICENSE", "x", "q"]],
+        "r3": [["LICENSE", "m"]],
+        "r4": [["LICENSE", "n"]],
+    }
+    got = _scored(spark, data, max_df=3)
+    assert set(got) == {("r1", "r2")}
+    r = got[("r1", "r2")]
+    assert r["inter"] == 2  # LICENSE + x: capped element still scored
+    assert r["size_a"] == r["size_b"] == 3
+    assert r["jaccard"] == 0.5
+
+
+def test_memberships_distinct_and_candidates(spark):
+    # the same element in many members of ONE collection counts once
+    data = {"r1": [["a", "a", "b"], ["a"]], "r2": [["a"]]}
+    mem = collection_memberships(_members(spark, data), "src", "elems")
+    rows = {(r["collection"], r["elem"]) for r in mem.collect()}
+    assert rows == {("r1", "a"), ("r1", "b"), ("r2", "a")}
+    cands = collection_candidates(mem, max_df=10).collect()
+    assert [(c["a"], c["b"]) for c in cands] == [("r1", "r2")]
+
+
+def test_memberships_core_matches_arrays_impl(spark):
+    # jaccard_pairs_memberships is the relational core of impl="exploded";
+    # its scores must be identical to the arrays impl on the same pairs
+    items = spark.createDataFrame(
+        [("u", ["1", "2", "3"]), ("v", ["2", "3", "4"]), ("w", ["9"])],
+        "id string, set array<string>",
+    )
+    pairs = spark.createDataFrame(
+        [("u", "v"), ("u", "w")], "a string, b string"
+    )
+    mem = items.select("id", F.explode("set").alias("elem"))
+    via_mem = {
+        (r["a"], r["b"]): (r["inter"], r["size_a"], r["size_b"], r["jaccard"])
+        for r in jaccard_pairs_memberships(mem, pairs).collect()
+    }
+    via_arr = {
+        (r["a"], r["b"]): (r["inter"], r["size_a"], r["size_b"], r["jaccard"])
+        for r in jaccard_pairs(items, pairs, impl="arrays").collect()
+    }
+    assert via_mem == via_arr
