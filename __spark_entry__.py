@@ -331,10 +331,13 @@ def q_src_pair_jaccard(spark, sf_dir):
     documents' word-K-gram shingles (operators/collections.py). Candidate
     pairs share at least one shingle present in ≤ SRC_DF_CAP sources — the
     inverted-index df-cap discipline one granularity up; scores are exact
-    over the FULL sets (capped shingles still count in sizes/intersections)."""
+    over the FULL sets (capped shingles still count in sizes/intersections).
+    Elements are the portable md5-60bit shingle HASHES, not the strings:
+    the membership relation is join-heavy and 8-byte keys keep every probe
+    long-typed (the DuckDB oracle replays the same hash)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    members = _doc_shingles(spark, sf_dir).join(docs, "doc_id")
-    return collection_pair_jaccard(members, "source", "sh", max_df=SRC_DF_CAP)
+    members = _doc_shingle_hashes(spark, sf_dir).join(docs, "doc_id")
+    return collection_pair_jaccard(members, "source", "shingle_hashes", max_df=SRC_DF_CAP)
 
 
 def q_doc_winnow_fps(spark, sf_dir):
@@ -929,19 +932,17 @@ SELECT c.a, c.b,
 FROM cand c
 JOIN documents da ON da.doc_id = c.a
 JOIN documents db ON db.doc_id = c.b"""
-    sql["src_pair_jaccard"] = f"""
-WITH {_SH.strip()},
-mem AS (SELECT DISTINCT d.source AS src, x.s1
-        FROM (SELECT doc_id, unnest(s) AS s1 FROM sh) x
-        JOIN documents d USING (doc_id)),
-rare AS (SELECT s1 FROM mem GROUP BY s1 HAVING count(*) <= {SRC_DF_CAP}),
-memr AS (SELECT src, s1 FROM mem JOIN rare USING (s1)),
+    sql["src_pair_jaccard"] = f"""{_shh_cte()},
+mem AS (SELECT DISTINCT d.source AS src, shh.h
+        FROM shh JOIN documents d USING (doc_id)),
+rare AS (SELECT h FROM mem GROUP BY h HAVING count(*) <= {SRC_DF_CAP}),
+memr AS (SELECT src, h FROM mem JOIN rare USING (h)),
 cand AS (SELECT DISTINCT a.src AS a, b.src AS b
-         FROM memr a JOIN memr b ON a.s1 = b.s1 AND a.src < b.src),
+         FROM memr a JOIN memr b ON a.h = b.h AND a.src < b.src),
 sz AS (SELECT src, count(*) AS sz FROM mem GROUP BY src),
 inter AS (SELECT x.src AS a, y.src AS b, count(*) AS inter
           FROM cand JOIN mem x ON x.src = cand.a
-                    JOIN mem y ON y.src = cand.b AND y.s1 = x.s1
+                    JOIN mem y ON y.src = cand.b AND y.h = x.h
           GROUP BY 1, 2)
 SELECT c.a, c.b, COALESCE(i.inter, 0) AS inter,
        CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
