@@ -7,7 +7,7 @@ ANSI-SQL oracle where the semantics are SQL-expressible. Column names are
 aligned on both sides; doubles are only ever produced by a single division /
 sqrt of exact integers so both engines agree bit-for-bit.
 
-ALL 36 queries are hash-checked, including the END-TO-END pipeline twice
+ALL 38 queries are hash-checked, including the END-TO-END pipeline twice
 (``dedup_pipeline_clusters``: MinHash-LSH only; ``dedup_pipeline_full``:
 plus the SimHash near-miss pass — its bit-voting and combinatorial block
 tables replayed in plain SQL — both on portable hashes with WITH RECURSIVE
@@ -44,7 +44,10 @@ from sycl_jaccard_spark.operators.ann import (
 from sycl_jaccard_spark.operators.graph_jaccard import jaccard_all_edges
 from sycl_jaccard_spark.operators.lsh import band_hashes, candidate_pairs, minhash_signatures
 from sycl_jaccard_spark.operators.normalize import canonical_pairs, invert_direction, symmetrize
-from sycl_jaccard_spark.operators.collections import collection_pair_jaccard
+from sycl_jaccard_spark.operators.collections import (
+    collection_minhash,
+    collection_pair_jaccard,
+)
 from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs, jaccard_pairs_weighted
 from sycl_jaccard_spark.plans.pipeline import DedupPipeline
 from sycl_jaccard_spark.sources.tables import documents_as_files, load_table
@@ -411,6 +414,41 @@ def q_lsh_candidates(spark, sf_dir):
     return candidate_pairs(banded, cfg, "doc_id")
 
 
+def _src_signed(spark, sf_dir):
+    """Collection (source) portable MinHash signatures by union closure —
+    one groupBy of elementwise mins over the memoized per-doc signatures
+    (operators/collections.collection_minhash)."""
+    def build():
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+        signed = _portable_signed(spark, sf_dir).join(docs, "doc_id")
+        return collection_minhash(signed, "source", N_PERMS)
+
+    return _memo(spark, sf_dir, "src_signed", build)
+
+
+def q_src_minhash_sigs(spark, sf_dir):
+    """(source, perm, sig) — collection-level MinHash lifted from the
+    per-doc signatures via the min-wise union-closure property; the oracle
+    replays it as min(sig) per (source, perm) over the per-doc SQL
+    signatures, which equals the MinHash of the source's shingle union."""
+    return (
+        _src_signed(spark, sf_dir)
+        .select(F.col("collection").alias("source"), F.posexplode("sig").alias("perm", "sig"))
+        .select("source", F.col("perm").cast("long").alias("perm"), "sig")
+    )
+
+
+def q_src_lsh_candidates(spark, sf_dir):
+    """Fork/mirror CANDIDATE pairs at collection granularity: LSH banding
+    over the union-closure signatures — the 10^8-collection scale path
+    (band the 128-long signature, never the raw membership relation)."""
+    cfg = _portable_cfg()
+    banded = band_hashes(
+        _src_signed(spark, sf_dir), cfg, "collection", portable=True
+    )
+    return candidate_pairs(banded, cfg, "collection")
+
+
 def q_doc_fingerprint(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", textstats.fingerprint(F.col("text")).alias("fp"))
@@ -745,6 +783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pair_containment": q_doc_pair_containment,
         "doc_pair_lcs_contained": q_doc_pair_lcs_contained,
         "src_pair_jaccard": q_src_pair_jaccard,
+        "src_minhash_sigs": q_src_minhash_sigs,
+        "src_lsh_candidates": q_src_lsh_candidates,
         "doc_winnow_fps": q_doc_winnow_fps,
         "idf_weights": q_idf_weights,
         "minhash_signatures": q_minhash_signatures,
@@ -822,6 +862,34 @@ bands AS (
   SELECT doc_id, band,
          ('0x' || substr(md5(array_to_string(sigs[band*{r}+1 : band*{r}+{r}], '_')), 1, 15))::BIGINT AS band_hash
   FROM sigl CROSS JOIN (VALUES {", ".join(f"({b})" for b in range(N_BANDS))}) AS bb(band)
+)"""
+
+
+def _src_sig_cte() -> str:
+    """CTE ``ssig``: (src, perm, sig) collection-level portable MinHash —
+    min over the per-doc sigs per (source, perm), which by the min-wise
+    union-closure property equals the MinHash of the source's shingle
+    union (the independent replay of operators/collections.
+    collection_minhash)."""
+    return f"""{_sig_cte()},
+ssig AS (
+  SELECT d.source AS src, perm, min(sig) AS sig
+  FROM sig JOIN documents d USING (doc_id)
+  GROUP BY 1, 2
+)"""
+
+
+def _src_band_cte() -> str:
+    """CTE ``sbands``: (src, band, band_hash) over the collection sigs."""
+    r = N_PERMS // N_BANDS
+    return f"""{_src_sig_cte()},
+ssigl AS (
+  SELECT src, list(sig ORDER BY perm) AS sigs FROM ssig GROUP BY src
+),
+sbands AS (
+  SELECT src, band,
+         ('0x' || substr(md5(array_to_string(sigs[band*{r}+1 : band*{r}+{r}], '_')), 1, 15))::BIGINT AS band_hash
+  FROM ssigl CROSS JOIN (VALUES {", ".join(f"({b})" for b in range(N_BANDS))}) AS bb(band)
 )"""
 
 
@@ -984,6 +1052,13 @@ SELECT doc_id, CAST(band AS BIGINT) AS band, band_hash FROM bands"""
 {_band_cte()}
 SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
 FROM bands x JOIN bands y ON x.band = y.band AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id"""
+    sql["src_minhash_sigs"] = f"""
+{_src_sig_cte()}
+SELECT src AS source, CAST(perm AS BIGINT) AS perm, sig FROM ssig"""
+    sql["src_lsh_candidates"] = f"""
+{_src_band_cte()}
+SELECT DISTINCT x.src AS a, y.src AS b
+FROM sbands x JOIN sbands y ON x.band = y.band AND x.band_hash = y.band_hash AND x.src < y.src"""
     sql["doc_fingerprint"] = f"""
 WITH tok AS (SELECT doc_id, {_TOKS} AS tk FROM documents)
 SELECT doc_id,

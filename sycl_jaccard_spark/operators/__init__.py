@@ -16,6 +16,7 @@ from sycl_jaccard_spark.operators.pair_jaccard import (
 from sycl_jaccard_spark.operators.collections import (
     collection_candidates,
     collection_memberships,
+    collection_minhash,
     collection_pair_jaccard,
 )
 from sycl_jaccard_spark.operators.ann import (
@@ -49,6 +50,7 @@ __all__ = [
     "jaccard_pairs_memberships",
     "collection_memberships",
     "collection_candidates",
+    "collection_minhash",
     "collection_pair_jaccard",
     "jaccard_pairs_weighted",
     "jaccard_pairs_weighted_arrays",

@@ -91,6 +91,46 @@ def collection_candidates(memberships: DataFrame, max_df: int) -> DataFrame:
     )
 
 
+def collection_minhash(
+    signed: DataFrame,
+    group_col: str,
+    num_perms: int,
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Collection-level MinHash signatures from per-MEMBER signatures, by
+    union closure: for any permutation h, min over A∪B equals
+    min(min over A, min over B) (Broder, SEQUENCES'97 §3 — the min-wise
+    property the file-level signer already relies on). So a collection's
+    signature is ONE groupBy with ``num_perms`` ``min`` aggregates over its
+    members' EXISTING signatures — no re-shingle, no re-sign, no explode,
+    and no Python: the per-file Arrow signing cost is fully amortized and
+    the lift to collection granularity is a JVM partial-aggregable shuffle
+    of exactly one row per (collection) out of each map partition.
+
+    This is the 10^8-collection scale path for candidate generation: band
+    these signatures with the ordinary LSH machinery
+    (``operators/lsh.band_hashes`` / ``candidate_pairs``) to get fork/mirror
+    candidates WITHOUT touching the raw membership relation; reserve
+    :func:`collection_pair_jaccard`'s exact relational scoring for the
+    candidate survivors. Estimator caveat: band collision probability
+    tracks the JACCARD of the union sets — for containment-style forks
+    (small repo inside a big one) the symmetric J is low, so keep the exact
+    containment scorer on the verify side.
+
+    Returns (collection, ``sig_col``: array<long>[num_perms])."""
+    aggs = [
+        F.min(F.element_at(sig_col, i + 1)).alias(f"_m{i}") for i in range(num_perms)
+    ]
+    return (
+        signed.groupBy(F.col(group_col).alias("collection"))
+        .agg(*aggs)
+        .select(
+            "collection",
+            F.array(*[F.col(f"_m{i}") for i in range(num_perms)]).alias(sig_col),
+        )
+    )
+
+
 def collection_pair_jaccard(
     members: DataFrame,
     group_col: str,

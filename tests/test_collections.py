@@ -84,6 +84,62 @@ def test_memberships_distinct_and_candidates(spark):
     assert [(c["a"], c["b"]) for c in cands] == [("r1", "r2")]
 
 
+def test_collection_minhash_union_closure(spark):
+    # minhash(A ∪ B) == elementwise_min(minhash(A), minhash(B)) — the
+    # property collection_minhash relies on, bit-for-bit against signing
+    # the union directly with the same UDF/seed
+    from sycl_jaccard_spark.functions.minhash import minhash_udf
+    from sycl_jaccard_spark.operators.collections import collection_minhash
+
+    members = [
+        ("r1", [11, 22, 33, 44]),
+        ("r1", [33, 55, 77]),
+        ("r1", [2, 99]),
+        ("r2", [5, 6]),
+        ("r2", [7]),
+    ]
+    perms, seed = 32, 42
+    mdf = spark.createDataFrame(members, "src string, hashes array<long>")
+    signed = mdf.withColumn("sig", minhash_udf(perms, seed)(F.col("hashes")))
+    got = {
+        r["collection"]: r["sig"]
+        for r in collection_minhash(signed, "src", perms).collect()
+    }
+    unions = {}
+    for c, hs in members:
+        unions.setdefault(c, set()).update(hs)
+    udf_rows = spark.createDataFrame(
+        [(c, sorted(s)) for c, s in unions.items()], "src string, hashes array<long>"
+    ).withColumn("sig", minhash_udf(perms, seed)(F.col("hashes"))).collect()
+    want = {r["src"]: r["sig"] for r in udf_rows}
+    assert got == want
+
+
+def test_mirror_collections_collide_in_lsh(spark):
+    # two sources with identical shingle unions get identical collection
+    # signatures -> at least one shared band -> a candidate pair; the
+    # disjoint third source never pairs
+    from sycl_jaccard_spark.config import PipelineConfig
+    from sycl_jaccard_spark.functions.minhash import minhash_udf
+    from sycl_jaccard_spark.operators.collections import collection_minhash
+    from sycl_jaccard_spark.operators.lsh import band_hashes, candidate_pairs
+
+    cfg = PipelineConfig(num_perms=16, bands=4, rows_per_band=4, bucket_cap=10**9)
+    rows = [
+        ("m1", list(range(100, 160))),
+        ("m1", list(range(160, 200))),
+        ("m2", list(range(100, 150))),
+        ("m2", list(range(150, 200))),
+        ("other", list(range(900, 980))),
+    ]
+    mdf = spark.createDataFrame(rows, "src string, hashes array<long>")
+    signed = mdf.withColumn("sig", minhash_udf(cfg.num_perms, cfg.seed)(F.col("hashes")))
+    csig = collection_minhash(signed, "src", cfg.num_perms).localCheckpoint(eager=True)
+    banded = band_hashes(csig, cfg, "collection")
+    pairs = {(r["a"], r["b"]) for r in candidate_pairs(banded, cfg, "collection").collect()}
+    assert pairs == {("m1", "m2")}
+
+
 def test_memberships_core_matches_arrays_impl(spark):
     # jaccard_pairs_memberships is the relational core of impl="exploded";
     # its scores must be identical to the arrays impl on the same pairs
