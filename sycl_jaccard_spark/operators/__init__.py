@@ -15,9 +15,11 @@ from sycl_jaccard_spark.operators.pair_jaccard import (
 )
 from sycl_jaccard_spark.operators.collections import (
     collection_candidates,
+    collection_clusters,
     collection_memberships,
     collection_minhash,
     collection_pair_jaccard,
+    drop_fork_members,
 )
 from sycl_jaccard_spark.operators.ann import (
     cosine_topk,
@@ -50,8 +52,10 @@ __all__ = [
     "jaccard_pairs_memberships",
     "collection_memberships",
     "collection_candidates",
+    "collection_clusters",
     "collection_minhash",
     "collection_pair_jaccard",
+    "drop_fork_members",
     "jaccard_pairs_weighted",
     "jaccard_pairs_weighted_arrays",
     "cosine_topk",

@@ -42,6 +42,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sycl_jaccard_spark.functions.jaccard import containment_from_counts
+from sycl_jaccard_spark.functions.shingles import md5_long
+from sycl_jaccard_spark.operators.components import connected_components
 from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs_memberships
 
 
@@ -88,6 +90,77 @@ def collection_candidates(memberships: DataFrame, max_df: int) -> DataFrame:
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .dropDuplicates(["a", "b"])
+    )
+
+
+def collection_clusters(
+    scored: DataFrame,
+    threshold: float = 0.9,
+    score_col: str = "jaccard",
+    collections: DataFrame | None = None,
+) -> DataFrame:
+    """Fork GROUPS: connected components over collection pairs whose
+    ``score_col`` ≥ ``threshold``, through the same CC machinery as the
+    file pipeline (driver/distributed switch, large-star/small-star past
+    2M edges — ``operators/components.py``). Transitivity is the point: a
+    chain of pairwise-similar forks is one lineage even when its endpoints
+    score below threshold.
+
+    Returns (collection, rep) with ``rep`` = the lexicographically smallest
+    member of the group — the deterministic representative a curator keeps
+    (same min-rule the file pipeline and the reference's sorted std::set
+    ordering use). CC is long-typed, so string keys ride through it as
+    md5-60bit hashes; names are joined back and no hash surfaces.
+
+    ``collections``: optional one-column DataFrame of ALL collection keys —
+    collections with no qualifying edge then appear as singletons
+    (rep = themselves)."""
+    edges = scored.filter(F.col(score_col) >= threshold).select("a", "b")
+    names = (
+        edges.select(F.col("a").alias("collection"))
+        .union(edges.select(F.col("b").alias("collection")))
+        .distinct()
+    )
+    keyed = names.select(
+        "collection", md5_long(F.col("collection").cast("string")).alias("_k")
+    )
+    e = (
+        edges.join(
+            keyed.select(F.col("collection").alias("a"), F.col("_k").alias("ka")), "a"
+        )
+        .join(keyed.select(F.col("collection").alias("b"), F.col("_k").alias("kb")), "b")
+        .select(F.col("ka").alias("a"), F.col("kb").alias("b"))
+    )
+    labels = connected_components(e)
+    lab = keyed.join(labels, keyed["_k"] == labels["node"]).select("collection", "label")
+    reps = lab.groupBy("label").agg(F.min("collection").alias("rep"))
+    out = lab.join(reps, "label").select("collection", "rep")
+    if collections is not None:
+        allc = collections.select(
+            F.col(collections.columns[0]).alias("collection")
+        ).distinct()
+        out = allc.join(out, "collection", "left").select(
+            "collection", F.coalesce("rep", F.col("collection")).alias("rep")
+        )
+    return out
+
+
+def drop_fork_members(
+    members: DataFrame, clusters: DataFrame, group_col: str
+) -> DataFrame:
+    """Curator action over fork groups: every member row of a group's rep
+    collection is kept, every member of the group's OTHER collections is
+    dropped — the collection-granularity analog of
+    ``representatives.deduplicate_corpus``. Returns the members relation
+    plus (rep, keep) as a MANIFEST: the caller filters on ``keep`` to
+    enact, or persists the whole relation to audit what a drop would do
+    (and to count the bytes it frees) before enacting. Collections absent
+    from ``clusters`` are their own rep (keep = true)."""
+    cl = clusters.withColumnRenamed("collection", group_col)
+    return (
+        members.join(cl, group_col, "left")
+        .withColumn("rep", F.coalesce("rep", F.col(group_col)))
+        .withColumn("keep", F.col(group_col) == F.col("rep"))
     )
 
 

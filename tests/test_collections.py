@@ -140,6 +140,37 @@ def test_mirror_collections_collide_in_lsh(spark):
     assert pairs == {("m1", "m2")}
 
 
+def test_collection_clusters_and_drop_action(spark):
+    # m1≡m2 and m2~m3 chain into ONE lineage (transitivity) even though
+    # m1/m3 alone may score lower; z stays a singleton via the collections
+    # arg; drop_fork_members keeps only the rep's files
+    from sycl_jaccard_spark.operators.collections import (
+        collection_clusters,
+        drop_fork_members,
+    )
+
+    data = {
+        "m1": [["a", "b", "c", "d"]],
+        "m2": [["a", "b", "c", "d", "e"]],
+        "m3": [["b", "c", "d", "e"]],
+        "z": [["q", "r"]],
+    }
+    scored = collection_pair_jaccard(_members(spark, data), "src", "elems")
+    allc = spark.createDataFrame([(c,) for c in data], "src string")
+    clusters = collection_clusters(scored, threshold=0.75, collections=allc)
+    got = {r["collection"]: r["rep"] for r in clusters.collect()}
+    assert got == {"m1": "m1", "m2": "m1", "m3": "m1", "z": "z"}
+
+    members = spark.createDataFrame(
+        [("m1", "f1"), ("m2", "f2"), ("m3", "f3"), ("z", "f4"), ("w", "f5")],
+        "src string, path string",
+    )
+    manifest = drop_fork_members(members, clusters, "src")
+    keep = {r["path"]: r["keep"] for r in manifest.collect()}
+    # w is absent from clusters -> its own rep -> kept
+    assert keep == {"f1": True, "f2": False, "f3": False, "f4": True, "f5": True}
+
+
 def test_memberships_core_matches_arrays_impl(spark):
     # jaccard_pairs_memberships is the relational core of impl="exploded";
     # its scores must be identical to the arrays impl on the same pairs
