@@ -45,6 +45,7 @@ from sycl_jaccard_spark.operators.graph_jaccard import jaccard_all_edges
 from sycl_jaccard_spark.operators.lsh import band_hashes, candidate_pairs, minhash_signatures
 from sycl_jaccard_spark.operators.normalize import canonical_pairs, invert_direction, symmetrize
 from sycl_jaccard_spark.operators.collections import (
+    collection_memberships,
     collection_minhash,
     collection_pair_jaccard,
 )
@@ -127,7 +128,13 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenize+shingle expression tree is the shared prefix of six queries."""
 
     def build():
-        docs = load_table(spark, sf_dir, "documents")
+        # the documents parquet is a single small file -> a single input
+        # split -> the tokenize+shingle expression chain (the most expensive
+        # per-row work in the doc family) runs on ONE core; spread it before
+        # computing (measured at sf0.1: the memo build drops 4.5s -> 0.6s)
+        docs = load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
         return docs.select(
             F.col("doc_id").alias("doc_id"),
             shingles(tokens(F.col("text")), K).alias("sh"),
@@ -259,11 +266,23 @@ def _rare_shingle_scored(spark, sf_dir):
     """Shared candidate-gen + verify for the doc-pair queries: pairs sharing
     a rare (df<=DF_CAP) shingle via the inverted index, scored with exact
     shingle-set counts. Both q_doc_pair_jaccard and q_doc_pair_containment
-    must stay on THIS one candidate set (their oracles assume it)."""
-    sh = _doc_shingles(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
-    rare = sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= DF_CAP)
-    sh_r = sh.join(rare.select("s"), "s")
+    must stay on THIS one candidate set (their oracles assume it).
+
+    Elements are the portable md5-60bit HASHES of the shingles, not the
+    ~25-char strings: the distinct/self-join/array_intersect chain is
+    elementwise-comparison-bound, and 8-byte longs keep it long-typed end
+    to end (counts are identical — the hash is injective on the corpus
+    vocabulary; the oracles compare the same integer counts)."""
     def build():
+        # materialize the exploded relation once (df-count + join probe both
+        # consume it — uncheckpointed each consumer re-runs md5+explode), and
+        # the rare-filtered index once (it feeds BOTH sides of the pair
+        # self-join). Measured at sf0.1: 13.4s -> 6.4s for the whole chain.
+        sh = _doc_shingle_hashes(spark, sf_dir).select(
+            "doc_id", F.explode("shingle_hashes").alias("s")
+        ).localCheckpoint(eager=True)
+        rare = sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= DF_CAP)
+        sh_r = sh.join(rare.select("s"), "s").localCheckpoint(eager=True)
         pairs = (
             sh_r.select(F.col("doc_id").alias("a"), "s")
             .join(sh_r.select(F.col("doc_id").alias("b"), "s"), "s")
@@ -271,8 +290,8 @@ def _rare_shingle_scored(spark, sf_dir):
             .select("a", "b")
             .dropDuplicates(["a", "b"])
         )
-        items = _doc_shingles(spark, sf_dir).select(
-            F.col("doc_id").alias("id"), F.col("sh").alias("set")
+        items = _doc_shingle_hashes(spark, sf_dir).select(
+            F.col("doc_id").alias("id"), F.col("shingle_hashes").alias("set")
         )
         return jaccard_pairs(items, pairs)
 
@@ -337,10 +356,22 @@ def q_src_pair_jaccard(spark, sf_dir):
     over the FULL sets (capped shingles still count in sizes/intersections).
     Elements are the portable md5-60bit shingle HASHES, not the strings:
     the membership relation is join-heavy and 8-byte keys keep every probe
-    long-typed (the DuckDB oracle replays the same hash)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    members = _doc_shingle_hashes(spark, sf_dir).join(docs, "doc_id")
-    return collection_pair_jaccard(members, "source", "shingle_hashes", max_df=SRC_DF_CAP)
+    long-typed (the DuckDB oracle replays the same hash). The membership
+    relation feeds four consumers, so it is memoized/checkpointed once
+    rather than re-exploded per consumer."""
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+        return collection_memberships(
+            _doc_shingle_hashes(spark, sf_dir).join(docs, "doc_id"),
+            "source",
+            "shingle_hashes",
+        )
+
+    mem = _memo(spark, sf_dir, "src_memberships", build)
+    return collection_pair_jaccard(
+        mem, "source", "shingle_hashes", max_df=SRC_DF_CAP, memberships=mem
+    )
 
 
 def q_doc_winnow_fps(spark, sf_dir):

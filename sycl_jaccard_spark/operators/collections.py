@@ -209,6 +209,7 @@ def collection_pair_jaccard(
     group_col: str,
     elems_col: str,
     max_df: int = 10,
+    memberships: DataFrame | None = None,
 ) -> DataFrame:
     """Fork/mirror scorecard: exact Jaccard AND containment between every
     collection pair sharing a rare (cdf ≤ ``max_df``) element.
@@ -218,8 +219,18 @@ def collection_pair_jaccard(
     mirrors; ``containment`` (inter / min size) ≈ 1 with low jaccard flags
     a fork EMBEDDED in a larger repo — the collection-level analog of the
     file pipeline's substring pass accept rule
-    (``plans/pipeline.py`` containment accept)."""
-    mem = collection_memberships(members, group_col, elems_col)
+    (``plans/pipeline.py`` containment accept).
+
+    The membership relation feeds FOUR consumers (df counts, the candidate
+    self-join, sizes, intersections); pass a persisted/checkpointed
+    ``memberships`` (from :func:`collection_memberships`) to compute the
+    explode+distinct once — at corpus scale that relation is the dominant
+    intermediate and should be a bucketed checkpoint, not a recompute."""
+    mem = (
+        memberships
+        if memberships is not None
+        else collection_memberships(members, group_col, elems_col)
+    )
     pairs = collection_candidates(mem, max_df)
     scored = jaccard_pairs_memberships(mem, pairs, id_col="collection")
     return scored.withColumn(
