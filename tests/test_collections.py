@@ -171,6 +171,47 @@ def test_collection_clusters_and_drop_action(spark):
     assert keep == {"f1": True, "f2": False, "f3": False, "f4": True, "f5": True}
 
 
+def test_run_forks_cli(spark, tmp_path):
+    # planted forks: repo f2 mirrors f1 (same files, re-split), f3 disjoint;
+    # both candidate modes find the mirror, lineages + manifest agree
+    import json as _json
+
+    from jobs.run_forks import main
+
+    body = " ".join(f"tok{i}" for i in range(60))
+    other = " ".join(f"alt{i}" for i in range(60))
+    rows = [
+        ("f1", "a.py", body[:200]),
+        ("f1", "b.py", body[200:]),
+        ("f2", "x.py", body[:200]),
+        ("f2", "y.py", body[200:]),
+        ("f3", "z.py", other),
+    ]
+    src = str(tmp_path / "files")
+    spark.createDataFrame(rows, "repo string, path string, content string").write.parquet(src)
+    for mode in ("index", "lsh"):
+        pairs_out = str(tmp_path / f"pairs_{mode}")
+        clusters_out = str(tmp_path / f"clusters_{mode}")
+        manifest_out = str(tmp_path / f"manifest_{mode}")
+        rc = main([
+            "--input", src, "--group-col", "repo", "--shingle-k", "3",
+            "--candidates", mode, "--num-perms", "16", "--bands", "4",
+            "--threshold", "0.8", "--pairs-out", pairs_out,
+            "--clusters-out", clusters_out, "--manifest-out", manifest_out,
+        ])
+        assert rc == 0
+        scored = {(r["a"], r["b"]): r["jaccard"]
+                  for r in spark.read.parquet(pairs_out).collect()}
+        assert scored.get(("f1", "f2")) == 1.0
+        clusters = {r["collection"]: r["rep"]
+                    for r in spark.read.parquet(clusters_out).collect()}
+        assert clusters == {"f1": "f1", "f2": "f1", "f3": "f3"}
+        manifest = spark.read.parquet(manifest_out)
+        assert "content" not in manifest.columns
+        dropped = {r["path"] for r in manifest.filter("NOT keep").collect()}
+        assert dropped == {"x.py", "y.py"}
+
+
 def test_memberships_core_matches_arrays_impl(spark):
     # jaccard_pairs_memberships is the relational core of impl="exploded";
     # its scores must be identical to the arrays impl on the same pairs
