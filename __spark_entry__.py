@@ -49,6 +49,10 @@ from sycl_jaccard_spark.operators.collections import (
     collection_minhash,
     collection_pair_jaccard,
 )
+from sycl_jaccard_spark.operators.decontaminate import (
+    contamination_overlap,
+    decontamination_manifest,
+)
 from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs, jaccard_pairs_weighted
 from sycl_jaccard_spark.plans.pipeline import DedupPipeline
 from sycl_jaccard_spark.sources.tables import documents_as_files, load_table
@@ -69,6 +73,11 @@ IVF_TRAIN_ITERS = 2        # Lloyd iterations (unrolled in the oracle SQL)
 LANE = 0x7FFFFFFF
 VERIFY_THRESHOLD = 0.7     # pipeline verify threshold (PipelineConfig default)
 EMB_THRESHOLD = 0.35       # emb near-dup cosine cutoff (testdata is near-orthogonal)
+BENCH_MOD, BENCH_REM = 7, 3  # synthetic benchmark set: docs with doc_id % 7 == 3
+BENCH_TOK_OFF = 10         # benchmark snippet = tokens [11, 50] of the source doc
+BENCH_TOK_LEN = 40
+DECON_MIN_OVERLAP = 5      # emit contamination pairs sharing >= 5 shingles
+DECON_THRESHOLD = 0.5      # drop rule: max containment >= 0.5
 
 _PA, _PB = make_perms(N_PERMS, seed=42)
 
@@ -344,6 +353,62 @@ def q_doc_pair_lcs_contained(spark, sf_dir):
         "b",
         F.col("min_bytes").cast("long").alias("min_bytes"),
         (F.col("lcs_len") == F.col("min_bytes")).alias("contained"),
+    )
+
+
+def _bench_set(spark, sf_dir):
+    """Deterministic synthetic benchmark set: for every document with
+    ``doc_id % BENCH_MOD == BENCH_REM`` and ≥ BENCH_TOK_OFF+BENCH_TOK_LEN
+    tokens, the item's text is the contiguous token window
+    [BENCH_TOK_OFF, BENCH_TOK_OFF+BENCH_TOK_LEN) — a faithful stand-in for an
+    eval prompt extracted from a leaked source document (its K-gram set is by
+    construction a subset of the source doc's, so the planted positives score
+    containment 1.0). Returns (bench_id, ngram_hashes: array<long>)."""
+
+    def build():
+        docs = load_table(spark, sf_dir, "documents")
+        toks = tokens(F.col("text"))
+        snippet = F.slice(toks, BENCH_TOK_OFF + 1, BENCH_TOK_LEN)
+        return (
+            docs.filter(F.col("doc_id") % BENCH_MOD == BENCH_REM)
+            .select(
+                F.col("doc_id").alias("bench_id"),
+                toks.alias("tk"),
+                shingle_hashes(shingles(snippet, K), portable=True).alias(
+                    "ngram_hashes"
+                ),
+            )
+            .filter(F.size("tk") >= BENCH_TOK_OFF + BENCH_TOK_LEN)
+            .select("bench_id", "ngram_hashes")
+        )
+
+    return _memo(spark, sf_dir, "bench_set", build)
+
+
+def q_decontam_overlap(spark, sf_dir):
+    """Benchmark decontamination probe (operators/decontaminate.py): n-gram
+    overlap + one-sided containment of every document against the synthetic
+    benchmark set. The benchmark side is broadcast — the corpus scan never
+    shuffles, which is the whole 100 TB design of the operator."""
+    docs = _doc_shingle_hashes(spark, sf_dir).select(
+        "doc_id", F.col("shingle_hashes").alias("ngram_hashes")
+    )
+    return contamination_overlap(
+        docs, _bench_set(spark, sf_dir), min_overlap=DECON_MIN_OVERLAP
+    )
+
+
+def q_decontam_manifest(spark, sf_dir):
+    """Per-document drop manifest over ALL documents: max containment vs any
+    benchmark item, and the contaminated flag at DECON_THRESHOLD."""
+    docs = _doc_shingle_hashes(spark, sf_dir).select(
+        "doc_id", F.col("shingle_hashes").alias("ngram_hashes")
+    )
+    overlaps = contamination_overlap(
+        docs, _bench_set(spark, sf_dir), min_overlap=DECON_MIN_OVERLAP
+    )
+    return decontamination_manifest(
+        load_table(spark, sf_dir, "documents"), overlaps, threshold=DECON_THRESHOLD
     )
 
 
@@ -813,6 +878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pair_jaccard": q_doc_pair_jaccard,
         "doc_pair_containment": q_doc_pair_containment,
         "doc_pair_lcs_contained": q_doc_pair_lcs_contained,
+        "decontam_overlap": q_decontam_overlap,
+        "decontam_manifest": q_decontam_manifest,
         "src_pair_jaccard": q_src_pair_jaccard,
         "src_minhash_sigs": q_src_minhash_sigs,
         "src_lsh_candidates": q_src_lsh_candidates,
@@ -1031,6 +1098,32 @@ SELECT c.a, c.b,
 FROM cand c
 JOIN documents da ON da.doc_id = c.a
 JOIN documents db ON db.doc_id = c.b"""
+    _BENCH_CTES = f"""
+bsnip AS (SELECT doc_id AS bench_id, tk[{BENCH_TOK_OFF + 1}:{BENCH_TOK_OFF + BENCH_TOK_LEN}] AS bt
+          FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)
+          WHERE doc_id % {BENCH_MOD} = {BENCH_REM} AND len(tk) >= {BENCH_TOK_OFF + BENCH_TOK_LEN}),
+bsh AS (SELECT bench_id, list_distinct(list_transform(range(1, len(bt) - {K} + 2),
+             i -> array_to_string(bt[i:i+{K - 1}], ' '))) AS s FROM bsnip),
+bx AS (SELECT bench_id, ('0x' || substr(md5(s1), 1, 15))::BIGINT AS h
+       FROM (SELECT bench_id, unnest(s) AS s1 FROM bsh)),
+bsz AS (SELECT bench_id, count(*) AS bench_size FROM bx GROUP BY bench_id),
+ov AS (SELECT shh.doc_id, bx.bench_id, count(*) AS overlap
+       FROM shh JOIN bx USING (h) GROUP BY 1, 2)"""
+    sql["decontam_overlap"] = f"""{_shh_cte()},{_BENCH_CTES}
+SELECT ov.doc_id, ov.bench_id, CAST(ov.overlap AS BIGINT) AS overlap,
+       CAST(bsz.bench_size AS BIGINT) AS bench_size,
+       CAST(ov.overlap AS DOUBLE) / CAST(bsz.bench_size AS DOUBLE) AS containment
+FROM ov JOIN bsz USING (bench_id)
+WHERE ov.overlap >= {DECON_MIN_OVERLAP}"""
+    sql["decontam_manifest"] = f"""{_shh_cte()},{_BENCH_CTES},
+cont AS (SELECT ov.doc_id,
+                max(CAST(ov.overlap AS DOUBLE) / CAST(bsz.bench_size AS DOUBLE)) AS mc
+         FROM ov JOIN bsz USING (bench_id)
+         WHERE ov.overlap >= {DECON_MIN_OVERLAP}
+         GROUP BY ov.doc_id)
+SELECT d.doc_id, COALESCE(cont.mc, 0.0) AS max_containment,
+       COALESCE(cont.mc, 0.0) >= {DECON_THRESHOLD} AS contaminated
+FROM documents d LEFT JOIN cont USING (doc_id)"""
     sql["src_pair_jaccard"] = f"""{_shh_cte()},
 mem AS (SELECT DISTINCT d.source AS src, shh.h
         FROM shh JOIN documents d USING (doc_id)),

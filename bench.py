@@ -74,6 +74,7 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, int]]
         "ann_cosine_topk",
         "ann_ivf_candidates",
         "quality_stats",
+        "decontam_manifest",
     ]
     qs = entrymod.queries()
     out, memo_hits = {}, {}

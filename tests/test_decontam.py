@@ -1,0 +1,108 @@
+"""Benchmark decontamination (operators/decontaminate.py).
+
+Functional: planted-leak recall (a doc containing a benchmark snippet
+verbatim scores containment 1.0; unrelated docs score 0), manifest
+completeness, threshold behavior. Plan: the corpus side must reach the join
+as a straight scan→explode with the BENCHMARK side broadcast — the corpus is
+never shuffled before the probe (the 100 TB property this operator exists
+for).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sycl_jaccard_spark.functions.shingles import shingle_hashes, shingles, tokens
+from sycl_jaccard_spark.operators.decontaminate import (
+    benchmark_ngrams,
+    contamination_overlap,
+    decontamination_manifest,
+)
+
+K = 3
+
+
+def _ngram_df(spark, rows, id_col="doc_id"):
+    df = spark.createDataFrame(rows, f"{id_col} long, text string")
+    return df.select(
+        id_col,
+        shingle_hashes(shingles(tokens(F.col("text")), K)).alias("ngram_hashes"),
+    )
+
+
+WORDS = [f"w{i}" for i in range(40)]
+SNIPPET = " ".join(WORDS[10:20])  # 10 tokens -> 8 distinct 3-gram shingles
+
+
+def _corpus(spark):
+    return _ngram_df(
+        spark,
+        [
+            # doc 1: contains the snippet verbatim inside a larger text
+            (1, " ".join(WORDS[:30])),
+            # doc 2: half the snippet (tokens 10..14) -> partial containment
+            (2, " ".join(WORDS[10:15] + ["x1", "x2", "x3", "x4", "x5"])),
+            # doc 3: disjoint vocabulary -> zero overlap
+            (3, " ".join(f"z{i}" for i in range(20))),
+        ],
+    )
+
+
+def _bench(spark):
+    return _ngram_df(spark, [(100, SNIPPET)], id_col="bench_id")
+
+
+def test_planted_leak_scores_containment_one(spark):
+    got = {
+        (r.doc_id, r.bench_id): r
+        for r in contamination_overlap(_corpus(spark), _bench(spark)).collect()
+    }
+    assert set(got) == {(1, 100), (2, 100)}  # doc 3 never appears
+    full = got[(1, 100)]
+    assert full.bench_size == 8
+    assert full.overlap == 8 and full.containment == 1.0
+    part = got[(2, 100)]
+    # tokens 10..14 inside doc 2 yield 3-grams (10,11,12),(11,12,13),(12,13,14)
+    assert part.overlap == 3 and part.containment == 3 / 8
+
+
+def test_min_overlap_filters_weak_hits(spark):
+    got = contamination_overlap(_corpus(spark), _bench(spark), min_overlap=4).collect()
+    assert {(r.doc_id, r.bench_id) for r in got} == {(1, 100)}
+
+
+def test_manifest_covers_every_doc_and_flags_by_threshold(spark):
+    corpus = _corpus(spark)
+    overlaps = contamination_overlap(corpus, _bench(spark))
+    docs = corpus.select("doc_id")
+    man = {
+        r.doc_id: r
+        for r in decontamination_manifest(docs, overlaps, threshold=0.5).collect()
+    }
+    assert set(man) == {1, 2, 3}
+    assert man[1].contaminated and man[1].max_containment == 1.0
+    assert not man[2].contaminated and man[2].max_containment == 3 / 8
+    assert not man[3].contaminated and man[3].max_containment == 0.0
+
+
+def test_benchmark_ngrams_dedups_and_sizes(spark):
+    bench = spark.createDataFrame(
+        [(7, [11, 11, 12])], "bench_id long, ngram_hashes array<long>"
+    )
+    exploded, sizes = benchmark_ngrams(bench)
+    assert sorted((r.bench_id, r.h) for r in exploded.collect()) == [(7, 11), (7, 12)]
+    assert sizes.collect()[0].bench_size == 2
+
+
+def test_decontam_plan_broadcasts_bench_never_shuffles_corpus(spark):
+    plan = (
+        contamination_overlap(_corpus(spark), _bench(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    # the overlap count is the ONLY hash exchange (post-join partial agg);
+    # the corpus explode must feed the join probe directly, unshuffled
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "SortMergeJoin" not in plan, plan
