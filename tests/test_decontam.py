@@ -106,3 +106,33 @@ def test_decontam_plan_broadcasts_bench_never_shuffles_corpus(spark):
     # the corpus explode must feed the join probe directly, unshuffled
     assert plan.count("Exchange hashpartitioning") <= 1, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_run_decontam_cli(spark, tmp_path):
+    from jobs.run_decontam import main
+
+    pairs_out = str(tmp_path / "pairs")
+    man_out = str(tmp_path / "man")
+    rc = main(
+        [
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--input-kind", "documents",
+            "--bench", "/root/testdata/sf0.001/documents.parquet",
+            "--bench-kind", "documents",
+            "--pairs-out", pairs_out,
+            "--manifest-out", man_out,
+            "--min-overlap", "3",
+        ]
+    )
+    assert rc == 0
+    pairs = spark.read.parquet(pairs_out)
+    assert set(pairs.columns) == {
+        "doc_id", "bench_id", "overlap", "bench_size", "containment"
+    }
+    # corpus == benchmark: every doc is its own verbatim leak
+    self_rows = pairs.filter(F.col("doc_id") == F.col("bench_id"))
+    assert self_rows.count() == 500
+    assert self_rows.filter(F.col("containment") < 1.0).count() == 0
+    man = spark.read.parquet(man_out)
+    assert man.count() == 500
+    assert man.filter(~F.col("contaminated")).count() == 0
