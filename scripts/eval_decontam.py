@@ -153,8 +153,11 @@ Broadcast probe, {cpus} cores, min_overlap=3.
 
 Corpus grew {ratio_docs:.1f}x, wall grew {ratio_wall:.1f}x — the probe cost
 is the corpus scan (broadcast join, no corpus shuffle; the plan pin lives in
-tests/test_decontam.py). Threshold discrimination: every full leak dropped,
-every half leak correctly retained. Gate: **{"PASS" if ok else "FAIL"}**.
+tests/test_decontam.py). The first level runs first in the session and
+absorbs JVM/codegen warmup, so a sub-linear wall ratio is warmup, not
+magic — the per-doc floor is the second level's docs/s. Threshold
+discrimination: every full leak dropped, every half leak correctly
+retained. Gate: **{"PASS" if ok else "FAIL"}**.
 """
     replace_section("BENCH/DECONTAM.md", "\n\n## Decontamination at scale", section)
     hdr = "# Decontamination evidence\n"
