@@ -94,6 +94,20 @@ def contamination_overlap(
     )
 
 
+def drop_contaminated(
+    files: DataFrame, manifest: DataFrame, id_col: str = "id"
+) -> DataFrame:
+    """Corpus action: the training set — every row of ``files`` whose
+    manifest row is not contaminated (mirrors representatives.py's kept-rows
+    action for dedup). The flagged-id side is a filtered projection of the
+    manifest (small by construction — leaks are rare), so it broadcasts and
+    the corpus passes through as an unshuffled anti-join probe."""
+    flagged = manifest.filter(F.col("contaminated")).select("doc_id")
+    return files.join(
+        F.broadcast(flagged), files[id_col] == flagged["doc_id"], "left_anti"
+    )
+
+
 def decontamination_manifest(
     doc_ids: DataFrame,
     overlaps: DataFrame,

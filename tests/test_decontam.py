@@ -17,6 +17,7 @@ from sycl_jaccard_spark.operators.decontaminate import (
     benchmark_ngrams,
     contamination_overlap,
     decontamination_manifest,
+    drop_contaminated,
 )
 
 K = 3
@@ -136,3 +137,16 @@ def test_run_decontam_cli(spark, tmp_path):
     man = spark.read.parquet(man_out)
     assert man.count() == 500
     assert man.filter(~F.col("contaminated")).count() == 0
+
+
+def test_drop_contaminated_action_keeps_clean_rows_unshuffled(spark):
+    corpus = _corpus(spark)
+    overlaps = contamination_overlap(corpus, _bench(spark))
+    manifest = decontamination_manifest(corpus.select("doc_id"), overlaps, threshold=0.5)
+    files = spark.createDataFrame(
+        [(1, "leaked"), (2, "partial"), (3, "clean")], "id long, content string"
+    )
+    kept = drop_contaminated(files, manifest)
+    assert {r.id for r in kept.collect()} == {2, 3}
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
