@@ -31,6 +31,19 @@ streaming leg, ``streaming/ingest.py``):
     label_fix/batch=N/      (node, label)           — post-removal labels, latest wins
     idf/                    (elem, w)               — frozen snapshot (weighted mode)
     volumes/batch=N/        (id, vol)               — per-rep Σw (weighted mode)
+    bench/                  (bench_id, ngram_hashes) — frozen benchmark set (decontam leg)
+    contam/batch=N/         (sha256, max_containment) — per-content leak scores
+
+The decontamination leg (``bench_snapshot=``) extends the same O(Δ) economics
+to benchmark-leak hygiene (``operators/decontaminate.py``): each delivery
+probes ONLY its never-seen contents against the broadcast benchmark n-gram
+set, scores persist keyed on sha256 so exact copies inherit them, and
+:meth:`DeltaDedup.contamination_manifest` /:meth:`DeltaDedup.decontaminate`
+reproduce the batch operator's manifest and drop action over the whole
+corpus — tested score-for-score equivalent to one batch probe of the union.
+The benchmark set is frozen corpus state like the IDF snapshot (fingerprint
+checked on reopen; a NEW eval set is a batch probe or a new store), and the
+drop threshold stays query-time — the store records scores, not verdicts.
 
 The corpus also SHRINKS: :meth:`DeltaDedup.remove_ids` tombstones files
 (takedown / GDPR / retention) at cost proportional to the affected
@@ -198,6 +211,8 @@ class DeltaDedup(DeltaStoreBase):
         enable_substring: bool = False,
         cc_mode: str = "incremental",
         idf_snapshot: DataFrame | None = None,
+        bench_snapshot: DataFrame | None = None,
+        bench_min_overlap: int = 1,
     ):
         self.spark = spark
         self.root = store_dir.rstrip("/")
@@ -211,6 +226,27 @@ class DeltaDedup(DeltaStoreBase):
             raise ValueError(
                 "idf_snapshot is only meaningful with candidate_weights='idf'"
             )
+        # decontamination leg: engaged by a snapshot on a NEW store, or by
+        # the persisted store/bench relation on reopen. Retroactive enabling
+        # is refused below (_init_bench_snapshot): earlier deliveries were
+        # never probed, so the manifest would silently under-report.
+        self.bench_min_overlap = int(bench_min_overlap)
+        has_bench = self._exists(f"{self.root}/bench/_SUCCESS")
+        if (
+            bench_snapshot is not None
+            and not has_bench
+            and self._exists(f"{self.root}/store_config")
+        ):
+            raise ValueError(
+                f"delta store {self.root} was created without a benchmark "
+                "snapshot — its earlier deliveries were never probed, so "
+                "enabling decontamination retroactively would silently "
+                "under-report contamination; re-ingest into a new store "
+                "opened with bench_snapshot="
+            )
+        self._bench_enabled = bench_snapshot is not None or has_bench
+        if self._bench_enabled:
+            self._relations["contam"] = "sha256 string, max_containment double"
         if cc_mode not in ("incremental", "full"):
             raise ValueError(f"unknown cc_mode {cc_mode!r}")
         if enable_substring and self.cfg.substring_verify == "lcs":
@@ -233,6 +269,9 @@ class DeltaDedup(DeltaStoreBase):
         self._novel_weight: float | None = None
         if self._weighted:
             self._init_idf_snapshot(idf_snapshot)
+        self._bench: DataFrame | None = None
+        if self._bench_enabled:
+            self._init_bench_snapshot(bench_snapshot)
 
     # ---- store plumbing ----
 
@@ -285,6 +324,58 @@ class DeltaDedup(DeltaStoreBase):
             )
         self._novel_weight = float(max_w)
 
+    def _bench_fingerprint(self, bench: DataFrame) -> tuple[int, int]:
+        """(item count, order-free content hash) of a benchmark snapshot —
+        same estimator family as :meth:`_idf_fingerprint`, over the exploded
+        (bench_id, n-gram) relation so array element ORDER does not matter
+        (the probe is set-semantic either way)."""
+        row = (
+            bench.select(
+                "bench_id", F.explode(F.array_distinct("ngram_hashes")).alias("h")
+            )
+            .agg(
+                F.count_distinct("bench_id").alias("n"),
+                F.bit_xor(F.xxhash64("bench_id", "h")).alias("h"),
+            )
+            .first()
+        )
+        return int(row["n"]), int(row["h"] or 0)
+
+    def _init_bench_snapshot(self, bench_snapshot: DataFrame | None) -> None:
+        """Load (and on first use persist) the benchmark n-gram relation the
+        store probes every delivery against — (bench_id, ngram_hashes), the
+        hashes computed with the SAME shingle config as the store (callers
+        use :func:`~sycl_jaccard_spark.functions.shingles.doc_shingle_hashes`
+        with this store's cfg). Corpus state exactly like the IDF snapshot:
+        reopening with a DIFFERENT benchmark set is refused — earlier
+        deliveries were probed against the stored one."""
+        path = f"{self.root}/bench"
+        if self._exists(f"{path}/_SUCCESS"):
+            stored = self.spark.read.parquet(path)
+            if bench_snapshot is not None and self._bench_fingerprint(
+                bench_snapshot.select("bench_id", "ngram_hashes")
+            ) != self._bench_fingerprint(stored):
+                raise ValueError(
+                    f"delta store {self.root} was created with a different "
+                    "benchmark snapshot; stored contamination scores are "
+                    "as-of that set — probe a NEW benchmark set in batch "
+                    "(operators/decontaminate.py) or re-ingest into a new "
+                    "store to change it"
+                )
+            self._bench = stored
+        else:
+            norm = bench_snapshot.select(
+                F.col("bench_id").cast("long").alias("bench_id"),
+                F.array_distinct("ngram_hashes").alias("ngram_hashes"),
+            )
+            norm.write.mode("overwrite").parquet(path)
+            self._bench = self.spark.read.parquet(path)
+        if self._bench.isEmpty():
+            raise ValueError(
+                "empty benchmark snapshot — decontamination needs at least "
+                "one benchmark item with a non-empty n-gram set"
+            )
+
     def _config_fingerprint(self) -> str:
         from dataclasses import asdict
 
@@ -295,6 +386,11 @@ class DeltaDedup(DeltaStoreBase):
         fp = {"cfg": asdict(self.cfg), "enable_simhash": self.enable_simhash}
         if self.enable_substring:
             fp["enable_substring"] = True
+        if self._bench_enabled:
+            # min_overlap changes which scores the contam relation records,
+            # so a store must keep probing under the floor it was created
+            # with (the snapshot itself is fingerprinted separately)
+            fp["bench_min_overlap"] = self.bench_min_overlap
         return json.dumps(fp, sort_keys=True)
 
     # ---- weighted (frozen-snapshot) legs ----
@@ -488,6 +584,43 @@ class DeltaDedup(DeltaStoreBase):
         n_new_uniques = shingled.count()
         t0 = self._mark("shingles", t0, rows=n_new_uniques, batch=bid)
 
+        # -- decontamination probe: ONLY the never-seen contents, against the
+        # broadcast benchmark snapshot (operators/decontaminate.py — the
+        # corpus side is never shuffled). Scores are keyed on sha256, so
+        # every exact copy — in this batch or any later one — inherits its
+        # content's score through files/(id, sha256) with no re-probe.
+        decontam_block: dict = {}
+        if self._bench is not None:
+            from sycl_jaccard_spark.operators.decontaminate import (
+                contamination_overlap,
+            )
+
+            per_doc = (
+                contamination_overlap(
+                    shingled,
+                    self._bench,
+                    id_col="id",
+                    ngrams_col="shingle_hashes",
+                    min_overlap=self.bench_min_overlap,
+                )
+                .groupBy("doc_id")
+                .agg(F.max("containment").alias("max_containment"))
+            )
+            # leak-sized (docs sharing >= min_overlap bench n-grams) —
+            # broadcast it against the Δ-sized id→sha256 map
+            contam_rows = (
+                new_uniques.select(F.col("id").alias("doc_id"), "sha256")
+                .join(F.broadcast(per_doc), "doc_id")
+                .select("sha256", "max_containment")
+            )
+            contam_out = self._write_batch("contam", contam_rows, bid)
+            n_overlapping = contam_out.count()
+            decontam_block = {
+                "n_probed": n_new_uniques,
+                "n_overlapping": n_overlapping,
+            }
+            t0 = self._mark("decontam", t0, rows=n_overlapping, batch=bid)
+
         idf_drift: dict = {}
         if self._weighted:
             # CWS against the frozen snapshot; returns checkpointed
@@ -653,6 +786,8 @@ class DeltaDedup(DeltaStoreBase):
             # grows past tolerance, the frozen weights have drifted from the
             # corpus — retrain idf_weights in batch and re-ingest (new store)
             summary["idf_drift"] = idf_drift
+        if decontam_block:
+            summary["decontam"] = decontam_block
         self._write_lineage("edges", bid, {**summary, "config": json.loads(self._config_fingerprint())})
         self.metrics.append({"stage": "batch_total", **summary})
         return summary
@@ -902,6 +1037,11 @@ class DeltaDedup(DeltaStoreBase):
             enable_substring=self.enable_substring,
             cc_mode=self.cc_mode,
             idf_snapshot=idf_snapshot,
+            # the benchmark snapshot carries over unchanged: contamination
+            # scores are weight-independent (set containment), so the new
+            # store re-probes the re-ingested corpus against the same set
+            bench_snapshot=self._bench,
+            bench_min_overlap=self.bench_min_overlap,
         )
         summary = new_store.add_batch(corpus)
         self.metrics.append(
@@ -930,3 +1070,69 @@ class DeltaDedup(DeltaStoreBase):
         return deduplicate_corpus(
             files, self.clusters(), strategy, id_col=id_col, content_col=content_col
         )
+
+    def contamination_manifest(self, threshold: float = 0.5) -> DataFrame:
+        """(doc_id, max_containment, contaminated) for every SURVIVING file —
+        the same per-document drop manifest as the batch operator
+        (:func:`~sycl_jaccard_spark.operators.decontaminate.decontamination_manifest`),
+        maintained incrementally: each delivery probed only its never-seen
+        contents, and every exact copy inherits its content's score through
+        the sha256 key. ``threshold`` is a QUERY-time parameter (the store
+        persists raw scores, not verdicts), so tightening the drop rule
+        never needs a re-probe.
+
+        Tested equivalent, score-for-score, to the batch manifest over the
+        unioned corpus (tests/test_delta.py)."""
+        if not self._bench_enabled:
+            raise ValueError(
+                "this store has no benchmark snapshot — open a NEW store "
+                "with bench_snapshot= to maintain a contamination manifest "
+                "(retroactive enabling is refused: earlier deliveries were "
+                "never probed)"
+            )
+        # fold re-probe duplicates (a tombstoned rep's content re-delivered
+        # later is probed again, with identical scores) to one row per content
+        contam = (
+            self._read("contam", "sha256 string, max_containment double")
+            .groupBy("sha256")
+            .agg(F.max("max_containment").alias("max_containment"))
+        )
+        tomb = self._tombstones()
+        surv = self._read("files", self._RELATIONS["files"]).join(
+            F.broadcast(tomb), "id", "left_anti"
+        )
+        # contam is leak-sized by construction (only contents sharing >=
+        # min_overlap benchmark n-grams have rows) — broadcast it so the
+        # corpus identity relation streams through unshuffled
+        return surv.join(F.broadcast(contam), "sha256", "left").select(
+            F.col("id").alias("doc_id"),
+            F.coalesce("max_containment", F.lit(0.0)).alias("max_containment"),
+            (F.coalesce("max_containment", F.lit(0.0)) >= threshold).alias(
+                "contaminated"
+            ),
+        )
+
+    def decontaminate(
+        self, files: DataFrame, threshold: float = 0.5, id_col: str = "id"
+    ) -> tuple[DataFrame, DataFrame]:
+        """Corpus action: ``(training_set, manifest)`` — ``files`` minus every
+        row whose content leaks a benchmark item at ``threshold``, via the
+        same broadcast anti-join as the batch
+        :func:`~sycl_jaccard_spark.operators.decontaminate.drop_contaminated`.
+        Like :meth:`deduplicate`, the store keeps identity, not content —
+        pass the source-of-truth corpus relation."""
+        from sycl_jaccard_spark.operators.decontaminate import drop_contaminated
+
+        manifest = self.contamination_manifest(threshold)
+        return drop_contaminated(files, manifest, id_col), manifest
+
+    def _compact_transform(self, name: str, df: DataFrame, ctx: dict) -> DataFrame:
+        if name == "contam":
+            # content-keyed scores: tombstones are id-scoped and do not
+            # invalidate a content fact (surviving copies keep their score;
+            # a lingering row for fully-removed content is harmless and
+            # sparse). Fold re-probe duplicates to one row per content.
+            return df.groupBy("sha256").agg(
+                F.max("max_containment").alias("max_containment")
+            )
+        return super()._compact_transform(name, df, ctx)

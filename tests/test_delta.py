@@ -887,3 +887,161 @@ def test_delta_winnow_pass_equals_batch(spark, tmp_path):
 
     with pytest.raises(ValueError, match="different config"):
         DeltaDedup(spark, str(tmp_path / "wn"), CFG, enable_substring=True)
+
+
+# ---- incremental decontamination (store-integrated benchmark hygiene) ----
+
+
+def _bench_from_contents(spark, files, ids, cfg=CFG):
+    """Benchmark items whose n-gram sets ARE selected corpus files' shingle
+    sets (a verbatim leak: containment 1.0 by construction), hashed with the
+    store's own shingle config — the shape contract of bench_snapshot=."""
+    from sycl_jaccard_spark.functions.shingles import doc_shingle_hashes
+
+    return (
+        files.filter(F.col("id").isin(ids))
+        .select(
+            F.col("id").alias("bench_id"),
+            doc_shingle_hashes(F.col("content"), cfg).alias("ngram_hashes"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _batch_manifest(spark, files, bench, threshold, cfg=CFG):
+    """The batch operator's manifest over the full corpus — the oracle the
+    incremental manifest must reproduce score-for-score."""
+    from sycl_jaccard_spark.functions.shingles import doc_shingle_hashes
+    from sycl_jaccard_spark.operators.decontaminate import (
+        contamination_overlap,
+        decontamination_manifest,
+    )
+
+    docs = files.select(
+        F.col("id").alias("doc_id"),
+        doc_shingle_hashes(F.col("content"), cfg).alias("ngram_hashes"),
+    )
+    return decontamination_manifest(
+        files.select(F.col("id").alias("doc_id")),
+        contamination_overlap(docs, bench, id_col="doc_id"),
+        threshold=threshold,
+        id_col="doc_id",
+    )
+
+
+def _manifest_dict(df) -> dict:
+    return {
+        r["doc_id"]: (round(r["max_containment"], 12), r["contaminated"])
+        for r in df.collect()
+    }
+
+
+def test_delta_decontam_equals_batch_manifest(spark, tmp_path, corpus):
+    """Three deliveries through a bench-enabled store == ONE batch probe of
+    the unioned corpus, score-for-score and verdict-for-verdict — per-batch
+    probe cost stays O(Δ never-seen contents) while the manifest stays
+    corpus-complete (exact copies inherit through sha256)."""
+    leak_ids = [r["id"] for r in corpus.orderBy("id").limit(2).collect()]
+    bench = _bench_from_contents(spark, corpus, leak_ids)
+    store = DeltaDedup(
+        spark, str(tmp_path / "store"), CFG, bench_snapshot=bench
+    )
+    probed = 0
+    for batch in _batches(corpus, 3):
+        summary = store.add_batch(batch)
+        assert summary["decontam"]["n_probed"] == summary["n_new_uniques"]
+        probed += summary["decontam"]["n_probed"]
+    # only never-seen contents ever pay a probe
+    assert probed == corpus.select("content").distinct().count()
+
+    got = _manifest_dict(store.contamination_manifest(threshold=0.8))
+    expected = _manifest_dict(
+        _batch_manifest(spark, corpus, bench, threshold=0.8)
+    )
+    assert got == expected
+    # the planted verbatim leaks flag at containment 1.0
+    for lid in leak_ids:
+        assert got[lid] == (1.0, True)
+    assert sum(1 for _, c in got.values() if c) >= len(leak_ids)
+
+
+def test_delta_decontam_action_replay_and_snapshot_identity(
+    spark, tmp_path, corpus
+):
+    """The drop action removes exactly the flagged rows; replaying the latest
+    delivery leaves the manifest unchanged (partition-overwrite idempotence);
+    reopening without the arg works, with a DIFFERENT benchmark set refuses,
+    and retroactive enabling on a bench-less store refuses."""
+    leak_ids = [r["id"] for r in corpus.orderBy("id").limit(1).collect()]
+    bench = _bench_from_contents(spark, corpus, leak_ids)
+    path = str(tmp_path / "store")
+    store = DeltaDedup(spark, path, CFG, bench_snapshot=bench)
+    batches = _batches(corpus, 2)
+    for b in batches:
+        last = store.add_batch(b)
+    before = _manifest_dict(store.contamination_manifest(threshold=0.8))
+
+    kept, manifest = store.decontaminate(corpus, threshold=0.8)
+    flagged = {d for d, (_, c) in before.items() if c}
+    assert {r["id"] for r in kept.collect()} == set(before) - flagged
+    assert leak_ids[0] in flagged
+
+    # at-least-once replay of the latest batch
+    store.add_batch(batches[-1], batch_id=last["batch"])
+    assert _manifest_dict(store.contamination_manifest(threshold=0.8)) == before
+
+    # reopen without the arg: loads the persisted snapshot
+    re1 = DeltaDedup(spark, path, CFG)
+    assert _manifest_dict(re1.contamination_manifest(threshold=0.8)) == before
+    # a different benchmark set is refused (scores are as-of the stored one)
+    other = _bench_from_contents(
+        spark, corpus, [r["id"] for r in corpus.orderBy(F.desc("id")).limit(1).collect()]
+    )
+    with pytest.raises(ValueError, match="different benchmark"):
+        DeltaDedup(spark, path, CFG, bench_snapshot=other)
+    # retroactive enabling on a store created without a bench leg
+    plain = DeltaDedup(spark, str(tmp_path / "plain"), CFG)
+    plain.add_batch(batches[0])
+    with pytest.raises(ValueError, match="retroactively"):
+        DeltaDedup(spark, str(tmp_path / "plain"), CFG, bench_snapshot=bench)
+    with pytest.raises(ValueError, match="no benchmark snapshot"):
+        plain.contamination_manifest()
+
+
+def test_delta_decontam_survives_removal_and_compaction(spark, tmp_path, corpus):
+    """Tombstoned ids leave the manifest (their surviving exact copies keep
+    the content's score); compact() folds the contam relation without
+    changing any surviving score; post-compact deliveries keep probing."""
+    batches = _batches(corpus, 3)
+    # leak ids from an ALREADY-INGESTED batch: an id removed before its own
+    # delivery would (correctly) return when that delivery arrives —
+    # remove-then-redeliver means the content is back
+    leak_ids = [r["id"] for r in batches[0].orderBy("id").limit(2).collect()]
+    bench = _bench_from_contents(spark, corpus, leak_ids)
+    store = DeltaDedup(
+        spark, str(tmp_path / "store"), CFG, bench_snapshot=bench
+    )
+    for b in batches[:2]:
+        store.add_batch(b)
+    store.remove_ids([leak_ids[0]])
+    m = _manifest_dict(store.contamination_manifest(threshold=0.8))
+    assert leak_ids[0] not in m
+    surv_before = m
+
+    store.compact()
+    assert _manifest_dict(store.contamination_manifest(threshold=0.8)) == surv_before
+
+    summary = store.add_batch(batches[2])
+    assert "decontam" in summary
+    got = _manifest_dict(store.contamination_manifest(threshold=0.8))
+    expected = _manifest_dict(
+        _batch_manifest(
+            spark,
+            corpus.join(
+                spark.createDataFrame([(leak_ids[0],)], "id long"), "id", "left_anti"
+            ),
+            bench,
+            threshold=0.8,
+        )
+    )
+    assert got == expected
