@@ -726,6 +726,43 @@ def q_delta_compact_clusters(spark, sf_dir):
         shutil.rmtree(store_dir, ignore_errors=True)
 
 
+def q_delta_contam_manifest(spark, sf_dir):
+    """INCREMENTAL decontamination (plans/delta.py bench_snapshot= leg): a
+    bench-enabled delta store ingests the corpus in TWO deliveries, probing
+    only each delivery's never-seen contents against the frozen benchmark
+    set; exact copies inherit their content's score through sha256. The
+    store manifest is score-for-score the batch operator's manifest over the
+    union (tested in tests/test_delta.py), so the oracle is the SAME DuckDB
+    probe replay as decontam_manifest."""
+    import shutil
+    import tempfile
+
+    from sycl_jaccard_spark.plans.delta import DeltaDedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = documents_as_files(docs).select("id", "content")
+    cfg = PipelineConfig(
+        num_perms=N_PERMS, bands=N_BANDS, rows_per_band=N_PERMS // N_BANDS,
+        shingle_k=K, bucket_cap=10**9, portable_hashes=True,
+    )
+    store_dir = tempfile.mkdtemp(prefix="delta_decon_contract_")
+    try:
+        store = DeltaDedup(
+            spark, f"{store_dir}/store", cfg, enable_simhash=False,
+            bench_snapshot=_bench_set(spark, sf_dir),
+            bench_min_overlap=DECON_MIN_OVERLAP,
+        )
+        for parity in (0, 1):
+            store.add_batch(files.filter(F.pmod("id", F.lit(2)) == parity))
+        return (
+            store.contamination_manifest(threshold=DECON_THRESHOLD)
+            .orderBy("doc_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(store_dir, ignore_errors=True)
+
+
 def q_dedup_rep_selection(spark, sf_dir):
     """Corpus-level dedup ACTION on top of the portable pipeline clusters:
     longest-content representative per cluster (ties -> min id) and a full
@@ -898,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_dedup_clusters": q_delta_dedup_clusters,
         "delta_remove_clusters": q_delta_remove_clusters,
         "delta_compact_clusters": q_delta_compact_clusters,
+        "delta_contam_manifest": q_delta_contam_manifest,
         "dedup_rep_selection": q_dedup_rep_selection,
         "dedup_pipeline_full": q_dedup_pipeline_full,
         "ann_lsh_candidates": q_ann_lsh_candidates,
@@ -1371,6 +1409,10 @@ SELECT a, b, cosine FROM cs WHERE cosine >= {EMB_THRESHOLD}"""
     # replay — a hash mismatch here would catch a fold that loses, double-
     # applies, or mis-orders the closure/fix overlays it folds into the base
     sql["delta_compact_clusters"] = sql["delta_remove_clusters"]
+    # delta DECONTAMINATION: the store manifest is score-for-score the batch
+    # probe over the unioned corpus (probe only never-seen contents, inherit
+    # through sha256 — tested), so it answers to the identical oracle
+    sql["delta_contam_manifest"] = sql["decontam_manifest"]
     sql["dedup_pipeline_full"] = _cluster_replay_sql(with_simhash=True)
     # dedup_rep_selection: the same cluster replay, extended with longest-
     # content representative selection (ties -> min id) and the keep/drop
