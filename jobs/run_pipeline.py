@@ -138,6 +138,34 @@ def parse_args(argv=None):
         help="parquet part files per relation written by --delta-compact",
     )
     p.add_argument(
+        "--bench", default=None, metavar="PARQUET",
+        help="with --delta-store: benchmark/eval set (id, content) to freeze "
+             "into the store as the decontamination snapshot — shingled with "
+             "this run's config on creation, fingerprint-checked on reopen. "
+             "One-shot (batch) decontamination is jobs/run_decontam.py",
+    )
+    p.add_argument(
+        "--bench-kind", choices=["files", "documents"], default="files",
+        help="'documents' adapts the testdata documents table for --bench",
+    )
+    p.add_argument(
+        "--bench-min-overlap", type=int, default=1,
+        help="record contamination scores for pairs sharing >= this many "
+             "n-grams (store config, fixed at creation — a reopen must pass "
+             "the same value)",
+    )
+    p.add_argument(
+        "--contam-manifest-out", default=None, metavar="DIR",
+        help="with --delta-store on a bench-enabled store: write the "
+             "whole-store (doc_id, max_containment, contaminated) manifest "
+             "after this epoch",
+    )
+    p.add_argument(
+        "--contam-threshold", type=float, default=0.5,
+        help="drop rule on max containment for --contam-manifest-out "
+             "(query-time — the store persists scores, not verdicts)",
+    )
+    p.add_argument(
         "--shingle-mode", choices=["token", "char"], default="token",
         help="char: whitespace-stripped char k-grams — robust to "
              "minified/reformatted code where token boundaries move",
@@ -208,6 +236,22 @@ def parse_args(argv=None):
         p.error("--delta-migrate only applies with --weighted (unweighted "
                 "signatures are content-deterministic — a rebuild would "
                 "reproduce the same store; use --delta-compact for hygiene)")
+    if args.delta_store is None:
+        for flag, val, default in (
+            ("--bench", args.bench, None),
+            ("--bench-kind", args.bench_kind, "files"),
+            ("--bench-min-overlap", args.bench_min_overlap, 1),
+            ("--contam-manifest-out", args.contam_manifest_out, None),
+            ("--contam-threshold", args.contam_threshold, 0.5),
+        ):
+            if val != default:
+                p.error(f"{flag} only applies with --delta-store "
+                        "(one-shot decontamination is jobs/run_decontam.py)")
+    if args.contam_threshold != 0.5 and args.contam_manifest_out is None:
+        p.error("--contam-threshold only applies with --contam-manifest-out")
+    if args.bench is not None and args.delta_migrate is not None:
+        p.error("--bench cannot be combined with --delta-migrate (the "
+                "benchmark snapshot carries over to the new store unchanged)")
     return args
 
 
@@ -260,11 +304,30 @@ def main(argv=None) -> int:
             idf_snapshot = spark.read.parquet(args.idf_snapshot)
         elif args.idf_train:
             idf_snapshot = train_idf_snapshot(files, cfg)
+        bench_snapshot = None
+        if args.bench is not None:
+            from pyspark.sql import functions as F
+
+            from sycl_jaccard_spark.functions.shingles import doc_shingle_hashes
+
+            braw = read_source_table(spark, args.bench)
+            if args.bench_kind == "documents":
+                braw = documents_as_files(braw)
+            elif "id" not in braw.columns:
+                # eval sets usually ship (id, content); a source-table-shaped
+                # set (repo, path, commit, ...) gets the standard derived id
+                braw = with_file_id(braw)
+            bench_snapshot = braw.select(
+                F.col("id").alias("bench_id"),
+                doc_shingle_hashes(F.col("content"), cfg).alias("ngram_hashes"),
+            )
         store = DeltaDedup(
             spark, args.delta_store, cfg,
             enable_simhash=not args.no_simhash,
             enable_substring=args.substring,
             idf_snapshot=idf_snapshot,
+            bench_snapshot=bench_snapshot,
+            bench_min_overlap=args.bench_min_overlap,
         )
         t0 = time.monotonic()
         if args.delta_compact:
@@ -284,6 +347,15 @@ def main(argv=None) -> int:
         store.clusters().write.mode("overwrite").parquet(
             os.path.join(args.output, "clusters")
         )
+        if args.contam_manifest_out is not None:
+            store.contamination_manifest(
+                threshold=args.contam_threshold
+            ).write.mode("overwrite").parquet(args.contam_manifest_out)
+            summary = dict(summary)
+            summary["contam_dropped"] = (
+                spark.read.parquet(args.contam_manifest_out)
+                .filter("contaminated").count()
+            )
         wall = time.monotonic() - t0
         os.makedirs(args.output, exist_ok=True)
         store.metrics.append(

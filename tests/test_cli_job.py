@@ -521,3 +521,93 @@ def test_substring_knobs_require_substring_flag():
         "--substring-pass", "winnow", "--substring-verify", "lcs",
     ])
     assert args.substring_pass == "winnow" and args.substring_verify == "lcs"
+
+
+def test_run_pipeline_cli_delta_decontam(spark, tmp_path):
+    """--bench on store creation freezes the decontamination snapshot; a
+    reopen delivery (no --bench) keeps probing; --contam-manifest-out writes
+    the whole-store manifest with exactly the planted leak flagged and the
+    half-leak scored below threshold."""
+    from jobs.run_pipeline import main
+
+    def content(i):
+        return " ".join(f"tok{i}_{t}" for t in range(30))
+
+    # doc 3 is a verbatim benchmark leak; doc 7 embeds the first half of the
+    # bench window (containment 11/26 with shingle_k=5: scored, not flagged)
+    rows = []
+    for i in range(10):
+        if i == 7:
+            c = " ".join(
+                [f"tok3_{t}" for t in range(15)]
+                + [f"tok7_{t}" for t in range(15, 30)]
+            )
+        else:
+            c = content(i)
+        rows.append((i, c, "python"))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    d0, d1 = str(tmp_path / "d0"), str(tmp_path / "d1")
+    corpus.filter("doc_id < 5").write.parquet(d0)
+    corpus.filter("doc_id >= 5").write.parquet(d1)
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(0, content(3))], "id long, content string"
+    ).write.parquet(bench)
+
+    store = str(tmp_path / "store")
+    manifest_out = str(tmp_path / "contam")
+    assert main([
+        "--input", d0, "--input-kind", "documents",
+        "--output", str(tmp_path / "o0"),
+        "--delta-store", store, "--bench", bench,
+        "--num-perms", "64", "--bands", "16",
+    ]) == 0
+    assert main([
+        "--input", d1, "--input-kind", "documents",
+        "--output", str(tmp_path / "o1"),
+        "--delta-store", store,
+        "--contam-manifest-out", manifest_out,
+        "--num-perms", "64", "--bands", "16",
+    ]) == 0
+
+    m = {r.doc_id: r for r in spark.read.parquet(manifest_out).collect()}
+    assert set(m) == set(range(10))
+    assert {i for i in m if m[i].contaminated} == {3}
+    assert m[3].max_containment == 1.0
+    assert 0.0 < m[7].max_containment < 0.5
+    assert m[0].max_containment == 0.0
+
+
+def test_cli_decontam_flags_require_delta_store():
+    """--bench / --contam-manifest-out / their knobs without --delta-store
+    are parse-time errors (one-shot decontamination is run_decontam.py), and
+    --contam-threshold without --contam-manifest-out is refused."""
+    import pytest
+
+    from jobs.run_pipeline import parse_args
+
+    for extra in (
+        ["--bench", "b"],
+        ["--bench-kind", "documents"],
+        ["--bench-min-overlap", "3"],
+        ["--contam-manifest-out", "m"],
+        ["--contam-threshold", "0.6"],
+    ):
+        with pytest.raises(SystemExit):
+            parse_args(["--input", "x", "--output", "y"] + extra)
+    with pytest.raises(SystemExit):
+        parse_args([
+            "--input", "x", "--output", "y", "--delta-store", "d",
+            "--contam-threshold", "0.6",
+        ])
+    with pytest.raises(SystemExit):
+        parse_args([
+            "--input", "x", "--output", "y", "--delta-store", "d",
+            "--weighted", "--bench", "b", "--delta-migrate", "n",
+        ])
+    args = parse_args([
+        "--input", "x", "--output", "y", "--delta-store", "d",
+        "--bench", "b", "--bench-min-overlap", "3",
+        "--contam-manifest-out", "m", "--contam-threshold", "0.6",
+    ])
+    assert args.bench == "b" and args.contam_threshold == 0.6
