@@ -720,3 +720,76 @@ def test_streaming_delta_store_equals_full_run(spark, tmp_path):
     got = {(r.id, r.cluster) for r in store.clusters().collect()}
     assert got == expect
     assert len(got) == 80
+
+
+def test_streaming_delta_store_maintains_contamination_manifest(spark, tmp_path):
+    """Streaming x decontamination composition: a bench-enabled store fed
+    through foreachBatch(delta_store_batch_writer) maintains the SAME
+    whole-corpus contamination manifest as one batch probe of all files —
+    the hygiene leg needs no streaming-specific code path."""
+    from sycl_jaccard_spark.functions.shingles import doc_shingle_hashes
+    from sycl_jaccard_spark.operators.decontaminate import (
+        contamination_overlap,
+        decontamination_manifest,
+    )
+    from sycl_jaccard_spark.plans.delta import DeltaDedup
+    from sycl_jaccard_spark.streaming.ingest import (
+        delta_store_batch_writer,
+        incremental_exact_dedup,
+        read_file_stream,
+    )
+
+    files, _ = synth_source_files(
+        spark, CorpusSpec(n_files=80, n_clusters=15, seed=29)
+    )
+    files = files.localCheckpoint(eager=True)
+    cfg = PipelineConfig(num_perms=32, bands=8, rows_per_band=4)
+    batch_files = incremental_exact_dedup(files).select("id", "content")
+    leak_ids = [r["id"] for r in batch_files.orderBy("id").limit(2).collect()]
+    bench = (
+        batch_files.filter(F.col("id").isin(leak_ids))
+        .select(
+            F.col("id").alias("bench_id"),
+            doc_shingle_hashes(F.col("content"), cfg).alias("ngram_hashes"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    store = DeltaDedup(
+        spark, str(tmp_path / "store"), cfg,
+        bench_snapshot=bench, bench_min_overlap=2,
+    )
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    w1 = files.filter(F.pmod(F.xxhash64("path"), F.lit(2)) == 0)
+    w2 = files.join(w1, ["repo", "path", "commit"], "left_anti")
+    for wave in (w1, w2):
+        wave.write.mode("append").parquet(src)
+        q = (
+            read_file_stream(spark, src)
+            .writeStream.foreachBatch(delta_store_batch_writer(store))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    got = {
+        r["doc_id"]: (round(r["max_containment"], 12), r["contaminated"])
+        for r in store.contamination_manifest(threshold=0.8).collect()
+    }
+    docs = batch_files.select(
+        F.col("id").alias("doc_id"),
+        doc_shingle_hashes(F.col("content"), cfg).alias("ngram_hashes"),
+    )
+    expect = {
+        r["doc_id"]: (round(r["max_containment"], 12), r["contaminated"])
+        for r in decontamination_manifest(
+            batch_files.select(F.col("id").alias("doc_id")),
+            contamination_overlap(docs, bench, id_col="doc_id", min_overlap=2),
+            threshold=0.8,
+            id_col="doc_id",
+        ).collect()
+    }
+    assert got == expect
+    for i in leak_ids:
+        assert got[i] == (1.0, True)
