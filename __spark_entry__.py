@@ -784,6 +784,35 @@ def q_dedup_rep_selection(spark, sf_dir):
     )
 
 
+def q_clean_training_manifest(spark, sf_dir):
+    """The composed corpus ACTION (operators/representatives.py
+    training_set): decontaminate FIRST (drop every document leaking a
+    benchmark item at DECON_THRESHOLD), then keep one longest-content
+    representative per near-dup cluster among the SURVIVORS — a cluster
+    whose longest member is a leak keeps its best clean member
+    (representative succession). One manifest row per document: (id,
+    cluster, rep_id, max_containment, keep, drop_reason). The oracle
+    replays the whole pipeline, the benchmark probe AND the
+    succession-aware rep selection in one SQL statement."""
+    from sycl_jaccard_spark.operators.representatives import training_set
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = documents_as_files(docs)
+    clusters = _portable_clusters(spark, sf_dir, simhash=False)
+    contam = q_decontam_manifest(spark, sf_dir)
+    _, manifest = training_set(
+        files.select("id", "content"), clusters, contam, strategy="longest"
+    )
+    return manifest.select(
+        F.col("id").cast("long"),
+        F.col("cluster").cast("long"),
+        F.col("rep_id").cast("long"),
+        F.col("max_containment").cast("double"),
+        F.col("keep").cast("boolean"),
+        F.col("drop_reason").cast("string"),
+    )
+
+
 def q_ann_lsh_candidates(spark, sf_dir):
     # bucket_cap is non-triggering here: the DuckDB oracle self-joins buckets
     # uncapped, so both sides must keep every member (cap behavior is tested
@@ -937,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_compact_clusters": q_delta_compact_clusters,
         "delta_contam_manifest": q_delta_contam_manifest,
         "dedup_rep_selection": q_dedup_rep_selection,
+        "clean_training_manifest": q_clean_training_manifest,
         "dedup_pipeline_full": q_dedup_pipeline_full,
         "ann_lsh_candidates": q_ann_lsh_candidates,
         "ann_ivf_candidates": q_ann_ivf_candidates,
@@ -1430,6 +1460,40 @@ SELECT CAST(c.id AS BIGINT) AS id, CAST(c.cluster AS BIGINT) AS cluster,
        CAST(r.rep_id AS BIGINT) AS rep_id,
        CAST(c.id = r.rep_id AS INTEGER) AS kept
 FROM clus c JOIN reps r ON r.cluster = c.cluster""",
+    )
+    # clean_training_manifest: the composed corpus action — the same cluster
+    # replay, extended with the benchmark probe CTEs (rebased onto shd, the
+    # replay's DISTINCT (doc_id, h) relation — the chain's shh feeds MinHash
+    # and may carry duplicates) and a succession-aware rep selection: reps
+    # are ranked among NON-contaminated members only, so a cluster whose
+    # longest member is a leak keeps its best clean member
+    _BENCH_ON_SHD = _BENCH_CTES.replace("shh", "shd")
+    sql["clean_training_manifest"] = _cluster_replay_sql(
+        with_simhash=False,
+        tail=f""",{_BENCH_ON_SHD},
+cont AS (SELECT ov.doc_id,
+                max(CAST(ov.overlap AS DOUBLE) / CAST(bsz.bench_size AS DOUBLE)) AS mc
+         FROM ov JOIN bsz USING (bench_id)
+         WHERE ov.overlap >= {DECON_MIN_OVERLAP}
+         GROUP BY ov.doc_id),
+clus AS MATERIALIZED (SELECT node AS id, min(lab) AS cluster FROM reach GROUP BY node),
+flag AS (SELECT d.doc_id AS id, COALESCE(cont.mc, 0.0) AS mc,
+                COALESCE(cont.mc, 0.0) >= {DECON_THRESHOLD} AS contaminated
+         FROM documents d LEFT JOIN cont ON cont.doc_id = d.doc_id),
+reps AS (SELECT cluster, id AS rep_id FROM (
+           SELECT c.cluster, c.id,
+                  row_number() OVER (PARTITION BY c.cluster
+                                     ORDER BY length(d.text) DESC, c.id) AS rn
+           FROM clus c JOIN flag f ON f.id = c.id AND NOT f.contaminated
+           JOIN documents d ON d.doc_id = c.id) WHERE rn = 1)
+SELECT CAST(c.id AS BIGINT) AS id, CAST(c.cluster AS BIGINT) AS cluster,
+       CAST(CASE WHEN f.contaminated THEN NULL ELSE r.rep_id END AS BIGINT) AS rep_id,
+       f.mc AS max_containment,
+       (NOT f.contaminated AND c.id = r.rep_id) AS keep,
+       CASE WHEN f.contaminated THEN 'contaminated'
+            WHEN c.id <> r.rep_id THEN 'duplicate' END AS drop_reason
+FROM clus c JOIN flag f ON f.id = c.id
+LEFT JOIN reps r ON r.cluster = c.cluster""",
     )
     return sql
 

@@ -31,6 +31,7 @@ from sycl_jaccard_spark.operators.ann import (
 from sycl_jaccard_spark.operators.representatives import (
     deduplicate_corpus,
     select_representatives,
+    training_set,
 )
 from sycl_jaccard_spark.operators.weighted_dedup import (
     idf_weighted_candidates,
@@ -65,6 +66,7 @@ __all__ = [
     "train_ivf_centroids",
     "deduplicate_corpus",
     "select_representatives",
+    "training_set",
     "idf_weighted_candidates",
     "idf_weights",
     "weighted_memberships",

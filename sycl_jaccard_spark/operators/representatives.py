@@ -72,3 +72,57 @@ def deduplicate_corpus(
         id_col,
     )
     return kept, manifest
+
+
+def training_set(
+    files: DataFrame,
+    clusters: DataFrame,
+    contam_manifest: DataFrame,
+    strategy: str = "longest",
+    id_col: str = "id",
+    content_col: str = "content",
+) -> tuple[DataFrame, DataFrame]:
+    """The full corpus action an LLM-data pipeline runs before training:
+    drop benchmark leaks AND near/exact duplicates in ONE manifest, composed
+    in the hygiene-correct order — decontaminate FIRST, then pick each
+    cluster's representative among the SURVIVORS. A cluster whose best
+    member is a leak keeps its best clean member (representative
+    succession) instead of losing the whole cluster; dropping order the
+    other way around would silently discard such clusters.
+
+    ``contam_manifest`` is the (doc_id, max_containment, contaminated)
+    relation from :func:`~sycl_jaccard_spark.operators.decontaminate.
+    decontamination_manifest` or ``DeltaDedup.contamination_manifest``.
+
+    Returns ``(training_files, manifest)``. ``manifest`` has one row per
+    clustered file: (id, cluster, rep_id, max_containment, keep,
+    drop_reason) with ``drop_reason`` ∈ (NULL, 'contaminated',
+    'duplicate') and ``rep_id`` NULL for contaminated rows (they never
+    enter representative selection). The contaminated set is leak-sized, so
+    both anti-joins broadcast it — the corpus relations stream through
+    unshuffled.
+    """
+    contam = contam_manifest.select(
+        F.col("doc_id").alias("id"), "max_containment", "contaminated"
+    )
+    flagged = contam.filter("contaminated").select("id")
+    clean = files.join(
+        F.broadcast(flagged.withColumnRenamed("id", id_col)), id_col, "left_anti"
+    )
+    clean_clusters = clusters.join(F.broadcast(flagged), "id", "left_anti")
+    kept, dd = deduplicate_corpus(clean, clean_clusters, strategy, id_col, content_col)
+    manifest = (
+        clusters.join(contam, "id", "left")
+        .join(dd.select("id", "rep_id", "kept"), "id", "left")
+        .select(
+            "id",
+            "cluster",
+            "rep_id",
+            F.coalesce("max_containment", F.lit(0.0)).alias("max_containment"),
+            F.coalesce(F.col("kept") == 1, F.lit(False)).alias("keep"),
+            F.when(F.coalesce("contaminated", F.lit(False)), F.lit("contaminated"))
+            .when(F.col("kept") == 0, F.lit("duplicate"))
+            .alias("drop_reason"),
+        )
+    )
+    return kept, manifest

@@ -1126,6 +1126,35 @@ class DeltaDedup(DeltaStoreBase):
         manifest = self.contamination_manifest(threshold)
         return drop_contaminated(files, manifest, id_col), manifest
 
+    def training_set(
+        self,
+        files: DataFrame,
+        threshold: float = 0.5,
+        strategy: str = "longest",
+        id_col: str = "id",
+        content_col: str = "content",
+    ) -> tuple[DataFrame, DataFrame]:
+        """The store's two corpus actions composed in one pass
+        (:func:`~sycl_jaccard_spark.operators.representatives.training_set`):
+        drop benchmark leaks FIRST at ``threshold``, then keep one
+        ``strategy`` representative per near-dup cluster among the
+        survivors — a cluster whose best member is a leak keeps its best
+        clean member instead of disappearing. Returns ``(training_files,
+        manifest)`` with per-row keep/drop_reason
+        ('contaminated'/'duplicate'). Requires a bench-enabled store; like
+        :meth:`deduplicate`, pass the source-of-truth (id, content)
+        relation."""
+        from sycl_jaccard_spark.operators.representatives import training_set
+
+        return training_set(
+            files,
+            self.clusters(),
+            self.contamination_manifest(threshold),
+            strategy,
+            id_col=id_col,
+            content_col=content_col,
+        )
+
     def _compact_transform(self, name: str, df: DataFrame, ctx: dict) -> DataFrame:
         if name == "contam":
             # content-keyed scores: tombstones are id-scoped and do not

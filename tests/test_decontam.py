@@ -150,3 +150,58 @@ def test_drop_contaminated_action_keeps_clean_rows_unshuffled(spark):
     assert {r.id for r in kept.collect()} == {2, 3}
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_training_set_succession_and_reasons(spark):
+    """training_set composes decontaminate-then-dedup in the hygiene-correct
+    order: a cluster whose LONGEST member is a leak keeps its best clean
+    member (representative succession), reasons are per-row, and the keep
+    set equals the explicit composition (dedup over the decontaminated
+    survivors)."""
+    from sycl_jaccard_spark.operators.representatives import (
+        deduplicate_corpus,
+        training_set,
+    )
+
+    # cluster 1: ids 1,2,3 (content lengths 30, 20, 10; id 1 is the leak)
+    # cluster 4: ids 4,5 — all contaminated (the whole cluster drops)
+    # cluster 6: id 6 singleton, clean
+    files = spark.createDataFrame(
+        [(1, "x" * 30), (2, "y" * 20), (3, "z" * 10),
+         (4, "a" * 9), (5, "b" * 8), (6, "c" * 7)],
+        "id long, content string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)],
+        "id long, cluster long",
+    )
+    contam = spark.createDataFrame(
+        [(1, 1.0, True), (2, 0.2, False), (3, 0.0, False),
+         (4, 0.9, True), (5, 1.0, True), (6, 0.0, False)],
+        "doc_id long, max_containment double, contaminated boolean",
+    )
+    kept, manifest = training_set(files, clusters, contam)
+    assert {r.id for r in kept.collect()} == {2, 6}
+    m = {r.id: r for r in manifest.collect()}
+    assert set(m) == {1, 2, 3, 4, 5, 6}
+    # succession: the leak (longest) is dropped, the next-longest clean
+    # member represents the cluster
+    assert m[2].keep and m[2].rep_id == 2 and m[2].drop_reason is None
+    assert not m[1].keep and m[1].drop_reason == "contaminated"
+    assert m[1].rep_id is None and m[1].max_containment == 1.0
+    assert not m[3].keep and m[3].drop_reason == "duplicate" and m[3].rep_id == 2
+    # all-contaminated cluster: every row drops as contaminated, rep NULL
+    for i in (4, 5):
+        assert not m[i].keep and m[i].drop_reason == "contaminated"
+        assert m[i].rep_id is None
+    assert m[6].keep and m[6].rep_id == 6 and m[6].drop_reason is None
+
+    # equivalence: keep set == deduplicate_corpus over the decontaminated
+    # survivors (the explicit two-step composition)
+    clean = files.join(
+        contam.filter("contaminated").select(F.col("doc_id").alias("id")),
+        "id", "left_anti",
+    )
+    clean_clusters = clusters.join(clean.select("id"), "id", "left_semi")
+    kept2, _ = deduplicate_corpus(clean, clean_clusters)
+    assert {r.id for r in kept.collect()} == {r.id for r in kept2.collect()}

@@ -1045,3 +1045,48 @@ def test_delta_decontam_survives_removal_and_compaction(spark, tmp_path, corpus)
         )
     )
     assert got == expected
+
+
+def test_delta_training_set_composes_with_succession(spark, tmp_path):
+    """store.training_set: one corpus action = decontaminate FIRST, then
+    dedup the survivors. A near-dup cluster whose LONGEST member is the
+    benchmark leak keeps its longest CLEAN member (representative
+    succession); exact copies of the leak inherit contamination through
+    sha256 and never usurp the representative slot."""
+    base = " ".join(f"tok{t}" for t in range(120))
+    a = base + " " + " ".join(f"extra{t}" for t in range(30))   # longest, leak
+    b = base                                                    # longest clean
+    c = " ".join(base.split()[:96])                             # truncated dup
+    d = " ".join(f"other{t}" for t in range(80))                # unrelated
+    files = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, d), (5, a)],  # 5 = exact copy of the leak
+        "id long, content string",
+    ).localCheckpoint(eager=True)
+    bench = _bench_from_contents(spark, files, [1])
+    store = DeltaDedup(
+        spark, str(tmp_path / "store"), CFG, bench_snapshot=bench
+    )
+    for batch in _batches(files, 2):
+        store.add_batch(batch)
+    # sanity: a/b/c/5 really are one cluster and only exact-content copies
+    # of the leak flag at threshold 0.999
+    labels = _clusters(store.clusters())
+    assert labels[1] == labels[2] == labels[3] == labels[5] != labels[4]
+
+    kept, manifest = store.training_set(files, threshold=0.999)
+    assert {r.id for r in kept.collect()} == {2, 4}
+    m = {r.id: r for r in manifest.collect()}
+    assert not m[1].keep and m[1].drop_reason == "contaminated"
+    assert not m[5].keep and m[5].drop_reason == "contaminated"  # sha256 inherit
+    assert m[2].keep and m[2].rep_id == 2 and m[2].drop_reason is None
+    assert not m[3].keep and m[3].drop_reason == "duplicate" and m[3].rep_id == 2
+    assert m[4].keep and m[4].drop_reason is None
+    # the batch operator over the store's own relations agrees row-for-row
+    from sycl_jaccard_spark.operators.representatives import training_set
+
+    _, expect = training_set(
+        files, store.clusters(), store.contamination_manifest(threshold=0.999)
+    )
+    assert {tuple(r) for r in manifest.collect()} == {
+        tuple(r) for r in expect.collect()
+    }
