@@ -78,6 +78,9 @@ BENCH_TOK_OFF = 10         # benchmark snippet = tokens [11, 50] of the source d
 BENCH_TOK_LEN = 40
 DECON_MIN_OVERLAP = 5      # emit contamination pairs sharing >= 5 shingles
 DECON_THRESHOLD = 0.5      # drop rule: max containment >= 0.5
+QUAL_MIN_TOKENS = 20       # quality gate: < 20 whitespace tokens fails
+QUAL_MAX_AVG_TOK_LEN = 4.9   # mean token length above this fails (minified)
+QUAL_MIN_DISTINCT_RATIO = 0.35  # distinct/total token ratio below this fails
 
 _PA, _PB = make_perms(N_PERMS, seed=42)
 
@@ -813,6 +816,42 @@ def q_clean_training_manifest(spark, sf_dir):
     )
 
 
+def q_training_manifest_quality(spark, sf_dir):
+    """training_set with the QualityGate enabled — the three-reason
+    manifest (contaminated / low_quality / duplicate, precedence in that
+    order). Representatives are ranked among members that pass BOTH gates,
+    so a cluster whose longest member is a leak or junk keeps its best
+    surviving member. The oracle replays clustering, the benchmark probe,
+    the token-statistics gate and the succession-aware rep selection in one
+    SQL statement."""
+    from sycl_jaccard_spark.operators.representatives import (
+        QualityGate,
+        training_set,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = documents_as_files(docs)
+    clusters = _portable_clusters(spark, sf_dir, simhash=False)
+    contam = q_decontam_manifest(spark, sf_dir)
+    gate = QualityGate(
+        min_tokens=QUAL_MIN_TOKENS,
+        max_avg_tok_len=QUAL_MAX_AVG_TOK_LEN,
+        min_distinct_ratio=QUAL_MIN_DISTINCT_RATIO,
+    )
+    _, manifest = training_set(
+        files.select("id", "content"), clusters, contam,
+        strategy="longest", quality=gate,
+    )
+    return manifest.select(
+        F.col("id").cast("long"),
+        F.col("cluster").cast("long"),
+        F.col("rep_id").cast("long"),
+        F.col("max_containment").cast("double"),
+        F.col("keep").cast("boolean"),
+        F.col("drop_reason").cast("string"),
+    )
+
+
 def q_ann_lsh_candidates(spark, sf_dir):
     # bucket_cap is non-triggering here: the DuckDB oracle self-joins buckets
     # uncapped, so both sides must keep every member (cap behavior is tested
@@ -967,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_contam_manifest": q_delta_contam_manifest,
         "dedup_rep_selection": q_dedup_rep_selection,
         "clean_training_manifest": q_clean_training_manifest,
+        "training_manifest_quality": q_training_manifest_quality,
         "dedup_pipeline_full": q_dedup_pipeline_full,
         "ann_lsh_candidates": q_ann_lsh_candidates,
         "ann_ivf_candidates": q_ann_ivf_candidates,
@@ -1493,6 +1533,50 @@ SELECT CAST(c.id AS BIGINT) AS id, CAST(c.cluster AS BIGINT) AS cluster,
        CASE WHEN f.contaminated THEN 'contaminated'
             WHEN c.id <> r.rep_id THEN 'duplicate' END AS drop_reason
 FROM clus c JOIN flag f ON f.id = c.id
+LEFT JOIN reps r ON r.cluster = c.cluster""",
+    )
+    # training_manifest_quality: the same composition with the QualityGate
+    # enabled — a qual CTE replays quality_stats' exact-integer statistics
+    # (single double division, IEEE-identical across engines) and the reps
+    # ranking excludes BOTH contaminated and low-quality members; reason
+    # precedence contaminated > low_quality > duplicate
+    sql["training_manifest_quality"] = _cluster_replay_sql(
+        with_simhash=False,
+        tail=f""",{_BENCH_ON_SHD},
+cont AS (SELECT ov.doc_id,
+                max(CAST(ov.overlap AS DOUBLE) / CAST(bsz.bench_size AS DOUBLE)) AS mc
+         FROM ov JOIN bsz USING (bench_id)
+         WHERE ov.overlap >= {DECON_MIN_OVERLAP}
+         GROUP BY ov.doc_id),
+clus AS MATERIALIZED (SELECT node AS id, min(lab) AS cluster FROM reach GROUP BY node),
+flag AS (SELECT d.doc_id AS id, COALESCE(cont.mc, 0.0) AS mc,
+                COALESCE(cont.mc, 0.0) >= {DECON_THRESHOLD} AS contaminated
+         FROM documents d LEFT JOIN cont ON cont.doc_id = d.doc_id),
+qual AS (SELECT doc_id AS id,
+                (len(tk) < {QUAL_MIN_TOKENS}
+                 OR (len(tk) > 0 AND
+                     CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE)
+                       / CAST(len(tk) AS DOUBLE) > CAST({QUAL_MAX_AVG_TOK_LEN} AS DOUBLE))
+                 OR (len(tk) > 0 AND
+                     CAST(len(list_distinct(tk)) AS DOUBLE)
+                       / CAST(len(tk) AS DOUBLE) < CAST({QUAL_MIN_DISTINCT_RATIO} AS DOUBLE))) AS lowq
+         FROM (SELECT doc_id, {_TOKS} AS tk FROM documents)),
+reps AS (SELECT cluster, id AS rep_id FROM (
+           SELECT c.cluster, c.id,
+                  row_number() OVER (PARTITION BY c.cluster
+                                     ORDER BY length(d.text) DESC, c.id) AS rn
+           FROM clus c JOIN flag f ON f.id = c.id AND NOT f.contaminated
+           JOIN qual q ON q.id = c.id AND NOT q.lowq
+           JOIN documents d ON d.doc_id = c.id) WHERE rn = 1)
+SELECT CAST(c.id AS BIGINT) AS id, CAST(c.cluster AS BIGINT) AS cluster,
+       CAST(CASE WHEN f.contaminated OR q.lowq THEN NULL ELSE r.rep_id END AS BIGINT) AS rep_id,
+       f.mc AS max_containment,
+       (NOT f.contaminated AND NOT q.lowq AND c.id = r.rep_id) AS keep,
+       CASE WHEN f.contaminated THEN 'contaminated'
+            WHEN q.lowq THEN 'low_quality'
+            WHEN c.id <> r.rep_id THEN 'duplicate' END AS drop_reason
+FROM clus c JOIN flag f ON f.id = c.id
+JOIN qual q ON q.id = c.id
 LEFT JOIN reps r ON r.cluster = c.cluster""",
     )
     return sql

@@ -29,6 +29,7 @@ from sycl_jaccard_spark.operators.ann import (
     train_ivf_centroids,
 )
 from sycl_jaccard_spark.operators.representatives import (
+    QualityGate,
     deduplicate_corpus,
     select_representatives,
     training_set,
@@ -64,6 +65,7 @@ __all__ = [
     "ivf_candidates",
     "lsh_cosine_candidates",
     "train_ivf_centroids",
+    "QualityGate",
     "deduplicate_corpus",
     "select_representatives",
     "training_set",

@@ -16,8 +16,51 @@ All JVM-side: one join + one rank window partitioned by cluster.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from sycl_jaccard_spark.functions import textstats
+
+
+@dataclass(frozen=True)
+class QualityGate:
+    """Thresholds for the heuristic quality filter of :func:`training_set`.
+
+    Every statistic is an exact-integer pair divided once
+    (:func:`~sycl_jaccard_spark.functions.textstats.quality_stats`), so the
+    comparisons reproduce bit-for-bit in a SQL oracle. ``None`` disables a
+    criterion; a document fails the gate when ANY enabled criterion fails:
+
+    * ``min_tokens`` — fewer than this many whitespace tokens (empty docs
+      fail whenever ``min_tokens > 0``);
+    * ``max_avg_tok_len`` — mean token length above this (minified /
+      binary-ish blobs; evaluated only for non-empty docs);
+    * ``min_distinct_ratio`` — distinct/total token ratio below this
+      (boilerplate repetition; evaluated only for non-empty docs).
+    """
+
+    min_tokens: int = 1
+    max_avg_tok_len: float | None = None
+    min_distinct_ratio: float | None = None
+
+    def low_quality(self, text: Column) -> Column:
+        """Boolean column: does ``text`` FAIL the gate? Pure JVM expression
+        — no join, no shuffle; evaluates inline in the files scan."""
+        st = textstats.quality_stats(text)
+        n = st["n_tokens"]
+        cond = n < F.lit(int(self.min_tokens))
+        if self.max_avg_tok_len is not None:
+            cond = cond | (
+                (n > 0) & (st["avg_tok_len"] > F.lit(float(self.max_avg_tok_len)))
+            )
+        if self.min_distinct_ratio is not None:
+            cond = cond | (
+                (n > 0)
+                & (st["distinct_ratio"] < F.lit(float(self.min_distinct_ratio)))
+            )
+        return cond
 
 
 def select_representatives(
@@ -79,28 +122,33 @@ def training_set(
     clusters: DataFrame,
     contam_manifest: DataFrame,
     strategy: str = "longest",
+    quality: QualityGate | None = None,
     id_col: str = "id",
     content_col: str = "content",
 ) -> tuple[DataFrame, DataFrame]:
     """The full corpus action an LLM-data pipeline runs before training:
-    drop benchmark leaks AND near/exact duplicates in ONE manifest, composed
-    in the hygiene-correct order — decontaminate FIRST, then pick each
-    cluster's representative among the SURVIVORS. A cluster whose best
-    member is a leak keeps its best clean member (representative
-    succession) instead of losing the whole cluster; dropping order the
-    other way around would silently discard such clusters.
+    drop benchmark leaks, low-quality documents AND near/exact duplicates in
+    ONE manifest, composed in the hygiene-correct order — decontaminate
+    first, quality-filter second, then pick each cluster's representative
+    among the SURVIVORS. A cluster whose best member is a leak (or junk)
+    keeps its best clean member (representative succession) instead of
+    losing the whole cluster; dropping order the other way around would
+    silently discard such clusters.
 
     ``contam_manifest`` is the (doc_id, max_containment, contaminated)
     relation from :func:`~sycl_jaccard_spark.operators.decontaminate.
     decontamination_manifest` or ``DeltaDedup.contamination_manifest``.
+    ``quality`` (optional) applies a :class:`QualityGate` — a pure column
+    predicate on ``content_col``, no extra shuffle on the files side.
 
     Returns ``(training_files, manifest)``. ``manifest`` has one row per
     clustered file: (id, cluster, rep_id, max_containment, keep,
     drop_reason) with ``drop_reason`` ∈ (NULL, 'contaminated',
-    'duplicate') and ``rep_id`` NULL for contaminated rows (they never
-    enter representative selection). The contaminated set is leak-sized, so
-    both anti-joins broadcast it — the corpus relations stream through
-    unshuffled.
+    'low_quality', 'duplicate') — precedence in that order — and ``rep_id``
+    NULL for contaminated/low-quality rows (they never enter representative
+    selection). The contaminated set is leak-sized, so its anti-joins
+    broadcast; the low-quality set can be corpus-scale, so its cluster-side
+    exclusion is a plain id-keyed anti-join instead.
     """
     contam = contam_manifest.select(
         F.col("doc_id").alias("id"), "max_containment", "contaminated"
@@ -110,10 +158,21 @@ def training_set(
         F.broadcast(flagged.withColumnRenamed("id", id_col)), id_col, "left_anti"
     )
     clean_clusters = clusters.join(F.broadcast(flagged), "id", "left_anti")
+    if quality is not None:
+        lowq = quality.low_quality(F.col(content_col))
+        qual = files.select(F.col(id_col).alias("id"), lowq.alias("_lowq"))
+        clean = clean.filter(~quality.low_quality(F.col(content_col)))
+        clean_clusters = clean_clusters.join(
+            qual.filter("_lowq").select("id"), "id", "left_anti"
+        )
     kept, dd = deduplicate_corpus(clean, clean_clusters, strategy, id_col, content_col)
+    base = clusters.join(contam, "id", "left")
+    if quality is not None:
+        base = base.join(qual, "id", "left")
+    else:
+        base = base.withColumn("_lowq", F.lit(False))
     manifest = (
-        clusters.join(contam, "id", "left")
-        .join(dd.select("id", "rep_id", "kept"), "id", "left")
+        base.join(dd.select("id", "rep_id", "kept"), "id", "left")
         .select(
             "id",
             "cluster",
@@ -121,6 +180,7 @@ def training_set(
             F.coalesce("max_containment", F.lit(0.0)).alias("max_containment"),
             F.coalesce(F.col("kept") == 1, F.lit(False)).alias("keep"),
             F.when(F.coalesce("contaminated", F.lit(False)), F.lit("contaminated"))
+            .when(F.coalesce("_lowq", F.lit(False)), F.lit("low_quality"))
             .when(F.col("kept") == 0, F.lit("duplicate"))
             .alias("drop_reason"),
         )

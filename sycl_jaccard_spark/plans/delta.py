@@ -1131,19 +1131,22 @@ class DeltaDedup(DeltaStoreBase):
         files: DataFrame,
         threshold: float = 0.5,
         strategy: str = "longest",
+        quality=None,
         id_col: str = "id",
         content_col: str = "content",
     ) -> tuple[DataFrame, DataFrame]:
-        """The store's two corpus actions composed in one pass
+        """The store's corpus actions composed in one pass
         (:func:`~sycl_jaccard_spark.operators.representatives.training_set`):
-        drop benchmark leaks FIRST at ``threshold``, then keep one
-        ``strategy`` representative per near-dup cluster among the
-        survivors — a cluster whose best member is a leak keeps its best
-        clean member instead of disappearing. Returns ``(training_files,
-        manifest)`` with per-row keep/drop_reason
-        ('contaminated'/'duplicate'). Requires a bench-enabled store; like
-        :meth:`deduplicate`, pass the source-of-truth (id, content)
-        relation."""
+        drop benchmark leaks FIRST at ``threshold``, drop documents failing
+        the optional ``quality`` gate
+        (:class:`~sycl_jaccard_spark.operators.representatives.QualityGate`)
+        second, then keep one ``strategy`` representative per near-dup
+        cluster among the survivors — a cluster whose best member is a leak
+        or junk keeps its best clean member instead of disappearing.
+        Returns ``(training_files, manifest)`` with per-row keep/drop_reason
+        ('contaminated'/'low_quality'/'duplicate'). Requires a bench-enabled
+        store; like :meth:`deduplicate`, pass the source-of-truth
+        (id, content) relation."""
         from sycl_jaccard_spark.operators.representatives import training_set
 
         return training_set(
@@ -1151,6 +1154,7 @@ class DeltaDedup(DeltaStoreBase):
             self.clusters(),
             self.contamination_manifest(threshold),
             strategy,
+            quality=quality,
             id_col=id_col,
             content_col=content_col,
         )

@@ -205,3 +205,96 @@ def test_training_set_succession_and_reasons(spark):
     clean_clusters = clusters.join(clean.select("id"), "id", "left_semi")
     kept2, _ = deduplicate_corpus(clean, clean_clusters)
     assert {r.id for r in kept.collect()} == {r.id for r in kept2.collect()}
+
+
+def test_quality_gate_column_semantics(spark):
+    """QualityGate.low_quality: each criterion fires independently; empty
+    docs fail min_tokens; a doc passing every enabled criterion passes."""
+    from sycl_jaccard_spark.operators.representatives import QualityGate
+
+    gate = QualityGate(min_tokens=3, max_avg_tok_len=5.0, min_distinct_ratio=0.5)
+    df = spark.createDataFrame(
+        [
+            (1, ""),                         # empty -> min_tokens
+            (2, "aa bb"),                    # 2 tokens -> min_tokens
+            (3, "aaaaaaaa bbbbbbbb cccccccc"),  # avg len 8 -> max_avg_tok_len
+            (4, "aa aa aa aa aa bb"),        # distinct 2/6 -> min_distinct_ratio
+            (5, "aa bb cc dd"),              # passes all
+        ],
+        "id long, content string",
+    )
+    got = {
+        r.id: r.lowq
+        for r in df.select(
+            "id", gate.low_quality(F.col("content")).alias("lowq")
+        ).collect()
+    }
+    assert got == {1: True, 2: True, 3: True, 4: True, 5: False}
+    # disabled criteria never fire; min_tokens=0 admits the empty doc
+    lax = QualityGate(min_tokens=0)
+    got2 = {
+        r.id: r.lowq
+        for r in df.select(
+            "id", lax.low_quality(F.col("content")).alias("lowq")
+        ).collect()
+    }
+    assert got2 == {i: False for i in range(1, 6)}
+
+
+def test_training_set_quality_gate_precedence_and_succession(spark):
+    """training_set with a QualityGate: contaminated beats low_quality in
+    drop_reason; a cluster whose longest member is junk falls to its best
+    clean member; keep set equals the explicit three-step composition."""
+    from sycl_jaccard_spark.operators.representatives import (
+        QualityGate,
+        deduplicate_corpus,
+        training_set,
+    )
+
+    # cluster 1: id 1 longest but repetitive junk, id 2 clean, id 3 short dup
+    # cluster 4: id 4 leak AND junk (precedence check), id 5 clean
+    # cluster 6: id 6 singleton junk (cluster drops entirely, rep NULL)
+    files = spark.createDataFrame(
+        [
+            (1, "xx " * 40),                                      # junk: dr 1/40
+            (2, " ".join(f"t{i}" for i in range(30))),            # clean, 30 toks
+            (3, " ".join(f"t{i}" for i in range(10))),            # clean, shorter
+            (4, "yy " * 50),                                      # junk + leak
+            (5, " ".join(f"u{i}" for i in range(20))),            # clean
+            (6, "zz " * 30),                                      # junk singleton
+        ],
+        "id long, content string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)],
+        "id long, cluster long",
+    )
+    contam = spark.createDataFrame(
+        [(1, 0.0, False), (2, 0.1, False), (3, 0.0, False),
+         (4, 1.0, True), (5, 0.0, False), (6, 0.2, False)],
+        "doc_id long, max_containment double, contaminated boolean",
+    )
+    gate = QualityGate(min_tokens=5, min_distinct_ratio=0.5)
+    kept, manifest = training_set(files, clusters, contam, quality=gate)
+    assert {r.id for r in kept.collect()} == {2, 5}
+    m = {r.id: r for r in manifest.collect()}
+    # precedence: id 4 is both a leak and junk -> 'contaminated'
+    assert m[4].drop_reason == "contaminated" and m[4].rep_id is None
+    # succession past the junk longest member: id 2 represents cluster 1
+    assert m[1].drop_reason == "low_quality" and m[1].rep_id is None
+    assert m[2].keep and m[2].rep_id == 2 and m[2].drop_reason is None
+    assert m[3].drop_reason == "duplicate" and m[3].rep_id == 2
+    assert m[5].keep and m[5].rep_id == 5
+    # all-junk cluster: dropped as low_quality, no representative
+    assert m[6].drop_reason == "low_quality" and m[6].rep_id is None
+    assert not m[6].keep
+
+    # equivalence with the explicit composition: filter leaks, filter junk,
+    # then dedup the survivors
+    clean = files.join(
+        contam.filter("contaminated").select(F.col("doc_id").alias("id")),
+        "id", "left_anti",
+    ).filter(~gate.low_quality(F.col("content")))
+    clean_clusters = clusters.join(clean.select("id"), "id", "left_semi")
+    kept2, _ = deduplicate_corpus(clean, clean_clusters)
+    assert {r.id for r in kept.collect()} == {r.id for r in kept2.collect()}
