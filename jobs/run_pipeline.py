@@ -166,6 +166,38 @@ def parse_args(argv=None):
              "(query-time — the store persists scores, not verdicts)",
     )
     p.add_argument(
+        "--training-set-out", default=None, metavar="DIR",
+        help="with --delta-store on a bench-enabled store: READ-ONLY query "
+             "epoch (no delivery) — --input is the source-of-truth "
+             "(id, content) corpus covering the store, like --delta-migrate. "
+             "Writes DIR/files (the training corpus) + DIR/manifest (per-doc "
+             "keep/drop_reason: contaminated > low_quality > duplicate): "
+             "decontaminate at --contam-threshold, apply the optional "
+             "quality gate, then keep one --training-rep-strategy "
+             "representative per near-dup cluster among the survivors",
+    )
+    p.add_argument(
+        "--training-rep-strategy", choices=["longest", "min_id"],
+        default="longest",
+        help="representative choice for --training-set-out",
+    )
+    p.add_argument(
+        "--quality-min-tokens", type=int, default=None, metavar="N",
+        help="with --training-set-out: drop docs with < N whitespace tokens "
+             "as low_quality (giving ANY --quality-* flag enables the gate; "
+             "this one then defaults to 1, dropping empty docs)",
+    )
+    p.add_argument(
+        "--quality-max-avg-tok-len", type=float, default=None, metavar="X",
+        help="with --training-set-out: drop docs whose mean token length "
+             "exceeds X (minified/binary-ish blobs)",
+    )
+    p.add_argument(
+        "--quality-min-distinct-ratio", type=float, default=None, metavar="X",
+        help="with --training-set-out: drop docs whose distinct/total token "
+             "ratio is below X (boilerplate repetition)",
+    )
+    p.add_argument(
         "--shingle-mode", choices=["token", "char"], default="token",
         help="char: whitespace-stripped char k-grams — robust to "
              "minified/reformatted code where token boundaries move",
@@ -247,8 +279,34 @@ def parse_args(argv=None):
             if val != default:
                 p.error(f"{flag} only applies with --delta-store "
                         "(one-shot decontamination is jobs/run_decontam.py)")
-    if args.contam_threshold != 0.5 and args.contam_manifest_out is None:
-        p.error("--contam-threshold only applies with --contam-manifest-out")
+    if args.contam_threshold != 0.5 and (
+        args.contam_manifest_out is None and args.training_set_out is None
+    ):
+        p.error("--contam-threshold only applies with --contam-manifest-out "
+                "or --training-set-out")
+    if args.training_set_out is not None:
+        if args.delta_store is None:
+            p.error("--training-set-out only applies with --delta-store "
+                    "(the one-shot composition is the training_set operator)")
+        if (args.delta_remove or args.delta_compact
+                or args.delta_migrate is not None
+                or args.delta_batch_id is not None or args.idf_train):
+            p.error("--training-set-out is a READ-ONLY query epoch — it "
+                    "cannot be combined with a delivery/removal/compaction/"
+                    "migration flag (one epoch per run)")
+        if args.bench is not None:
+            p.error("--training-set-out queries an EXISTING bench-enabled "
+                    "store (--bench freezes the snapshot at store creation)")
+    else:
+        for flag, val in (
+            ("--training-rep-strategy", args.training_rep_strategy == "longest"),
+            ("--quality-min-tokens", args.quality_min_tokens is None),
+            ("--quality-max-avg-tok-len", args.quality_max_avg_tok_len is None),
+            ("--quality-min-distinct-ratio",
+             args.quality_min_distinct_ratio is None),
+        ):
+            if not val:
+                p.error(f"{flag} only applies with --training-set-out")
     if args.bench is not None and args.delta_migrate is not None:
         p.error("--bench cannot be combined with --delta-migrate (the "
                 "benchmark snapshot carries over to the new store unchanged)")
@@ -342,6 +400,38 @@ def main(argv=None) -> int:
             # clusters/ and metrics.jsonl below describe the cutover target
             new_store.metrics.append({"stage": "migrate", "old_store": store.root})
             store = new_store
+        elif args.training_set_out is not None:
+            gate = None
+            if (args.quality_min_tokens is not None
+                    or args.quality_max_avg_tok_len is not None
+                    or args.quality_min_distinct_ratio is not None):
+                from sycl_jaccard_spark.operators.representatives import QualityGate
+
+                gate = QualityGate(
+                    min_tokens=(1 if args.quality_min_tokens is None
+                                else args.quality_min_tokens),
+                    max_avg_tok_len=args.quality_max_avg_tok_len,
+                    min_distinct_ratio=args.quality_min_distinct_ratio,
+                )
+            kept, manifest = store.training_set(
+                files,
+                threshold=args.contam_threshold,
+                strategy=args.training_rep_strategy,
+                quality=gate,
+            )
+            kept.write.mode("overwrite").parquet(
+                os.path.join(args.training_set_out, "files")
+            )
+            manifest.write.mode("overwrite").parquet(
+                os.path.join(args.training_set_out, "manifest")
+            )
+            reasons = {
+                (r.drop_reason or "kept"): r["count"]
+                for r in spark.read.parquet(
+                    os.path.join(args.training_set_out, "manifest")
+                ).groupBy("drop_reason").count().collect()
+            }
+            summary = {"op": "training_set", "rows": reasons}
         else:
             summary = store.add_batch(files, batch_id=args.delta_batch_id)
         store.clusters().write.mode("overwrite").parquet(

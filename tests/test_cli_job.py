@@ -611,3 +611,104 @@ def test_cli_decontam_flags_require_delta_store():
         "--contam-manifest-out", "m", "--contam-threshold", "0.6",
     ])
     assert args.bench == "b" and args.contam_threshold == 0.6
+
+
+def test_run_pipeline_cli_training_set(spark, tmp_path):
+    """--training-set-out: READ-ONLY query epoch on a bench-enabled store —
+    one manifest composing decontamination, the quality gate and
+    dedup-survivor representative selection; the store itself is not
+    mutated."""
+    from jobs.run_pipeline import main, parse_args
+
+    def content(i):
+        return " ".join(f"tok{i}_{t}" for t in range(30))
+
+    # doc 3 = verbatim benchmark leak; doc 5 = repetitive junk (1 distinct
+    # token); doc 8 = exact copy of doc 9 (sha256 pass clusters them)
+    rows = []
+    for i in range(10):
+        if i == 5:
+            c = "zz " * 40
+        elif i == 8:
+            c = content(9)
+        else:
+            c = content(i)
+        rows.append((i, c, "python"))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    src = str(tmp_path / "src")
+    corpus.write.parquet(src)
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(0, content(3))], "id long, content string"
+    ).write.parquet(bench)
+
+    store = str(tmp_path / "store")
+    assert main([
+        "--input", src, "--input-kind", "documents",
+        "--output", str(tmp_path / "o0"),
+        "--delta-store", store, "--bench", bench,
+        "--num-perms", "64", "--bands", "16",
+    ]) == 0
+    clusters_before = {
+        (r.id, r.cluster)
+        for r in spark.read.parquet(str(tmp_path / "o0" / "clusters")).collect()
+    }
+
+    ts_out = str(tmp_path / "ts")
+    assert main([
+        "--input", src, "--input-kind", "documents",
+        "--output", str(tmp_path / "o1"),
+        "--delta-store", store,
+        "--training-set-out", ts_out,
+        "--quality-min-distinct-ratio", "0.5",
+        "--num-perms", "64", "--bands", "16",
+    ]) == 0
+
+    m = {r.id: r for r in spark.read.parquet(ts_out + "/manifest").collect()}
+    assert set(m) == set(range(10))
+    assert m[3].drop_reason == "contaminated" and not m[3].keep
+    assert m[5].drop_reason == "low_quality" and not m[5].keep
+    # exact-dup pair: longest ties -> min id represents, 9 drops
+    assert m[8].keep and m[8].rep_id == 8
+    assert m[9].drop_reason == "duplicate" and m[9].rep_id == 8
+    kept_ids = {r.id for r in spark.read.parquet(ts_out + "/files").collect()}
+    assert kept_ids == {0, 1, 2, 4, 6, 7, 8}
+    # read-only: the store's clusters are unchanged by the query epoch
+    clusters_after = {
+        (r.id, r.cluster)
+        for r in spark.read.parquet(str(tmp_path / "o1" / "clusters")).collect()
+    }
+    assert clusters_after == clusters_before
+
+
+def test_cli_training_set_flag_validation(tmp_path):
+    """--training-set-out requires --delta-store and excludes mutation
+    epochs; the --quality-*/--training-rep-strategy knobs require it."""
+    import pytest
+
+    from jobs.run_pipeline import parse_args
+
+    base = ["--input", "x", "--output", "y"]
+    with pytest.raises(SystemExit):
+        parse_args(base + ["--training-set-out", "t"])  # no --delta-store
+    for extra in (
+        ["--quality-min-tokens", "5"],
+        ["--quality-max-avg-tok-len", "6.0"],
+        ["--quality-min-distinct-ratio", "0.4"],
+        ["--training-rep-strategy", "min_id"],
+    ):
+        with pytest.raises(SystemExit):
+            parse_args(base + ["--delta-store", "d"] + extra)
+    for clash in (
+        ["--delta-remove"],
+        ["--delta-batch-id", "1"],
+        ["--bench", "b"],
+    ):
+        with pytest.raises(SystemExit):
+            parse_args(base + ["--delta-store", "d",
+                               "--training-set-out", "t"] + clash)
+    args = parse_args(base + [
+        "--delta-store", "d", "--training-set-out", "t",
+        "--quality-min-tokens", "5", "--contam-threshold", "0.9",
+    ])
+    assert args.training_set_out == "t" and args.quality_min_tokens == 5

@@ -294,3 +294,34 @@ def test_winnow_pipeline_banding_is_arrow_vectorized(spark):
         for h in r["fps"]
     }
     assert got == want
+
+
+def test_training_set_plan_broadcasts_leaks_and_inlines_quality(spark):
+    """training_set's 100 TB contract: the contaminated set (leak-sized) is
+    excluded via BROADCAST anti-joins, the QualityGate is a pure inline
+    Filter on the files scan (no Python eval, no extra Exchange on the
+    files side before dedup's cluster join)."""
+    from sycl_jaccard_spark.operators.representatives import (
+        QualityGate,
+        training_set,
+    )
+
+    files = documents_as_files(load_table(spark, SF, "documents")).select(
+        "id", "content"
+    )
+    clusters = files.select("id", (F.col("id") % 10).alias("cluster"))
+    contam = files.select(
+        F.col("id").alias("doc_id"),
+        F.lit(0.0).alias("max_containment"),
+        (F.col("id") % 97 == 0).alias("contaminated"),
+    )
+    gate = QualityGate(min_tokens=5, min_distinct_ratio=0.2)
+    kept, manifest = training_set(files, clusters, contam, quality=gate)
+    for df in (kept, manifest):
+        p = _plan(df)
+        assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    # the quality gate evaluates inline: the kept plan filters the files
+    # scan without any exchange between the scan and the filter
+    kp = _plan(kept)
+    assert "Filter" in kp, kp
