@@ -81,6 +81,10 @@ DECON_THRESHOLD = 0.5      # drop rule: max containment >= 0.5
 QUAL_MIN_TOKENS = 20       # quality gate: < 20 whitespace tokens fails
 QUAL_MAX_AVG_TOK_LEN = 4.9   # mean token length above this fails (minified)
 QUAL_MIN_DISTINCT_RATIO = 0.35  # distinct/total token ratio below this fails
+# stratified mix: relative shares by source, weighted by n_chars; src0's
+# share is largest relative to its weight, so it water-fills to rate 1
+MIX_TARGETS = {"src0": 4.0, "src1": 2.0, "src17": 3.0, "src3": 1.0}
+MIX_SEED = 42
 
 _PA, _PB = make_perms(N_PERMS, seed=42)
 
@@ -852,6 +856,29 @@ def q_training_manifest_quality(spark, sf_dir):
     )
 
 
+def q_corpus_mix_sample(spark, sf_dir):
+    """Water-filled stratified mix (operators/mixing.py): deterministic
+    portable-hash sampling of the documents table to MIX_TARGETS source
+    shares weighted by n_chars. The scarcest source (src0: largest share
+    per unit weight) is taken whole; the others thin to proportion. The
+    oracle replays the per-source weights, the fill level, the rates and
+    the md5-threshold filter in one SQL statement."""
+    from sycl_jaccard_spark.operators.mixing import stratified_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    sampled, _rates = stratified_mix(
+        docs.select("doc_id", "source", "n_chars"),
+        MIX_TARGETS,
+        source_col="source",
+        weight_col="n_chars",
+        id_col="doc_id",
+        seed=MIX_SEED,
+    )
+    return sampled.select(
+        F.col("doc_id").cast("long"), F.col("source").cast("string")
+    )
+
+
 def q_ann_lsh_candidates(spark, sf_dir):
     # bucket_cap is non-triggering here: the DuckDB oracle self-joins buckets
     # uncapped, so both sides must keep every member (cap behavior is tested
@@ -1007,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rep_selection": q_dedup_rep_selection,
         "clean_training_manifest": q_clean_training_manifest,
         "training_manifest_quality": q_training_manifest_quality,
+        "corpus_mix_sample": q_corpus_mix_sample,
         "dedup_pipeline_full": q_dedup_pipeline_full,
         "ann_lsh_candidates": q_ann_lsh_candidates,
         "ann_ivf_candidates": q_ann_ivf_candidates,
@@ -1579,6 +1607,26 @@ FROM clus c JOIN flag f ON f.id = c.id
 JOIN qual q ON q.id = c.id
 LEFT JOIN reps r ON r.cluster = c.cluster""",
     )
+    # corpus_mix_sample: water-filled stratified sampling — per-source
+    # weights, fill level T = min(weight/share), rate = min(1, share/weight·T),
+    # then the portable md5 hash threshold (md5_long contract). Every float
+    # is a single division/multiply of exact values in the SAME expression
+    # shape as the Spark plan, so the kept set matches row-for-row
+    _mix_values = ", ".join(
+        f"('{s}', CAST({v} AS DOUBLE))" for s, v in sorted(MIX_TARGETS.items())
+    )
+    sql["corpus_mix_sample"] = f"""
+WITH t(source, share) AS (VALUES {_mix_values}),
+w AS (SELECT d.source, CAST(sum(d.n_chars) AS DOUBLE) AS wt
+      FROM documents d JOIN t USING (source) GROUP BY d.source),
+f AS (SELECT min(w.wt / t.share) AS fill_t FROM w JOIN t USING (source)),
+r AS (SELECT w.source,
+             least(CAST(1.0 AS DOUBLE), (t.share / w.wt) * f.fill_t) AS rate
+      FROM w JOIN t USING (source) CROSS JOIN f)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source AS source
+FROM documents d JOIN r ON r.source = d.source
+WHERE CAST(CAST(('0x' || substr(md5('{MIX_SEED}#' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+      < r.rate * {float(2**60)!r}"""
     return sql
 
 

@@ -28,6 +28,10 @@ from sycl_jaccard_spark.operators.ann import (
     lsh_cosine_candidates,
     train_ivf_centroids,
 )
+from sycl_jaccard_spark.operators.mixing import (
+    deterministic_sample,
+    stratified_mix,
+)
 from sycl_jaccard_spark.operators.representatives import (
     QualityGate,
     deduplicate_corpus,
@@ -67,7 +71,9 @@ __all__ = [
     "train_ivf_centroids",
     "QualityGate",
     "deduplicate_corpus",
+    "deterministic_sample",
     "select_representatives",
+    "stratified_mix",
     "training_set",
     "idf_weighted_candidates",
     "idf_weights",

@@ -1,0 +1,117 @@
+"""Deterministic sampling + stratified source mixing (operators/mixing.py).
+
+Functional: reproducibility, the NESTING property of hash-threshold
+sampling (rate r ⊆ rate r' for r < r'), water-filled rate computation
+(scarcest source taken whole, others thinned to proportion), target
+validation. Plan: the corpus side reaches the hash filter through a
+broadcast join of the tiny rates relation — no sort-merge join, no Python
+eval anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sycl_jaccard_spark.operators.mixing import (
+    deterministic_sample,
+    sample_hash,
+    stratified_mix,
+)
+
+
+def test_deterministic_sample_reproducible_and_nested(spark):
+    df = spark.range(4000).withColumnRenamed("id", "id")
+    s1 = {r.id for r in deterministic_sample(df, 0.3, seed=7).collect()}
+    s2 = {r.id for r in deterministic_sample(df, 0.3, seed=7).collect()}
+    assert s1 == s2
+    # nesting: the 30% sample is a subset of the 60% sample (same seed)
+    s_big = {r.id for r in deterministic_sample(df, 0.6, seed=7).collect()}
+    assert s1 <= s_big
+    # rates are honored statistically (binomial sd ~29 at n=4000, p=0.3)
+    assert abs(len(s1) - 1200) < 150 and abs(len(s_big) - 2400) < 150
+    # a different seed selects a genuinely different set
+    s_other = {r.id for r in deterministic_sample(df, 0.3, seed=8).collect()}
+    assert s1 != s_other
+
+
+def test_sample_hash_is_uniform_60bit(spark):
+    hs = spark.range(2000).select(sample_hash("id", seed=1).alias("h"))
+    lo, hi, mean = hs.agg(
+        F.min("h"), F.max("h"), F.avg(F.col("h").cast("double"))
+    ).collect()[0]
+    assert 0 <= lo and hi < 2**60
+    assert abs(mean / 2**59 - 1.0) < 0.05  # mean ≈ half the space
+
+
+def test_stratified_mix_water_fills(spark):
+    """Sources 10000/5000/1000 rows at equal target shares: the scarce
+    source C is taken WHOLE (rate 1), A and B thin to ~1000 rows each."""
+    df = (
+        spark.range(16000)
+        .select(
+            F.col("id"),
+            F.when(F.col("id") < 10000, "A")
+            .when(F.col("id") < 15000, "B")
+            .otherwise("C")
+            .alias("source"),
+        )
+    )
+    sampled, rates = stratified_mix(df, {"A": 1.0, "B": 1.0, "C": 1.0}, seed=3)
+    r = {x.source: x for x in rates.collect()}
+    assert r["C"].rate == pytest.approx(1.0, abs=1e-12)
+    assert r["A"].rate == pytest.approx(0.1, rel=1e-12)
+    assert r["B"].rate == pytest.approx(0.2, rel=1e-12)
+    assert (r["A"].weight, r["B"].weight, r["C"].weight) == (10000, 5000, 1000)
+    counts = {x.source: x["count"] for x in sampled.groupBy("source").count().collect()}
+    assert counts["C"] == 1000  # whole source kept
+    sd = math.sqrt(1000)
+    assert abs(counts["A"] - 1000) < 6 * sd and abs(counts["B"] - 1000) < 6 * sd
+    # sampled rows carry no helper columns and are a subset of the input
+    assert sampled.columns == df.columns
+
+
+def test_stratified_mix_weighted_and_unnamed_sources(spark):
+    """weight_col drives the fill level; sources not in targets are
+    excluded; targets naming absent sources are ignored."""
+    df = spark.createDataFrame(
+        [(1, "A", 100), (2, "A", 300), (3, "B", 50), (4, "D", 999)],
+        "id long, source string, n long",
+    )
+    sampled, rates = stratified_mix(
+        df, {"A": 1.0, "B": 1.0, "Z": 5.0}, weight_col="n", seed=0
+    )
+    r = {x.source: x for x in rates.collect()}
+    assert set(r) == {"A", "B"}  # Z absent from corpus, D not targeted
+    # fill T = min(400/1, 50/1) = 50 → A rate 50/400, B rate 1
+    assert r["B"].rate == pytest.approx(1.0, abs=1e-12)
+    assert r["A"].rate == pytest.approx(0.125, rel=1e-12)
+    got_sources = {x.source for x in sampled.collect()}
+    assert "D" not in got_sources
+    assert 3 in {x.id for x in sampled.collect()}  # B kept whole
+
+
+def test_stratified_mix_rejects_bad_targets(spark):
+    df = spark.range(10).select("id", F.lit("A").alias("source"))
+    with pytest.raises(ValueError):
+        stratified_mix(df, {})
+    with pytest.raises(ValueError):
+        stratified_mix(df, {"A": 0.0})
+    with pytest.raises(ValueError):
+        stratified_mix(df, {"A": -1.0})
+
+
+def test_stratified_mix_plan_is_broadcast_and_jvm_only(spark):
+    """100 TB shape: the corpus joins the (≤|targets|-row) rates relation
+    via broadcast (never sort-merge) and the hash filter is a pure JVM
+    expression — no Python eval of any kind."""
+    df = spark.range(1000).select(
+        "id", F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source")
+    )
+    sampled, _ = stratified_mix(df, {"s0": 2.0, "s1": 1.0}, seed=5)
+    p = sampled._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
