@@ -198,6 +198,29 @@ def parse_args(argv=None):
              "ratio is below X (boilerplate repetition)",
     )
     p.add_argument(
+        "--mix", default=None, metavar="JSON",
+        help="with --training-set-out: water-filled stratified mix of the "
+             "kept files, e.g. '{\"python\": 6, \"go\": 3, \"rust\": 1}' — "
+             "relative shares by --mix-by value; the scarcest source is "
+             "taken whole, others thin to proportion (deterministic "
+             "portable-hash sampling, operators/mixing.py). DIR/files "
+             "becomes the MIXED corpus; DIR/mix_rates records the per-"
+             "source rates. The manifest stays the full hygiene manifest "
+             "(mixing is sampling, not a drop reason)",
+    )
+    p.add_argument(
+        "--mix-by", default="lang", metavar="COL",
+        help="column of the files relation holding the mix source value "
+             "(default: lang; repo also works for source-table inputs)",
+    )
+    p.add_argument(
+        "--mix-weight", choices=["chars", "rows"], default="chars",
+        help="weight driving the mix proportions: content chars or row "
+             "count",
+    )
+    p.add_argument("--mix-seed", type=int, default=0,
+                   help="sampling seed for --mix (same seed -> same rows)")
+    p.add_argument(
         "--shingle-mode", choices=["token", "char"], default="token",
         help="char: whitespace-stripped char k-grams — robust to "
              "minified/reformatted code where token boundaries move",
@@ -304,9 +327,26 @@ def parse_args(argv=None):
             ("--quality-max-avg-tok-len", args.quality_max_avg_tok_len is None),
             ("--quality-min-distinct-ratio",
              args.quality_min_distinct_ratio is None),
+            ("--mix", args.mix is None),
+            ("--mix-by", args.mix_by == "lang"),
+            ("--mix-weight", args.mix_weight == "chars"),
+            ("--mix-seed", args.mix_seed == 0),
         ):
             if not val:
                 p.error(f"{flag} only applies with --training-set-out")
+    if args.mix is not None:
+        import json as _json
+
+        try:
+            parsed = _json.loads(args.mix)
+        except ValueError:
+            p.error("--mix must be a JSON object of source -> share")
+        if not isinstance(parsed, dict) or not parsed or any(
+            not isinstance(v, (int, float)) or v <= 0 for v in parsed.values()
+        ):
+            p.error("--mix must map at least one source to a positive share")
+    elif args.mix_by != "lang" or args.mix_weight != "chars" or args.mix_seed != 0:
+        p.error("--mix-by/--mix-weight/--mix-seed only apply with --mix")
     if args.bench is not None and args.delta_migrate is not None:
         p.error("--bench cannot be combined with --delta-migrate (the "
                 "benchmark snapshot carries over to the new store unchanged)")
@@ -419,6 +459,37 @@ def main(argv=None) -> int:
                 strategy=args.training_rep_strategy,
                 quality=gate,
             )
+            if args.mix is not None:
+                import json as _json
+
+                from pyspark.sql import functions as F
+
+                from sycl_jaccard_spark.operators.mixing import stratified_mix
+
+                targets = {
+                    str(k): float(v) for k, v in _json.loads(args.mix).items()
+                }
+                mixin, wcol = kept, None
+                if args.mix_weight == "chars":
+                    mixin = kept.withColumn("_mix_w", F.length("content"))
+                    wcol = "_mix_w"
+                kept, mix_rates = stratified_mix(
+                    mixin, targets, source_col=args.mix_by,
+                    weight_col=wcol, seed=args.mix_seed,
+                )
+                kept = kept.drop("_mix_w")
+                mix_rates.write.mode("overwrite").parquet(
+                    os.path.join(args.training_set_out, "mix_rates")
+                )
+                if spark.read.parquet(
+                    os.path.join(args.training_set_out, "mix_rates")
+                ).count() == 0:
+                    raise ValueError(
+                        f"--mix: none of the target sources "
+                        f"{sorted(targets)} occur in column "
+                        f"{args.mix_by!r} of the kept files — the mix "
+                        "would be empty (check --mix-by and the share keys)"
+                    )
             kept.write.mode("overwrite").parquet(
                 os.path.join(args.training_set_out, "files")
             )
@@ -432,6 +503,18 @@ def main(argv=None) -> int:
                 ).groupBy("drop_reason").count().collect()
             }
             summary = {"op": "training_set", "rows": reasons}
+            if args.mix is not None:
+                summary["mix"] = {
+                    "sampled": spark.read.parquet(
+                        os.path.join(args.training_set_out, "files")
+                    ).count(),
+                    "rates": {
+                        r[args.mix_by]: round(r.rate, 6)
+                        for r in spark.read.parquet(
+                            os.path.join(args.training_set_out, "mix_rates")
+                        ).collect()
+                    },
+                }
         else:
             summary = store.add_batch(files, batch_id=args.delta_batch_id)
         store.clusters().write.mode("overwrite").parquet(

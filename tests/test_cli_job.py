@@ -712,3 +712,122 @@ def test_cli_training_set_flag_validation(tmp_path):
         "--quality-min-tokens", "5", "--contam-threshold", "0.9",
     ])
     assert args.training_set_out == "t" and args.quality_min_tokens == 5
+
+
+def test_run_pipeline_cli_training_set_mix(spark, tmp_path):
+    """--mix on the training-set epoch: the kept files are water-fill
+    sampled to the target lang shares — the scarce lang is taken whole,
+    the abundant one thins — and DIR/mix_rates records the rates."""
+    import json
+
+    from jobs.run_pipeline import main
+
+    def content(i):
+        return " ".join(f"tok{i}_{t}" for t in range(30))
+
+    rows = [(i, content(i), "python" if i < 8 else "go") for i in range(12)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    src = str(tmp_path / "src")
+    corpus.write.parquet(src)
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(0, content(0))], "id long, content string"
+    ).write.parquet(bench)
+
+    store = str(tmp_path / "store")
+    assert main([
+        "--input", src, "--input-kind", "documents",
+        "--output", str(tmp_path / "o0"),
+        "--delta-store", store, "--bench", bench,
+        "--num-perms", "64", "--bands", "16",
+    ]) == 0
+    ts_out = str(tmp_path / "ts")
+    assert main([
+        "--input", src, "--input-kind", "documents",
+        "--output", str(tmp_path / "o1"),
+        "--delta-store", store,
+        "--training-set-out", ts_out,
+        "--mix", json.dumps({"python": 1, "go": 1}),
+        "--mix-seed", "3",
+        "--num-perms", "64", "--bands", "16",
+    ]) == 0
+
+    rates = {r.lang: r for r in spark.read.parquet(ts_out + "/mix_rates").collect()}
+    assert set(rates) == {"python", "go"}
+    assert rates["go"].rate == 1.0  # scarce lang taken whole
+    assert 0 < rates["python"].rate < 1
+    kept = spark.read.parquet(ts_out + "/files")
+    by_lang = {r.lang: r["count"] for r in kept.groupBy("lang").count().collect()}
+    assert by_lang["go"] == 4  # every clean go doc survives the mix
+    assert 0 < by_lang.get("python", 0) < 7  # doc 0 contaminated; rest thinned
+    # the manifest is the FULL hygiene manifest (mixing is not a drop reason)
+    m = spark.read.parquet(ts_out + "/manifest")
+    assert m.count() == 12
+    assert {r.drop_reason for r in m.collect()} <= {None, "contaminated", "duplicate"}
+
+
+def test_cli_mix_flag_validation():
+    """--mix requires --training-set-out, its knobs require --mix, and a
+    malformed JSON or non-positive share is a parse error."""
+    import pytest
+
+    from jobs.run_pipeline import parse_args
+
+    base = ["--input", "x", "--output", "y", "--delta-store", "d"]
+    with pytest.raises(SystemExit):
+        parse_args(base + ["--mix", '{"a": 1}'])  # no --training-set-out
+    ts = base + ["--training-set-out", "t"]
+    for bad in ('not json', '{}', '{"a": 0}', '{"a": -2}', '["a"]'):
+        with pytest.raises(SystemExit):
+            parse_args(ts + ["--mix", bad])
+    for knob in (["--mix-by", "repo"], ["--mix-weight", "rows"],
+                 ["--mix-seed", "5"]):
+        with pytest.raises(SystemExit):
+            parse_args(ts + knob)  # knobs without --mix
+    args = parse_args(ts + ["--mix", '{"python": 2, "go": 1}',
+                            "--mix-by", "repo", "--mix-weight", "rows"])
+    assert args.mix_by == "repo" and args.mix_weight == "rows"
+
+
+def test_cli_mix_no_matching_source_fails_loudly(spark, tmp_path):
+    """--mix naming only sources absent from --mix-by must FAIL the run
+    (an empty training corpus from a typo'd source name is the silent
+    failure mode), and DIR/files is not written."""
+    import json
+    import os
+
+    import pytest
+
+    from jobs.run_pipeline import main
+
+    def content(i):
+        return " ".join(f"tok{i}_{t}" for t in range(30))
+
+    corpus = spark.createDataFrame(
+        [(i, content(i), "python") for i in range(6)],
+        "doc_id long, text string, lang string",
+    )
+    src = str(tmp_path / "src")
+    corpus.write.parquet(src)
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(0, content(0))], "id long, content string"
+    ).write.parquet(bench)
+    store = str(tmp_path / "store")
+    assert main([
+        "--input", src, "--input-kind", "documents",
+        "--output", str(tmp_path / "o0"),
+        "--delta-store", store, "--bench", bench,
+        "--num-perms", "64", "--bands", "16",
+    ]) == 0
+    ts_out = str(tmp_path / "ts")
+    with pytest.raises(ValueError, match="none of the target sources"):
+        main([
+            "--input", src, "--input-kind", "documents",
+            "--output", str(tmp_path / "o1"),
+            "--delta-store", store,
+            "--training-set-out", ts_out,
+            "--mix", json.dumps({"pyton": 1}),  # typo'd source
+            "--num-perms", "64", "--bands", "16",
+        ])
+    assert not os.path.exists(os.path.join(ts_out, "files"))
