@@ -85,6 +85,8 @@ QUAL_MIN_DISTINCT_RATIO = 0.35  # distinct/total token ratio below this fails
 # share is largest relative to its weight, so it water-fills to rate 1
 MIX_TARGETS = {"src0": 4.0, "src1": 2.0, "src17": 3.0, "src3": 1.0}
 MIX_SEED = 42
+SPLIT_TEST_SHARE = 0.25    # leakage-safe split: expected fraction of clusters
+SPLIT_SEED = 9
 
 _PA, _PB = make_perms(N_PERMS, seed=42)
 
@@ -879,6 +881,24 @@ def q_corpus_mix_sample(spark, sf_dir):
     )
 
 
+def q_cluster_split_assign(spark, sf_dir):
+    """Leakage-safe train/test split (operators/mixing.py
+    leakage_safe_split): every member of a near-dup cluster is assigned to
+    the same side by hashing the CLUSTER label — a doc-level split would
+    leak near-duplicates of training docs into eval. The oracle replays
+    clustering and the md5 threshold on the label in one SQL statement."""
+    from sycl_jaccard_spark.operators.mixing import leakage_safe_split
+
+    clusters = _portable_clusters(spark, sf_dir, simhash=False)
+    return leakage_safe_split(
+        clusters, SPLIT_TEST_SHARE, seed=SPLIT_SEED
+    ).select(
+        F.col("id").cast("long"),
+        F.col("cluster").cast("long"),
+        F.col("split").cast("string"),
+    )
+
+
 def q_ann_lsh_candidates(spark, sf_dir):
     # bucket_cap is non-triggering here: the DuckDB oracle self-joins buckets
     # uncapped, so both sides must keep every member (cap behavior is tested
@@ -1035,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_training_manifest": q_clean_training_manifest,
         "training_manifest_quality": q_training_manifest_quality,
         "corpus_mix_sample": q_corpus_mix_sample,
+        "cluster_split_assign": q_cluster_split_assign,
         "dedup_pipeline_full": q_dedup_pipeline_full,
         "ann_lsh_candidates": q_ann_lsh_candidates,
         "ann_ivf_candidates": q_ann_ivf_candidates,
@@ -1627,6 +1648,19 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source AS source
 FROM documents d JOIN r ON r.source = d.source
 WHERE CAST(CAST(('0x' || substr(md5('{MIX_SEED}#' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
       < r.rate * {float(2**60)!r}"""
+    # cluster_split_assign: the cluster replay + the md5 threshold on the
+    # CLUSTER label (not the doc id) — the whole point: near-dup members
+    # share a label, so they can never straddle train/test
+    sql["cluster_split_assign"] = _cluster_replay_sql(
+        with_simhash=False,
+        tail=f""",
+clus AS (SELECT node AS id, min(lab) AS cluster FROM reach GROUP BY node)
+SELECT CAST(id AS BIGINT) AS id, CAST(cluster AS BIGINT) AS cluster,
+       CASE WHEN CAST(CAST(('0x' || substr(md5('{SPLIT_SEED}#' || CAST(cluster AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+                 < {float(SPLIT_TEST_SHARE)!r} * {float(2**60)!r}
+            THEN 'test' ELSE 'train' END AS split
+FROM clus""",
+    )
     return sql
 
 

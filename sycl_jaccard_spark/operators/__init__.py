@@ -30,6 +30,7 @@ from sycl_jaccard_spark.operators.ann import (
 )
 from sycl_jaccard_spark.operators.mixing import (
     deterministic_sample,
+    leakage_safe_split,
     stratified_mix,
 )
 from sycl_jaccard_spark.operators.representatives import (
@@ -72,6 +73,7 @@ __all__ = [
     "QualityGate",
     "deduplicate_corpus",
     "deterministic_sample",
+    "leakage_safe_split",
     "select_representatives",
     "stratified_mix",
     "training_set",

@@ -68,6 +68,7 @@ def stratified_mix(
     weight_col: str | None = None,
     id_col: str = "id",
     seed: int = 0,
+    total: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Water-filled stratified sample: the largest deterministic sample of
     ``files`` whose per-source WEIGHT (``weight_col``, e.g. a token or char
@@ -85,6 +86,11 @@ def stratified_mix(
     whole, every other is thinned to proportion. Expected sampled weight
     per source is ``p_s · T``.
 
+    ``total`` (optional) caps the mix at a fixed BUDGET: the expected total
+    sampled weight becomes ``min(total, max feasible)`` while preserving
+    the target proportions — "give me at most B tokens at this mix". With
+    ``total=None`` the mix fills to the maximum the corpus supports.
+
     Returns ``(sampled, rates)``; ``rates`` is the small (source, weight,
     share, rate) relation for observability. Execution shape: one tiny
     per-source aggregate (≤ |targets| rows), a broadcast join of the rates
@@ -95,6 +101,8 @@ def stratified_mix(
         raise ValueError("targets must name at least one source")
     if any(v <= 0 for v in targets.values()):
         raise ValueError("target shares must be positive")
+    if total is not None and total <= 0:
+        raise ValueError("total budget must be positive")
     spark = files.sparkSession
     tdf = spark.createDataFrame(
         [(s, float(v)) for s, v in sorted(targets.items())],
@@ -115,13 +123,19 @@ def stratified_mix(
         (F.col("weight").cast("double") / F.col("share")).alias("_fill"),
     )
     fill = per_source.agg(F.min("_fill").alias("fill_t"))
+    fill_expr = F.col("fill_t")
+    if total is not None:
+        # fill level is weight-per-unit-share: expected total = T · Σshares
+        fill_expr = F.least(
+            fill_expr, F.lit(float(total) / sum(float(v) for v in targets.values()))
+        )
     rates = per_source.crossJoin(F.broadcast(fill)).select(
         source_col,
         "weight",
         "share",
         F.least(
             F.lit(1.0),
-            (F.col("share") / F.col("weight").cast("double")) * F.col("fill_t"),
+            (F.col("share") / F.col("weight").cast("double")) * fill_expr,
         ).alias("rate"),
     )
     sampled = deterministic_sample(
@@ -131,3 +145,38 @@ def stratified_mix(
         seed=seed,
     ).select(*files.columns)
     return sampled, rates
+
+
+def leakage_safe_split(
+    clusters: DataFrame,
+    test_share: float,
+    seed: int = 0,
+    id_col: str = "id",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """(id, cluster, split) — train/test assignment by CLUSTER hash, so
+    every member of a near-dup cluster lands on the SAME side.
+
+    A doc-level random split leaks: near-duplicates of training documents
+    end up in the eval set and inflate every metric. Hashing the cluster
+    label instead makes straddling impossible by construction — the unit
+    of assignment is the duplicate class the dedup pipeline already
+    computed. ``test_share`` is the expected fraction of CLUSTERS (≈ docs
+    when cluster sizes are small relative to the corpus); the same
+    seed/threshold semantics as :func:`deterministic_sample` apply, so the
+    test set at share s is NESTED in the test set at any larger share
+    (growing the eval set never moves a cluster back to train). A pure
+    column expression on the clusters relation — no join, no shuffle.
+    """
+    if not (0.0 <= test_share <= 1.0):
+        raise ValueError("test_share must be in [0, 1]")
+    h = sample_hash(F.col(cluster_col), seed).cast("double")
+    return clusters.select(
+        id_col,
+        cluster_col,
+        F.when(
+            h < F.lit(float(test_share)) * F.lit(HASH_SPACE), F.lit("test")
+        )
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -115,3 +115,63 @@ def test_stratified_mix_plan_is_broadcast_and_jvm_only(spark):
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+
+
+def test_stratified_mix_total_budget(spark):
+    """total= caps the mix at a fixed expected weight while preserving
+    proportions; a budget above the feasible maximum is a no-op."""
+    df = (
+        spark.range(16000)
+        .select(
+            F.col("id"),
+            F.when(F.col("id") < 10000, "A")
+            .when(F.col("id") < 15000, "B")
+            .otherwise("C")
+            .alias("source"),
+        )
+    )
+    targets = {"A": 1.0, "B": 1.0, "C": 1.0}
+    # feasible max fill is 1000 per source (C is scarce); ask for half
+    _, rates = stratified_mix(df, targets, seed=3, total=1500.0)
+    r = {x.source: x.rate for x in rates.collect()}
+    assert r["A"] == pytest.approx(0.05, rel=1e-12)
+    assert r["B"] == pytest.approx(0.1, rel=1e-12)
+    assert r["C"] == pytest.approx(0.5, rel=1e-12)
+    # budget above feasible max: identical to the uncapped mix
+    _, rates_hi = stratified_mix(df, targets, seed=3, total=10_000_000.0)
+    _, rates_un = stratified_mix(df, targets, seed=3)
+    assert {tuple(x) for x in rates_hi.collect()} == {
+        tuple(x) for x in rates_un.collect()
+    }
+    with pytest.raises(ValueError):
+        stratified_mix(df, targets, total=0.0)
+
+
+def test_leakage_safe_split_never_straddles(spark):
+    from sycl_jaccard_spark.operators.mixing import leakage_safe_split
+
+    # 3000 docs in 1000 clusters of 3
+    clusters = spark.range(3000).select(
+        F.col("id"), (F.col("id") / 3).cast("long").alias("cluster")
+    )
+    split = leakage_safe_split(clusters, 0.3, seed=4)
+    rows = split.collect()
+    assert {r.split for r in rows} == {"test", "train"}
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, set()).add(r.split)
+    # THE property: no cluster straddles the split
+    assert all(len(s) == 1 for s in by_cluster.values())
+    test_clusters = sum(1 for s in by_cluster.values() if s == {"test"})
+    sd = math.sqrt(1000 * 0.3 * 0.7)
+    assert abs(test_clusters - 300) < 6 * sd
+    # deterministic + nested: a larger share keeps every test cluster
+    bigger = leakage_safe_split(clusters, 0.5, seed=4)
+    test_small = {r.cluster for r in rows if r.split == "test"}
+    test_big = {r.cluster for r in bigger.collect() if r.split == "test"}
+    assert test_small <= test_big
+    with pytest.raises(ValueError):
+        leakage_safe_split(clusters, 1.5)
+    # pure column expression: no exchange, no Python eval
+    p = split._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "EvalPython" not in p, p
