@@ -175,3 +175,47 @@ def test_leakage_safe_split_never_straddles(spark):
     # pure column expression: no exchange, no Python eval
     p = split._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p and "EvalPython" not in p, p
+
+
+def test_split_composes_with_training_set(spark):
+    """The full pre-training flow: training_set picks one representative
+    per cluster, leakage_safe_split assigns by cluster — so the EVAL side
+    can never contain a near-duplicate of any train doc: each kept rep
+    carries its whole cluster to one side."""
+    from sycl_jaccard_spark.operators.mixing import leakage_safe_split
+    from sycl_jaccard_spark.operators.representatives import training_set
+
+    # 60 docs in 20 clusters of 3; doc 0 is a planted leak
+    files = spark.range(60).select(
+        F.col("id"),
+        F.concat_ws(" ", F.array([F.concat(F.lit("w"), (F.col("id") / 3).cast("long").cast("string"), F.lit(f"_{t}")) for t in range(12)])).alias("content"),
+    )
+    clusters = spark.range(60).select(
+        F.col("id"), (F.col("id") / 3).cast("long").alias("cluster")
+    )
+    contam = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") == 0, 1.0).otherwise(0.0).alias("max_containment"),
+        (F.col("id") == 0).alias("contaminated"),
+    )
+    kept, manifest = training_set(files, clusters, contam)
+    split = leakage_safe_split(clusters, 0.4, seed=6)
+    # final corpora: kept representatives joined with their cluster's side
+    final = kept.join(split.select("id", "split"), "id")
+    train_ids = {r.id for r in final.filter("split = 'train'").collect()}
+    test_ids = {r.id for r in final.filter("split = 'test'").collect()}
+    assert train_ids and test_ids and not (train_ids & test_ids)
+    cluster_of = {r.id: r.cluster for r in clusters.collect()}
+    side_of_cluster = {}
+    for r in split.collect():
+        side_of_cluster.setdefault(cluster_of[r.id], set()).add(r.split)
+    # no train doc's cluster has ANY member assigned to test (and vice
+    # versa) — near-dup leakage into eval is impossible by construction
+    for i in train_ids:
+        assert side_of_cluster[cluster_of[i]] == {"train"}
+    for i in test_ids:
+        assert side_of_cluster[cluster_of[i]] == {"test"}
+    # the contaminated cluster's rep succession still holds under the split
+    m = {r.id: r for r in manifest.collect()}
+    assert not m[0].keep and m[0].drop_reason == "contaminated"
+    assert m[1].keep or m[2].keep  # succession inside cluster 0
