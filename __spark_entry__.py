@@ -1639,7 +1639,8 @@ LEFT JOIN reps r ON r.cluster = c.cluster""",
     sql["corpus_mix_sample"] = f"""
 WITH t(source, share) AS (VALUES {_mix_values}),
 w AS (SELECT d.source, CAST(sum(d.n_chars) AS DOUBLE) AS wt
-      FROM documents d JOIN t USING (source) GROUP BY d.source),
+      FROM documents d JOIN t USING (source) GROUP BY d.source
+      HAVING sum(d.n_chars) > 0),
 f AS (SELECT min(w.wt / t.share) AS fill_t FROM w JOIN t USING (source)),
 r AS (SELECT w.source,
              least(CAST(1.0 AS DOUBLE), (t.share / w.wt) * f.fill_t) AS rate

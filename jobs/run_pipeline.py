@@ -334,6 +334,7 @@ def parse_args(argv=None):
         ):
             if not val:
                 p.error(f"{flag} only applies with --training-set-out")
+    args.mix_parsed = None
     if args.mix is not None:
         import json as _json
 
@@ -342,9 +343,11 @@ def parse_args(argv=None):
         except ValueError:
             p.error("--mix must be a JSON object of source -> share")
         if not isinstance(parsed, dict) or not parsed or any(
-            not isinstance(v, (int, float)) or v <= 0 for v in parsed.values()
+            isinstance(v, bool) or not isinstance(v, (int, float)) or v <= 0
+            for v in parsed.values()
         ):
             p.error("--mix must map at least one source to a positive share")
+        args.mix_parsed = {str(k): float(v) for k, v in parsed.items()}
     elif args.mix_by != "lang" or args.mix_weight != "chars" or args.mix_seed != 0:
         p.error("--mix-by/--mix-weight/--mix-seed only apply with --mix")
     if args.bench is not None and args.delta_migrate is not None:
@@ -459,16 +462,13 @@ def main(argv=None) -> int:
                 strategy=args.training_rep_strategy,
                 quality=gate,
             )
+            mix_rate_rows = None
             if args.mix is not None:
-                import json as _json
-
                 from pyspark.sql import functions as F
 
                 from sycl_jaccard_spark.operators.mixing import stratified_mix
 
-                targets = {
-                    str(k): float(v) for k, v in _json.loads(args.mix).items()
-                }
+                targets = args.mix_parsed
                 mixin, wcol = kept, None
                 if args.mix_weight == "chars":
                     mixin = kept.withColumn("_mix_w", F.length("content"))
@@ -481,9 +481,10 @@ def main(argv=None) -> int:
                 mix_rates.write.mode("overwrite").parquet(
                     os.path.join(args.training_set_out, "mix_rates")
                 )
-                if spark.read.parquet(
+                mix_rate_rows = spark.read.parquet(
                     os.path.join(args.training_set_out, "mix_rates")
-                ).count() == 0:
+                ).collect()  # <= |targets| rows, read back once
+                if not mix_rate_rows:
                     raise ValueError(
                         f"--mix: none of the target sources "
                         f"{sorted(targets)} occur in column "
@@ -503,16 +504,14 @@ def main(argv=None) -> int:
                 ).groupBy("drop_reason").count().collect()
             }
             summary = {"op": "training_set", "rows": reasons}
-            if args.mix is not None:
+            if mix_rate_rows is not None:
                 summary["mix"] = {
+                    # parquet row count is footer-metadata only — no re-scan
                     "sampled": spark.read.parquet(
                         os.path.join(args.training_set_out, "files")
                     ).count(),
                     "rates": {
-                        r[args.mix_by]: round(r.rate, 6)
-                        for r in spark.read.parquet(
-                            os.path.join(args.training_set_out, "mix_rates")
-                        ).collect()
+                        r[args.mix_by]: round(r.rate, 6) for r in mix_rate_rows
                     },
                 }
         else:

@@ -141,15 +141,15 @@ def main() -> int:
 
     ok = all(
         r["violations"] == 0 and r["n_total"] == r["n_docs"]
-        and r["n_kept"] == r["reasons"]["kept"]
+        and r["n_kept"] == r["reasons"].get("kept", 0)
         for r in results
     )
     ratio_docs = results[1]["n_docs"] / results[0]["n_docs"]
     ratio_wall = results[1]["wall"] / results[0]["wall"]
     rows = "\n".join(
         f"| {r['n_docs']:,} | {r['wall']:.1f} | {r['files_per_s']:.0f} "
-        f"| {r['reasons']['kept']:,} | {r['reasons']['contaminated']:,} "
-        f"| {r['reasons']['low_quality']:,} | {r['reasons']['duplicate']:,} "
+        f"| {r['reasons'].get('kept', 0):,} | {r['reasons'].get('contaminated', 0):,} "
+        f"| {r['reasons'].get('low_quality', 0):,} | {r['reasons'].get('duplicate', 0):,} "
         f"| {r['violations']} |"
         for r in results
     )

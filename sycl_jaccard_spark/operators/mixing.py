@@ -115,6 +115,9 @@ def stratified_mix(
         files.join(F.broadcast(tdf.select(source_col)), source_col)
         .groupBy(source_col)
         .agg(F.sum(weight).alias("weight"))
+        # a zero-weight source cannot be sampled by weight: treat it like an
+        # absent one (otherwise 0/0 poisons the fill level and the rate)
+        .filter(F.col("weight") > 0)
     )
     per_source = weights.join(F.broadcast(tdf), source_col).select(
         source_col,
@@ -122,12 +125,16 @@ def stratified_mix(
         "share",
         (F.col("weight").cast("double") / F.col("share")).alias("_fill"),
     )
-    fill = per_source.agg(F.min("_fill").alias("fill_t"))
+    fill = per_source.agg(
+        F.min("_fill").alias("fill_t"), F.sum("share").alias("_share_sum")
+    )
     fill_expr = F.col("fill_t")
     if total is not None:
-        # fill level is weight-per-unit-share: expected total = T · Σshares
+        # fill level is weight-per-unit-share: expected total = T · Σshares,
+        # where the sum runs over sources actually PRESENT in the corpus
+        # (absent/zero-weight targets are ignored, per the contract above)
         fill_expr = F.least(
-            fill_expr, F.lit(float(total) / sum(float(v) for v in targets.values()))
+            fill_expr, F.lit(float(total)) / F.col("_share_sum")
         )
     rates = per_source.crossJoin(F.broadcast(fill)).select(
         source_col,
@@ -139,8 +146,13 @@ def stratified_mix(
         ).alias("rate"),
     )
     sampled = deterministic_sample(
-        files.join(F.broadcast(rates.select(source_col, "rate")), source_col),
-        F.col("rate"),
+        files.join(
+            F.broadcast(
+                rates.select(source_col, F.col("rate").alias("__mix_rate"))
+            ),
+            source_col,
+        ),
+        F.col("__mix_rate"),
         id_col=id_col,
         seed=seed,
     ).select(*files.columns)

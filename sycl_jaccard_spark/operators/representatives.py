@@ -41,7 +41,7 @@ class QualityGate:
       (boilerplate repetition; evaluated only for non-empty docs).
     """
 
-    min_tokens: int = 1
+    min_tokens: int | None = 1
     max_avg_tok_len: float | None = None
     min_distinct_ratio: float | None = None
 
@@ -50,7 +50,9 @@ class QualityGate:
         — no join, no shuffle; evaluates inline in the files scan."""
         st = textstats.quality_stats(text)
         n = st["n_tokens"]
-        cond = n < F.lit(int(self.min_tokens))
+        cond = F.lit(False)
+        if self.min_tokens is not None:
+            cond = cond | (n < F.lit(int(self.min_tokens)))
         if self.max_avg_tok_len is not None:
             cond = cond | (
                 (n > 0) & (st["avg_tok_len"] > F.lit(float(self.max_avg_tok_len)))

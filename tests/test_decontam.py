@@ -298,3 +298,32 @@ def test_training_set_quality_gate_precedence_and_succession(spark):
     clean_clusters = clusters.join(clean.select("id"), "id", "left_semi")
     kept2, _ = deduplicate_corpus(clean, clean_clusters)
     assert {r.id for r in kept.collect()} == {r.id for r in kept2.collect()}
+
+
+def test_quality_gate_min_tokens_none_disables(spark):
+    """min_tokens=None disables the length criterion (docstring contract;
+    review regression: it used to raise TypeError)."""
+    from sycl_jaccard_spark.operators.representatives import QualityGate
+
+    gate = QualityGate(min_tokens=None, max_avg_tok_len=5.0)
+    df = spark.createDataFrame(
+        [(1, ""), (2, "aa"), (3, "aaaaaaaaaa bbbbbbbbbb")],
+        "id long, content string",
+    )
+    got = {
+        r.id: r.lowq
+        for r in df.select(
+            "id", gate.low_quality(F.col("content")).alias("lowq")
+        ).collect()
+    }
+    # empty/short docs pass (no length criterion); long-token doc fails
+    assert got == {1: False, 2: False, 3: True}
+    # all-None gate flags nothing
+    off = QualityGate(min_tokens=None)
+    got2 = {
+        r.id: r.lowq
+        for r in df.select(
+            "id", off.low_quality(F.col("content")).alias("lowq")
+        ).collect()
+    }
+    assert got2 == {1: False, 2: False, 3: False}

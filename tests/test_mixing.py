@@ -219,3 +219,41 @@ def test_split_composes_with_training_set(spark):
     m = {r.id: r for r in manifest.collect()}
     assert not m[0].keep and m[0].drop_reason == "contaminated"
     assert m[1].keep or m[2].keep  # succession inside cluster 0
+
+
+def test_stratified_mix_budget_ignores_absent_sources(spark):
+    """total= is split over sources PRESENT in the corpus — an absent
+    target must not dilute the delivered budget (review regression)."""
+    df = spark.range(10000).select("id", F.lit("web").alias("source"))
+    _, rates = stratified_mix(
+        df, {"web": 1.0, "code": 1.0}, seed=1, total=1000.0
+    )
+    r = rates.collect()
+    assert len(r) == 1 and r[0].source == "web"
+    # budget 1000 over ONE present unit share -> rate 0.1, not 0.05
+    assert r[0].rate == pytest.approx(0.1, rel=1e-12)
+
+
+def test_stratified_mix_zero_weight_source_is_absent(spark):
+    """A target source whose total weight is 0 is treated like an absent
+    one: it cannot poison the fill level or grab rate 1.0 (review
+    regression: 0-division previously yielded rate NULL -> least = 1)."""
+    df = spark.createDataFrame(
+        [(1, "A", 0), (2, "A", 0), (3, "B", 40), (4, "B", 60)],
+        "id long, source string, n long",
+    )
+    sampled, rates = stratified_mix(df, {"A": 1.0, "B": 1.0}, weight_col="n")
+    r = {x.source: x for x in rates.collect()}
+    assert set(r) == {"B"} and r["B"].rate == pytest.approx(1.0, abs=1e-12)
+    assert {x.id for x in sampled.collect()} == {3, 4}
+
+
+def test_stratified_mix_tolerates_rate_column_name(spark):
+    """An input relation already carrying a 'rate' column must not make
+    the internal rates join ambiguous (review regression)."""
+    df = spark.range(100).select(
+        "id", F.lit("A").alias("source"), F.lit(0.5).alias("rate")
+    )
+    sampled, _ = stratified_mix(df, {"A": 1.0}, seed=2)
+    assert sampled.columns == ["id", "source", "rate"]
+    assert sampled.count() == 100  # single source fills whole
