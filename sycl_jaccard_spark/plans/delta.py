@@ -350,10 +350,28 @@ class DeltaDedup(DeltaStoreBase):
         reopening with a DIFFERENT benchmark set is refused — earlier
         deliveries were probed against the stored one."""
         path = f"{self.root}/bench"
+        norm = None
+        if bench_snapshot is not None:
+            # normalize BEFORE fingerprinting or persisting: the probe joins
+            # on a long bench_id, and xxhash64 is dtype-sensitive (an int32
+            # snapshot would spuriously mismatch its own stored long copy).
+            # A bench_id that casts to NULL (string benchmark names) would
+            # silently match NOTHING in the size join — refuse it loudly,
+            # with the same clear message under ANSI and non-ANSI casting
+            norm = bench_snapshot.select(
+                F.col("bench_id").try_cast("long").alias("bench_id"),
+                F.array_distinct("ngram_hashes").alias("ngram_hashes"),
+            )
+            if norm.filter(F.col("bench_id").isNull()).limit(1).count() > 0:
+                raise ValueError(
+                    "bench_id must cast to long without nulls — map string "
+                    "benchmark names to stable numeric ids (e.g. xxhash64) "
+                    "before snapshotting"
+                )
         if self._exists(f"{path}/_SUCCESS"):
             stored = self.spark.read.parquet(path)
-            if bench_snapshot is not None and self._bench_fingerprint(
-                bench_snapshot.select("bench_id", "ngram_hashes")
+            if norm is not None and self._bench_fingerprint(
+                norm
             ) != self._bench_fingerprint(stored):
                 raise ValueError(
                     f"delta store {self.root} was created with a different "
@@ -364,10 +382,6 @@ class DeltaDedup(DeltaStoreBase):
                 )
             self._bench = stored
         else:
-            norm = bench_snapshot.select(
-                F.col("bench_id").cast("long").alias("bench_id"),
-                F.array_distinct("ngram_hashes").alias("ngram_hashes"),
-            )
             norm.write.mode("overwrite").parquet(path)
             self._bench = self.spark.read.parquet(path)
         if self._bench.isEmpty():
@@ -492,7 +506,7 @@ class DeltaDedup(DeltaStoreBase):
         their rows, so a re-run would duplicate those edges)."""
         cfg = self.cfg
         existing = self.batch_ids()
-        bid = self._begin_epoch(batch_id)
+        bid = self._begin_epoch(batch_id, existing)
         t0 = time.monotonic()
         t_start = t0
 
@@ -514,6 +528,17 @@ class DeltaDedup(DeltaStoreBase):
             F.col("batch") != bid
         )
         n_delivered = hashed.count()
+        # a duplicate id WITHIN the delivery would put two rows for one id
+        # into the append-only files/ relation — every downstream join keyed
+        # on id fans out and nothing later can heal it (the redelivery guard
+        # only checks across batches). One cheap agg on the checkpointed Δ
+        n_distinct_ids = hashed.select("id").distinct().count()
+        if n_distinct_ids != n_delivered:
+            raise ValueError(
+                f"delivery contains {n_delivered - n_distinct_ids} duplicate "
+                "id row(s) — ids must be unique within a batch (dedupe the "
+                "delivery, e.g. dropDuplicates('id'), before add_batch)"
+            )
         # Corpus-sized store relations are SCAN-ONLY in the delta path: every
         # probe of the store streams it against a broadcast hash table built
         # from the Δ side (an inner join with the small side hinted), and the
@@ -881,8 +906,22 @@ class DeltaDedup(DeltaStoreBase):
         t0 = self._mark("rm_tombstone", t0, rows=n_removed, batch=bid)
 
         # -- rep succession: min surviving same-sha id inherits the removed
-        # rep's identity rows and edges --
-        rm_reps = rm.filter("is_rep").select(F.col("id").alias("old"), "sha256")
+        # rep's identity rows and edges. Effective rep-ness is detected by
+        # LIVE derived rows (shingles presence), not files.is_rep: a
+        # SUCCESSOR from an earlier removal carries the group's shingle/
+        # banded rows but keeps is_rep=false in the append-only files
+        # relation, and removing it must trigger a second succession or the
+        # group's surviving members silently lose their identity (the
+        # store would split clusters a full run keeps together) --
+        rm_live = (
+            self._read("shingles", self._relations["shingles"])
+            .join(F.broadcast(rm.select("id")), "id", "left_semi")
+            .select("id")
+            .distinct()
+        )
+        rm_reps = rm.join(F.broadcast(rm_live), "id", "left_semi").select(
+            F.col("id").alias("old"), "sha256"
+        )
         survivors = (
             self._read("files", self._RELATIONS["files"])
             .join(F.broadcast(rm_reps.select("sha256")), "sha256")

@@ -163,10 +163,16 @@ class DeltaStoreBase:
             )
         ]
 
-    def _begin_epoch(self, batch_id: int | None) -> int:
+    def _begin_epoch(
+        self, batch_id: int | None, existing: list[int] | None = None
+    ) -> int:
         """Allocate/validate an epoch id under the shared replay-window,
-        horizon and incomplete-epoch guards."""
-        existing = self.batch_ids()
+        horizon and incomplete-epoch guards. ``existing`` lets a caller that
+        already listed the partition directories pass its result through —
+        pre-compaction stores hold many batch= dirs and the listing is the
+        scan-planning cost compact() exists to bound."""
+        if existing is None:
+            existing = self.batch_ids()
         bid = batch_id if batch_id is not None else (existing[-1] + 1 if existing else 0)
         horizon = self.compacted_through()
         if bid <= horizon:
@@ -277,10 +283,11 @@ class DeltaStoreBase:
     def _compact_extras(self, target: int, ctx: dict) -> None:
         """Extra tmp-dir writes beyond the additive + epoch relations.
         Default: reset the merge closure (its hops are now applied inside
-        the consolidated ``label_base``)."""
+        the consolidated ``label_base``), written in the versioned layout
+        the post-compaction reads expect."""
         self.spark.createDataFrame([], self._CLOSURE_SCHEMA).write.mode(
             "overwrite"
-        ).parquet(f"{self.root}/_compact_tmp/label_remaps")
+        ).parquet(f"{self.root}/_compact_tmp/label_remaps/v=0")
 
     def _compact_swap_names(self) -> list[str]:
         """Directories to swap in phase 2, in order. label_fix and
@@ -309,6 +316,18 @@ class DeltaStoreBase:
         O(1) right-sized ones)."""
         bids = self.batch_ids()
         t0 = time.monotonic()
+        incomplete = self.incomplete_batch_ids()
+        if incomplete:
+            # the crashed epoch is always bids[-1] (the compaction target):
+            # folding it would consolidate half-written partitions AND the
+            # trailing lineage write below would erase the crash marker —
+            # the store would look healthy with unhealable half-ingested rows
+            raise ValueError(
+                f"delta store {self.root} has incomplete batch(es) "
+                f"{incomplete}: replay exactly that batch_id to heal the "
+                "store before compacting (compaction closes the replay "
+                "window and would erase the crash marker)"
+            )
         if len(bids) <= 1:
             return {"compacted": False, "n_batches": len(bids)}
         target = bids[-1]
@@ -373,20 +392,64 @@ class DeltaStoreBase:
 
     # ---- label overlay (shared by both labeled graph stores) ----
 
+    def _closure_versions(self) -> list[tuple[int, bool]]:
+        """(version, complete) per ``label_remaps/v=N`` dir, ascending."""
+        path = f"{self.root}/label_remaps"
+        out = []
+        if self._exists(path):
+            fs, hpath = self._fs(path)
+            for s in fs.listStatus(hpath):
+                name = s.getPath().getName()
+                if name.startswith("v="):
+                    v = int(name.split("=", 1)[1])
+                    out.append((v, self._exists(f"{path}/v={v}/_SUCCESS")))
+        return sorted(out)
+
     def _closure(self) -> DataFrame:
         """The folded (old_label → new_label) merge closure; empty on a
-        store that has never merged across batches."""
+        store that has never merged across batches.
+
+        The closure is epoch-critical mutable state rewritten on every
+        merging epoch, so it is stored VERSIONED (``label_remaps/v=N``):
+        the read takes the latest version whose ``_SUCCESS`` marker landed,
+        so a crash mid-rewrite falls back to the previous complete closure
+        (the incomplete-epoch guard then forces a replay, which re-derives
+        the new version from it) instead of silently reading a torn write
+        as an EMPTY closure and resolving stale labels forever."""
+        complete = [v for v, done in self._closure_versions() if done]
+        if complete:
+            return self.spark.read.parquet(
+                f"{self.root}/label_remaps/v={complete[-1]}"
+            )
+        # pre-versioning layout (flat parquet dir) — stores written before
+        # the versioned scheme keep reading
         path = f"{self.root}/label_remaps"
         if self._exists(f"{path}/_SUCCESS"):
             return self.spark.read.parquet(path)
         return self.spark.createDataFrame([], self._CLOSURE_SCHEMA)
 
     def _write_closure(self, closure: DataFrame) -> None:
-        # cut lineage first: the new closure is derived from the parquet
-        # directory the write below overwrites
+        # cut lineage first: the new closure is derived from the version
+        # directory the GC below deletes
         closure = closure.localCheckpoint(eager=True)
-        closure.write.mode("overwrite").parquet(f"{self.root}/label_remaps")
+        versions = self._closure_versions()
+        nxt = (versions[-1][0] + 1) if versions else 0
+        path = f"{self.root}/label_remaps/v={nxt}"
+        closure.write.mode("overwrite").parquet(path)
         self.spark.catalog.refreshByPath(f"{self.root}/label_remaps")
+        # GC superseded (and torn) versions AFTER v=nxt's _SUCCESS landed;
+        # a crash before this loop leaves extra complete versions behind —
+        # harmless, the read takes the max complete one. Pre-versioning flat
+        # files (legacy layout) are superseded the same way: deleted only
+        # once the first version is durably in place
+        fs, _ = self._fs(path)
+        for v, _done in versions:
+            _, old = self._fs(f"{self.root}/label_remaps/v={v}")
+            fs.delete(old, True)
+        _, top = self._fs(f"{self.root}/label_remaps")
+        for s in fs.listStatus(top):
+            if not s.getPath().getName().startswith("v="):
+                fs.delete(s.getPath(), True)
 
     def _latest_fixes(self, exclude_bid: int | None = None) -> DataFrame:
         """Post-removal corrected labels, latest epoch per node (a node can

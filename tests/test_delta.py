@@ -1090,3 +1090,117 @@ def test_delta_training_set_composes_with_succession(spark, tmp_path):
     assert {tuple(r) for r in manifest.collect()} == {
         tuple(r) for r in expect.collect()
     }
+
+
+def test_remove_successor_chains_succession(spark, tmp_path):
+    """Review regression: removing a succession SUCCESSOR must trigger a
+    second succession. Effective rep-ness is live derived rows, not the
+    static files.is_rep flag — previously the group's survivors silently
+    lost their identity and the store split clusters a full run keeps."""
+    base = " ".join(f"tok{t}" for t in range(60))
+    near = " ".join(f"tok{t}" for t in range(57)) + " zzz yyy xxx"
+    files = spark.createDataFrame(
+        [(1, base), (2, base), (3, base), (10, near)],
+        "id long, content string",
+    ).localCheckpoint(eager=True)
+    store = DeltaDedup(spark, str(tmp_path / "store"), CFG)
+    store.add_batch(files)
+    labs = _clusters(store.clusters())
+    assert labs[1] == labs[2] == labs[3] == labs[10]
+
+    store.remove_ids(spark.createDataFrame([(1,)], "id long"))
+    s2 = store.remove_ids(spark.createDataFrame([(2,)], "id long"))
+    assert s2["n_rep_successions"] == 1  # 2 inherited from 1, now 3 inherits
+    labs = _clusters(store.clusters())
+    full = DedupPipeline(spark, CFG).run(files.filter("id in (3, 10)")).clusters
+    tl = _clusters(full)
+    assert (labs[3] == labs[10]) == (tl[3] == tl[10])
+    assert set(labs) == {3, 10}
+
+
+def test_compact_refuses_incomplete_epoch(spark, tmp_path, corpus):
+    """Review regression: compact() on a store with a crashed (lineage-less)
+    last epoch must refuse — folding it would erase the crash marker and
+    permanently orphan the half-ingested rows."""
+    import os
+
+    store = DeltaDedup(spark, str(tmp_path / "store"), CFG)
+    for b in _batches(corpus, 2):
+        store.add_batch(b)
+    # simulate the crash: drop the final-relation lineage of the last epoch
+    last = store.batch_ids()[-1]
+    os.remove(str(tmp_path / "store" / "edges" / f"batch={last}" / "_lineage.json"))
+    assert store.incomplete_batch_ids() == [last]
+    with pytest.raises(ValueError, match="incomplete batch"):
+        store.compact()
+
+
+def test_torn_closure_write_falls_back(spark, tmp_path, corpus):
+    """Review regression: a torn label_remaps rewrite (version dir without
+    _SUCCESS) must fall back to the previous complete closure, not silently
+    read an empty one and resolve stale labels."""
+    import os
+    import shutil
+
+    store = DeltaDedup(spark, str(tmp_path / "store"), CFG)
+    for b in _batches(corpus, 3):
+        store.add_batch(b)
+    before = _clusters(store.clusters())
+    vdir = str(tmp_path / "store" / "label_remaps")
+    versions = sorted(
+        int(d.split("=")[1]) for d in os.listdir(vdir) if d.startswith("v=")
+    )
+    assert versions, "expected versioned closure layout"
+    # simulate a crash mid-rewrite: a NEWER version dir with no _SUCCESS
+    torn = f"{vdir}/v={versions[-1] + 1}"
+    shutil.copytree(f"{vdir}/v={versions[-1]}", torn)
+    os.remove(f"{torn}/_SUCCESS")
+    store2 = DeltaDedup(spark, str(tmp_path / "store"), CFG)
+    assert _clusters(store2.clusters()) == before
+
+
+def test_add_batch_rejects_duplicate_ids(spark, tmp_path):
+    """Review regression: a duplicate id WITHIN a delivery would corrupt the
+    append-only files relation — refused loudly instead."""
+    files = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff gg hh"), (1, "ii jj kk ll mm nn oo pp")],
+        "id long, content string",
+    )
+    store = DeltaDedup(spark, str(tmp_path / "store"), CFG)
+    with pytest.raises(ValueError, match="duplicate id"):
+        store.add_batch(files)
+
+
+def test_bench_snapshot_normalization(spark, tmp_path):
+    """Review regression: (a) string bench ids (silent NULL cast -> zero
+    contamination) are refused; (b) an int-typed bench_id reopens cleanly
+    against its stored long copy (dtype-sensitive fingerprint)."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{k}" for k in range(30))) for i in range(6)],
+        "id long, content string",
+    )
+    bench_str = spark.createDataFrame(
+        [("mmlu-1", docs.collect()[0].content)], "bench_id string, content string"
+    )
+    from sycl_jaccard_spark.functions.shingles import doc_shingle_hashes
+
+    def sign(b):
+        return b.select(
+            "bench_id", doc_shingle_hashes(F.col("content"), CFG).alias("ngram_hashes")
+        )
+
+    with pytest.raises(ValueError, match="cast to long"):
+        DeltaDedup(spark, str(tmp_path / "s1"), CFG, bench_snapshot=sign(bench_str))
+
+    bench_int = spark.createDataFrame(
+        [(1, docs.collect()[0].content)], "bench_id int, content string"
+    )
+    store = DeltaDedup(
+        spark, str(tmp_path / "s2"), CFG, bench_snapshot=sign(bench_int)
+    )
+    store.add_batch(docs)
+    # reopen with the SAME int-typed snapshot: must not spuriously refuse
+    store2 = DeltaDedup(
+        spark, str(tmp_path / "s2"), CFG, bench_snapshot=sign(bench_int)
+    )
+    assert store2.contamination_manifest(0.5).filter("contaminated").count() == 1
