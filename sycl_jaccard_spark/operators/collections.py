@@ -130,9 +130,18 @@ def collection_clusters(
         )
         .join(keyed.select(F.col("collection").alias("b"), F.col("_k").alias("kb")), "b")
         .select(F.col("ka").alias("a"), F.col("kb").alias("b"))
+        # CC's contract: callers pass a MATERIALIZED pair relation — it runs
+        # several actions (count + collect or star rounds) and would re-run
+        # the filter/key/join tree from scratch for each one otherwise
+        .localCheckpoint(eager=True)
     )
     labels = connected_components(e)
-    lab = keyed.join(labels, keyed["_k"] == labels["node"]).select("collection", "label")
+    lab = (
+        keyed.join(labels, keyed["_k"] == labels["node"])
+        .select("collection", "label")
+        # consumed twice (reps agg + output join)
+        .localCheckpoint(eager=True)
+    )
     reps = lab.groupBy("label").agg(F.min("collection").alias("rep"))
     out = lab.join(reps, "label").select("collection", "rep")
     if collections is not None:

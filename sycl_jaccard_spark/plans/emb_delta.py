@@ -154,6 +154,20 @@ class EmbeddingDeltaStore(DeltaStoreBase):
         path = f"{self.root}/codebook"
         if self._exists(f"{path}/_SUCCESS"):
             rows = self.spark.read.parquet(path).collect()
+            if not rows:
+                raise ValueError(
+                    f"embedding delta store {self.root} has an empty "
+                    "codebook relation — the store is unusable; retrain and "
+                    "re-ingest into a new store"
+                )
+            stored_dim = max(r["pos"] for r in rows) + 1
+            if stored_dim != self.dim:
+                # raise the intended config mismatch, not an IndexError from
+                # the scatter below (this check runs before _check_config)
+                raise ValueError(
+                    f"embedding delta store {self.root} was written with "
+                    f"dim={stored_dim}, opened with dim={self.dim}"
+                )
             k = max(r["cid"] for r in rows) + 1
             stored = np.zeros((k, self.dim), dtype=np.int64)
             for r in rows:
@@ -224,10 +238,14 @@ class EmbeddingDeltaStore(DeltaStoreBase):
             return {}  # fully-redelivered batch: no new vectors to measure
         mean, p10 = float(row["mean"]), float(row["p10"])
         path = f"{self.root}/drift_baseline"
-        if self._exists(path):
-            first = self.spark.read.text(path).first()
+        first = (
+            self.spark.read.text(path).first() if self._exists(path) else None
+        )
+        if first is not None:
             base = json.loads(first.value)
         else:
+            # covers both a never-written baseline and a torn write that
+            # left the directory without data files (self-heals on replay)
             base = {"assign_cos_mean": round(mean, 6), "assign_cos_p10": round(p10, 6)}
             self.spark.createDataFrame(
                 [(json.dumps(base, sort_keys=True),)], "value string"
@@ -252,7 +270,7 @@ class EmbeddingDeltaStore(DeltaStoreBase):
         store: replaying the LATEST ``batch_id`` overwrites that batch's
         partitions (at-least-once safe); earlier ids are refused."""
         existing = self.batch_ids()
-        bid = self._begin_epoch(batch_id)
+        bid = self._begin_epoch(batch_id, existing)
         t0 = time.monotonic()
         t_start = t0
 
@@ -278,6 +296,16 @@ class EmbeddingDeltaStore(DeltaStoreBase):
             .localCheckpoint(eager=True)
         )
         n_delivered = delta.count()
+        # duplicate ids WITHIN a delivery would corrupt the append-only
+        # vectors relation (the redelivery guard below only checks OTHER
+        # batches) — same contract as the text store's add_batch
+        n_distinct_ids = delta.select("id").distinct().count()
+        if n_distinct_ids != n_delivered:
+            raise ValueError(
+                f"delivery contains {n_delivered - n_distinct_ids} duplicate "
+                "id row(s) — ids must be unique within a batch (dedupe the "
+                "delivery, e.g. dropDuplicates('vec_id'), before add_batch)"
+            )
 
         # redelivery drop — corpus-sized store relations are SCAN-ONLY in
         # the delta path (broadcast the Δ side, stream the store; see the
@@ -290,7 +318,13 @@ class EmbeddingDeltaStore(DeltaStoreBase):
             .select("id")
         )
         redelivered = stored_ids.join(F.broadcast(delta.select("id")), "id")
-        delta = delta.join(F.broadcast(redelivered), "id", "left_anti")
+        # Δ-sized, consumed by five downstream actions (vectors write, count,
+        # drift agg, lists write, candidate checkpoint) — without this each
+        # would re-run the anti-join INCLUDING its scan of the corpus-sized
+        # vectors relation, breaking the per-delivery ∝ Δ cost contract
+        delta = delta.join(
+            F.broadcast(redelivered), "id", "left_anti"
+        ).localCheckpoint(eager=True)
 
         self._write_batch("vectors", delta.select("id", "vq"), bid)
         n_new = delta.count()

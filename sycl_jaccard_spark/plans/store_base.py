@@ -536,6 +536,9 @@ class DeltaStoreBase:
                 "left",
             )
             .select("node", F.coalesce("new_label", "lab0").alias("cur"))
+            # Δ-sized, consumed three times (both contracted endpoints + the
+            # entering fallback below)
+            .localCheckpoint(eager=True)
         )
         contracted = (
             new_edges
@@ -555,9 +558,20 @@ class DeltaStoreBase:
 
         # super-nodes with no base row are exactly the nodes entering the
         # edge graph this delivery (a stored current label is itself a node
-        # with a base row); their sub-label is already final
+        # with a base row); their sub-label is already final. EVERY new node
+        # must get a base row: on a REPLAY of an epoch that crashed after
+        # its closure version committed but before lineage, the new node's
+        # merge is already inside the closure, so its contracted edges
+        # collapse to self-loops and CC returns no row for it — the resolved
+        # current label is then the correct final label (without the
+        # fallback, the replay would overwrite the node's base partition
+        # with nothing and a later epoch would silently split its component)
         new_nodes = eps.join(base_hits.select("node"), "node", "left_anti")
-        entering = sub_labels.join(F.broadcast(new_nodes), "node", "left_semi")
+        entering = (
+            new_nodes.join(sub_labels, "node", "left")
+            .join(resolved, "node")
+            .select("node", F.coalesce("label", "cur").alias("label"))
+        )
         self._write_batch("label_base", entering, bid)
 
         # merges: an existing current label contracted into a smaller one.

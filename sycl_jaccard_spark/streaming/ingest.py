@@ -26,15 +26,19 @@ def read_file_stream(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(SCHEMA).parquet(path)
 
 
-def incremental_exact_dedup(files: DataFrame) -> DataFrame:
+def incremental_exact_dedup(
+    files: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Per-batch sha256 + stable id; exact-dup *within the stream's lifetime*
     is resolved downstream by grouping on sha256 (streaming dropDuplicates
     would need unbounded state at corpus scale — hash-group in batch instead,
-    keep the stream map-only and stateless)."""
+    keep the stream map-only and stateless). ``extra_cols`` carries
+    caller-supplied columns (e.g. an event-time column) through the fixed
+    projection."""
     return files.select(
         F.xxhash64("repo", "path", "commit").alias("id"),
         F.sha2("content", 256).alias("sha256"),
-        "repo", "path", "commit", "lang", "content",
+        "repo", "path", "commit", "lang", "content", *extra_cols,
     )
 
 
@@ -57,10 +61,20 @@ def watermarked_exact_dedup(
     ``time_col``: event-time column to watermark; defaults to an arrival
     timestamp stamped here (processing time).
     """
-    hashed = incremental_exact_dedup(files)
     if time_col is None:
         time_col = "arrival_ts"
-        hashed = hashed.withColumn(time_col, F.current_timestamp())
+        hashed = incremental_exact_dedup(files).withColumn(
+            time_col, F.current_timestamp()
+        )
+    else:
+        # carry the caller's event-time column through the fixed projection
+        # (it would otherwise be dropped before withWatermark resolves it)
+        if time_col not in files.columns:
+            raise ValueError(
+                f"time_col {time_col!r} is not a column of the input stream "
+                f"({files.columns})"
+            )
+        hashed = incremental_exact_dedup(files, (time_col,))
     return hashed.withWatermark(time_col, delay).dropDuplicatesWithinWatermark(["sha256"])
 
 
@@ -102,7 +116,16 @@ def delta_store_batch_writer(store):
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        files = incremental_exact_dedup(batch_df).select("id", "content")
+        # a source that re-emits the same (repo, path, commit) row twice in
+        # ONE micro-batch would hit add_batch's duplicate-id refusal and
+        # wedge the stream (every restart replays the same micro-batch) —
+        # identical ids mean identical provenance, so dropping is safe and
+        # keeps the stream self-healing
+        files = (
+            incremental_exact_dedup(batch_df)
+            .select("id", "content")
+            .dropDuplicates(["id"])
+        )
         store.add_batch(files, batch_id=batch_id)
 
     return write_batch
@@ -206,8 +229,11 @@ def emb_store_batch_writer(store, id_col: str = "vec_id", vec_col: str = "embedd
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # same self-healing rule as delta_store_batch_writer: a re-emitted
+        # vec_id within one micro-batch must not wedge the stream on the
+        # store's duplicate-id refusal
         store.add_batch(
-            batch_df.select(id_col, vec_col),
+            batch_df.select(id_col, vec_col).dropDuplicates([id_col]),
             id_col=id_col,
             vec_col=vec_col,
             batch_id=batch_id,

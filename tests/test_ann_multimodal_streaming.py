@@ -793,3 +793,81 @@ def test_streaming_delta_store_maintains_contamination_manifest(spark, tmp_path)
     assert got == expect
     for i in leak_ids:
         assert got[i] == (1.0, True)
+
+
+def test_watermarked_dedup_event_time_col(spark, tmp_path):
+    """Review regression: a caller-supplied time_col previously broke at
+    first use (the fixed projection dropped it before withWatermark); it
+    must now watermark on the EVENT time and keep the column in the
+    output."""
+    from sycl_jaccard_spark.streaming.ingest import watermarked_exact_dedup
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string, event_ts timestamp"
+    )
+    spark.sql(
+        "SELECT 'r1' repo, 'a.py' path, 'c1' commit, 'py' lang, "
+        "'some content' content, timestamp'2026-01-01 10:00:00' event_ts "
+        "UNION ALL SELECT 'r2', 'b.py', 'c2', 'py', 'some content', "
+        "timestamp'2026-01-01 10:05:00' "
+        "UNION ALL SELECT 'r3', 'c.py', 'c3', 'py', 'other content', "
+        "timestamp'2026-01-01 10:06:00'"
+    ).write.parquet(src)
+    stream = watermarked_exact_dedup(
+        spark.readStream.schema(schema).parquet(src),
+        delay="1 hour",
+        time_col="event_ts",
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 2  # the duplicate content collapsed
+    assert "event_ts" in got.columns
+    import pytest
+
+    with pytest.raises(ValueError, match="time_col"):
+        watermarked_exact_dedup(
+            spark.readStream.schema(schema).parquet(src), time_col="nope"
+        )
+
+
+def test_delta_store_writer_dedupes_within_microbatch(spark, tmp_path):
+    """Review regression: a source that re-emits the same (repo, path,
+    commit) row twice in ONE micro-batch must not wedge the stream on the
+    store's duplicate-id refusal — the writer self-heals by dropping the
+    identical-provenance duplicate."""
+    from sycl_jaccard_spark.config import PipelineConfig
+    from sycl_jaccard_spark.plans.delta import DeltaDedup
+    from sycl_jaccard_spark.streaming.ingest import delta_store_batch_writer
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    content = " ".join(f"tok{t}" for t in range(30))
+    rows = [
+        ("r1", "a.py", "c1", "py", content),
+        ("r1", "a.py", "c1", "py", content),  # crawler re-emit, same batch
+        ("r1", "b.py", "c1", "py", "other " + content),
+    ]
+    schema = "repo string, path string, commit string, lang string, content string"
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    store = DeltaDedup(spark, str(tmp_path / "store"), PipelineConfig())
+    q = (
+        read_file_stream(spark, src)
+        .writeStream.foreachBatch(delta_store_batch_writer(store))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    assert store.clusters().count() == 2  # one row per distinct provenance

@@ -1204,3 +1204,36 @@ def test_bench_snapshot_normalization(spark, tmp_path):
         spark, str(tmp_path / "s2"), CFG, bench_snapshot=sign(bench_int)
     )
     assert store2.contamination_manifest(0.5).filter("contaminated").count() == 1
+
+
+def test_replay_after_closure_commit_keeps_labels(spark, tmp_path):
+    """Review regression: an epoch that crashed AFTER its closure version
+    committed but BEFORE lineage must replay without losing the entering
+    node's base row — previously the replay's contracted edges collapsed to
+    self-loops (the merge was already in the closure), CC returned nothing,
+    and the overwrite erased the row, permanently splitting the component
+    at the next epoch."""
+    import os
+
+    base = " ".join(f"tok{t}" for t in range(60))
+    near = " ".join(f"tok{t}" for t in range(57)) + " zzz yyy xxx"
+    b0 = spark.createDataFrame([(10, base), (12, base)], "id long, content string")
+    b1 = spark.createDataFrame([(5, near)], "id long, content string")
+    store = DeltaDedup(spark, str(tmp_path / "store"), CFG)
+    store.add_batch(b0)
+    store.add_batch(b1)  # 5 < 10: the merge remaps 10 -> 5 in the closure
+    before = _clusters(store.clusters())
+    assert before == {10: 5, 12: 5, 5: 5}
+    # simulate the crash window: lineage is the LAST write of the epoch,
+    # the closure version committed just before it
+    os.remove(str(tmp_path / "store" / "edges" / "batch=1" / "_lineage.json"))
+    store2 = DeltaDedup(spark, str(tmp_path / "store"), CFG)
+    assert store2.incomplete_batch_ids() == [1]
+    store2.add_batch(b1, batch_id=1)  # healing replay
+    assert _clusters(store2.clusters()) == before
+    # the next epoch links a new node through 5: ONE component, not two
+    store2.add_batch(
+        spark.createDataFrame([(3, near)], "id long, content string")
+    )
+    labs = _clusters(store2.clusters())
+    assert set(labs.values()) == {3}, labs

@@ -368,3 +368,35 @@ def test_emb_migrate_retrains_and_equals_batch(spark, tmp_path, corpus, codebook
     assert _store_state(new) == _batch_state(spark, survivors, cb2)
     assert _store_state(store) == old_state  # read-only cutover
     assert new.batch_ids() == [0]
+
+
+def test_emb_add_batch_rejects_duplicate_ids(spark, tmp_path, codebook):
+    """Review regression: duplicate vec_ids WITHIN a delivery would fan out
+    every downstream join on the append-only vectors relation — refused
+    loudly, same contract as the text store."""
+    cb = codebook
+    v = [float(x) for x in np.ones(DIM) / np.sqrt(DIM)]
+    dup = spark.createDataFrame(
+        [(7, v), (7, v)], "vec_id long, embedding array<float>"
+    )
+    store = EmbeddingDeltaStore(
+        spark, str(tmp_path / "store"), dim=DIM, centroids_q=cb,
+        threshold=THRESHOLD, nprobe=NPROBE,
+    )
+    with pytest.raises(ValueError, match="duplicate id"):
+        store.add_batch(dup)
+
+
+def test_emb_reopen_wrong_dim_is_config_error(spark, tmp_path, corpus, codebook):
+    """Review regression: reopening with a smaller dim raised a raw numpy
+    IndexError from the codebook scatter; now a clear config mismatch."""
+    store = EmbeddingDeltaStore(
+        spark, str(tmp_path / "store"), dim=DIM, centroids_q=codebook,
+        threshold=THRESHOLD, nprobe=NPROBE,
+    )
+    store.add_batch(corpus.limit(10))
+    with pytest.raises(ValueError, match="dim"):
+        EmbeddingDeltaStore(
+            spark, str(tmp_path / "store"), dim=DIM // 2,
+            threshold=THRESHOLD, nprobe=NPROBE,
+        )
