@@ -234,10 +234,13 @@ def substring_band_hashes(content: Column, cfg) -> Column:
       fires on any shared normalized run >= winnow_w + winnow_k - 1 chars,
       robust to re-wrapping/re-indentation, ~2/winnow_w hashes per char.
     """
+    portable = bool(getattr(cfg, "portable_hashes", False))
     if cfg.substring_pass == "linegram":
-        return line_gram_hashes(content, cfg.substring_lines)
+        return line_gram_hashes(content, cfg.substring_lines, portable=portable)
     if cfg.substring_pass == "winnow":
-        return winnow_hashes(content, cfg.winnow_k, cfg.winnow_w)
+        return winnow_hashes(
+            content, cfg.winnow_k, cfg.winnow_w, portable=portable
+        )
     raise ValueError(f"unknown substring_pass {cfg.substring_pass!r}")
 
 

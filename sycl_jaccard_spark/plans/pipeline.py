@@ -90,11 +90,19 @@ def substring_banded(files_df: DataFrame, cfg: PipelineConfig, band_id: int) -> 
         )
     else:
         grams = files_df.select(
-            "id", winnow_grams(F.col("content"), cfg.winnow_k).alias("grams")
+            "id",
+            winnow_grams(
+                F.col("content"), cfg.winnow_k, portable=cfg.portable_hashes
+            ).alias("grams"),
         ).localCheckpoint(eager=True)
         fps = grams.select(
             "id", winnow_min_udf(cfg.winnow_w)(F.col("grams")).alias("fps")
         ).localCheckpoint(eager=True)
+        # the gram arrays are ~one int64 PER CHARACTER of every unique file
+        # (~8× corpus bytes) — release their blocks as soon as the (much
+        # smaller, ~2/w density) fingerprint checkpoint is materialized;
+        # fps' lineage is its own checkpointed RDD, so this is safe
+        grams.unpersist()
         src = fps.select("id", F.explode("fps").alias("band_hash"))
     return src.select("id", F.lit(band_id).alias("band"), "band_hash")
 
