@@ -142,29 +142,32 @@ def _li_edges(spark: SparkSession, sf_dir: str, offset: bool = True) -> DataFram
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sh: array<string>) word-K-gram shingle sets. Memoized: the
-    tokenize+shingle expression tree is the shared prefix of six queries."""
-
-    def build():
-        # the documents parquet is a single small file -> a single input
-        # split -> the tokenize+shingle expression chain (the most expensive
-        # per-row work in the doc family) runs on ONE core; spread it before
-        # computing (measured at sf0.1: the memo build drops 4.5s -> 0.6s)
-        docs = load_table(spark, sf_dir, "documents").repartition(
-            spark.sparkContext.defaultParallelism
-        )
-        return docs.select(
-            F.col("doc_id").alias("doc_id"),
-            shingles(tokens(F.col("text")), K).alias("sh"),
-        )
-
-    return _memo(spark, sf_dir, "doc_shingles", build)
+    """(doc_id, sh: array<string>) word-K-gram shingle sets (lazy builder —
+    its only consumer is the memoized hashed relation below)."""
+    # the documents parquet is a single small file -> a single input
+    # split -> the tokenize+shingle expression chain (the most expensive
+    # per-row work in the doc family) runs on ONE core; spread it before
+    # computing (measured at sf0.1: the memo build drops 4.5s -> 0.6s)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return docs.select(
+        F.col("doc_id").alias("doc_id"),
+        shingles(tokens(F.col("text")), K).alias("sh"),
+    )
 
 
 def _doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle_hashes: array<long>) portable md5-60bit hashes."""
-    return _doc_shingles(spark, sf_dir).select(
-        "doc_id", shingle_hashes(F.col("sh"), portable=True).alias("shingle_hashes")
+    """(doc_id, shingle_hashes: array<long>) portable md5-60bit hashes.
+    Memoized (r6): the memo used to sit one level DOWN on the shingle
+    strings, so all seven consumers re-ran the md5 transform per query;
+    hashing once and checkpointing the 8-byte-long arrays is both less work
+    and a smaller checkpoint than the ~25-char shingle strings."""
+    return _memo(
+        spark, sf_dir, "doc_shingle_hashes",
+        lambda: _doc_shingles(spark, sf_dir).select(
+            "doc_id", shingle_hashes(F.col("sh"), portable=True).alias("shingle_hashes")
+        ),
     )
 
 
@@ -226,17 +229,88 @@ def _copart_pairs(spark, sf_dir):
     )
 
 
-def q_k4_k6_edge_jaccard(spark, sf_dir):
-    """Unweighted exact Jaccard over co-part order pairs — K4+K6 replay.
-    Memoized: q_k9_threshold_count thresholds this same scored relation."""
+def _copart_base(spark, sf_dir):
+    """Shared K4/K5 base (r6 optimization): ONE co-part self-join scores both
+    the unweighted intersection (``inter`` = shared-part count) and the
+    weighted one (``wi`` = Σ w over shared parts) per (a, b) pair, plus the
+    per-vertex degree and weighted volume. The r5 shape ran the lineitem
+    distinct + self-join chain separately per query (k4: pair-gen, then
+    RE-derived the intersection via collect_set + array_intersect; k5:
+    pair-gen again, then a second element-probe join) — the pair-generating
+    self-join already enumerates exactly the shared elements, so counting/
+    summing in its groupBy replaces both re-derivations (guide §2.4: two
+    operations keyed the same way share one exchange; §2.3: aggregate before
+    you shuffle).
+
+    Weight-null semantics mirror the DuckDB oracle exactly: ``w`` is LEFT-
+    joined before the pair groupBy (a pair sharing only weightless parts
+    keeps inter > 0 with wi -> null -> COALESCE 0, the oracle's
+    ``cpairs LEFT JOIN wint``), while ``vol`` comes from the INNER weight
+    join (the oracle's ``vol`` CTE over ``wadj``)."""
 
     def build():
-        adj = _li_edges(spark, sf_dir, offset=False).filter(F.col("src") % PAIR_MOD == 0)
-        items = adj.groupBy(F.col("src").alias("id")).agg(
-            F.array_sort(F.collect_set("dst")).alias("set")
+        adj = (
+            _li_edges(spark, sf_dir, offset=False)
+            .filter(F.col("src") % PAIR_MOD == 0)
+            .localCheckpoint(eager=True)
         )
-        return jaccard_pairs(items, _copart_pairs(spark, sf_dir)).select(
-            "a", "b", "inter", "size_a", "size_b", "jaccard"
+        part = load_table(spark, sf_dir, "part").select(
+            F.col("p_partkey").alias("dst"),
+            F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long").alias("w"),
+        )
+        a = adj.join(F.broadcast(part), "dst", "left").select(
+            F.col("src").alias("a"), "dst", "w"
+        )
+        b = adj.select(F.col("src").alias("b"), "dst")
+        scored = (
+            a.join(b, "dst")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("inter"), F.sum("w").alias("wi"))
+        )
+        # ONE per-vertex aggregation serves both queries (measured ~40%
+        # cheaper than separate deg/vol passes): deg counts every distinct
+        # part (left join keeps weightless ones), vol sums the weighted
+        # subset (sum skips nulls). Restricting vol to non-null rows
+        # reproduces the oracle's INNER-join `vol` CTE exactly — a vertex
+        # with zero weighted parts has no vol row and its pairs drop.
+        pervertex = (
+            a.groupBy(F.col("a").alias("v"))
+            .agg(F.count("*").alias("deg"), F.sum("w").alias("vol"))
+            .localCheckpoint(eager=True)
+        )
+        return {
+            "scored": scored.localCheckpoint(eager=True),
+            "deg": pervertex.select("v", "deg"),
+            "vol": pervertex.filter(F.col("vol").isNotNull()).select("v", "vol"),
+        }
+
+    return _memo(spark, sf_dir, "copart_base", build)
+
+
+def q_k4_k6_edge_jaccard(spark, sf_dir):
+    """Unweighted exact Jaccard over co-part order pairs — K4+K6 replay.
+    Memoized: q_k9_threshold_count thresholds this same scored relation.
+    Scored off the fused ``_copart_base`` (inter counted in the pair-gen
+    groupBy itself); the degree sides are per-vertex aggregates of the
+    PAIR_MOD-restricted adjacency — |V|-sized by construction — so they
+    broadcast (guide §3.1)."""
+    from sycl_jaccard_spark.functions.jaccard import jaccard_from_counts
+
+    def build():
+        base = _copart_base(spark, sf_dir)
+        da = base["deg"].select(F.col("v").alias("a"), F.col("deg").alias("size_a"))
+        db = base["deg"].select(F.col("v").alias("b"), F.col("deg").alias("size_b"))
+        return (
+            base["scored"].select("a", "b", "inter")
+            .join(F.broadcast(da), "a")
+            .join(F.broadcast(db), "b")
+            .select(
+                "a", "b", "inter", "size_a", "size_b",
+                jaccard_from_counts(
+                    F.col("inter"), F.col("size_a"), F.col("size_b")
+                ).alias("jaccard"),
+            )
         )
 
     return _memo(spark, sf_dir, "k4_scored", build)
@@ -244,17 +318,32 @@ def q_k4_k6_edge_jaccard(spark, sf_dir):
 
 def q_k5_weighted_pairs(spark, sf_dir):
     """Weighted pair Jaccard: Wi/(vol_a+vol_b-Wi) with integer part weights
-    (K5 weighted + K6, standalone_algorithms.hpp:52-69), through the library
-    operator ``jaccard_pairs_weighted``."""
-    adj = _li_edges(spark, sf_dir, offset=False).filter(F.col("src") % PAIR_MOD == 0)
-    part = load_table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("dst"),
-        F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long").alias("w"),
+    (K5 weighted + K6, standalone_algorithms.hpp:52-69). Scored off the fused
+    ``_copart_base`` (wi summed in the pair-gen groupBy — the r5 shape paid a
+    second per-element probe join; the relational probe impl remains
+    ``jaccard_pairs_weighted``, dual-impl-tested in tests/test_graph_operators
+    .py). Volume sides broadcast like k4's degrees."""
+    from sycl_jaccard_spark.functions.jaccard import weighted_jaccard_from_sums
+
+    base = _copart_base(spark, sf_dir)
+    va = base["vol"].select(F.col("v").alias("a"), F.col("vol").alias("vol_a"))
+    vb = base["vol"].select(F.col("v").alias("b"), F.col("vol").alias("vol_b"))
+    zero = F.lit(0).cast("long")
+    return (
+        base["scored"].select("a", "b", "wi")
+        .join(F.broadcast(va), "a")
+        .join(F.broadcast(vb), "b")
+        .select(
+            "a",
+            "b",
+            F.coalesce("wi", zero).alias("wi"),
+            "vol_a",
+            "vol_b",
+            weighted_jaccard_from_sums(
+                F.coalesce("wi", zero), F.col("vol_a"), F.col("vol_b")
+            ).alias("jaccard"),
+        )
     )
-    wadj = adj.join(part, "dst").select(
-        F.col("src").alias("id"), F.col("dst").alias("elem"), "w"
-    )
-    return jaccard_pairs_weighted(wadj, _copart_pairs(spark, sf_dir))
 
 
 def q_k9_threshold_count(spark, sf_dir):
@@ -292,15 +381,23 @@ def _rare_shingle_scored(spark, sf_dir):
     to end (counts are identical — the hash is injective on the corpus
     vocabulary; the oracles compare the same integer counts)."""
     def build():
-        # materialize the exploded relation once (df-count + join probe both
-        # consume it — uncheckpointed each consumer re-runs md5+explode), and
-        # the rare-filtered index once (it feeds BOTH sides of the pair
-        # self-join). Measured at sf0.1: 13.4s -> 6.4s for the whole chain.
-        sh = _doc_shingle_hashes(spark, sf_dir).select(
-            "doc_id", F.explode("shingle_hashes").alias("s")
-        ).localCheckpoint(eager=True)
-        rare = sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= DF_CAP)
-        sh_r = sh.join(rare.select("s"), "s").localCheckpoint(eager=True)
+        # r6 shape: ONE lazy plan — the r5 build eagerly checkpointed the
+        # exploded relation and the rare-filtered index (two extra jobs); the
+        # explode now derives from the memoized doc_shingle_hashes checkpoint
+        # (cheap to recompute) and the df-count, the rare filter join and the
+        # pair self-join all hash on `s`, so ReuseExchange shares one
+        # Exchange(s) across them (guide §2.4). Measured ~equal to a forced
+        # broadcast of the rare keys, without hinting a vocabulary-sized
+        # relation broadcastable (a count-window variant measured slower —
+        # the per-bucket sort costs more than the reused aggregate).
+        shh = _doc_shingle_hashes(spark, sf_dir)
+        sh = shh.select("doc_id", F.explode("shingle_hashes").alias("s"))
+        rare = (
+            sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= DF_CAP)
+            .select("s")
+        )
+        sh_r = sh.join(rare, "s")
         pairs = (
             sh_r.select(F.col("doc_id").alias("a"), "s")
             .join(sh_r.select(F.col("doc_id").alias("b"), "s"), "s")
@@ -308,7 +405,7 @@ def _rare_shingle_scored(spark, sf_dir):
             .select("a", "b")
             .dropDuplicates(["a", "b"])
         )
-        items = _doc_shingle_hashes(spark, sf_dir).select(
+        items = shh.select(
             F.col("doc_id").alias("id"), F.col("shingle_hashes").alias("set")
         )
         return jaccard_pairs(items, pairs)

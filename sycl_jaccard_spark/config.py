@@ -34,6 +34,15 @@ class PipelineConfig:
     # BIGINT and DuckDB BIGINT alike -> bit-identical oracles, and the product
     # wraps mod P ~2^31 times (min-wise mixing).
     mersenne_prime: int = (1 << 31) - 1
+    # MinHash execution strategy (bit-identical results, different plans):
+    # "udf" — one vectorized NumPy pass per Arrow batch (the 128-perm
+    # production winner: one boundary crossing amortizes over a wide
+    # signature). "expr" — pure JVM codegen (array_min over transform, one
+    # pass per perm): no Python boundary at all, which wins for narrow
+    # signatures where the per-perm passes are cheaper than the Arrow
+    # round-trip + worker fork. "auto" (default) picks expr for
+    # num_perms <= 32, udf above (measured crossover, OPTIMIZATION_r06.md).
+    minhash_impl: str = "auto"
 
     # --- SimHash ---
     simhash_bits: int = 64
@@ -144,6 +153,8 @@ class PipelineConfig:
             raise ValueError(f"unknown substring_verify {self.substring_verify!r}")
         if self.substring_pass not in ("linegram", "winnow"):
             raise ValueError(f"unknown substring_pass {self.substring_pass!r}")
+        if self.minhash_impl not in ("auto", "udf", "expr"):
+            raise ValueError(f"unknown minhash_impl {self.minhash_impl!r}")
 
     @property
     def lsh_threshold(self) -> float:

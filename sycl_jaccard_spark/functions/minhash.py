@@ -109,6 +109,32 @@ def minhash_batch(hash_arrays: pd.Series, a: np.ndarray, b: np.ndarray) -> pd.Se
     return pd.Series(out.tolist())
 
 
+def minhash_expr(col, num_perms: int, seed: int):
+    """Pure-JVM MinHash: the same ``min((a*(x & lane) + b) % P)`` per perm as
+    :func:`minhash_batch`, as a codegen'd ``array_min(transform(...))`` chain
+    — NO Python boundary (guide §4.1: prefer built-ins). Bit-identical to the
+    UDF (dual-impl-tested); empty/null shingle arrays yield the all-P
+    signature exactly like the UDF's fill value.
+
+    One array traversal per perm, so cost grows linearly in ``num_perms``
+    while the UDF's Arrow round-trip is ~flat: measured crossover is around
+    32 perms (OPTIMIZATION_r06.md) — ``PipelineConfig.minhash_impl`` picks.
+    """
+    a, b = make_perms(num_perms, seed)
+    lane = F.lit(LANE_MASK)
+    p = F.lit(MERSENNE)
+    def perm_min(aj: int, bj: int):
+        # closure factory: pyspark reads the lambda's arity, so the constants
+        # must be captured, not passed as defaulted parameters
+        return F.array_min(
+            F.transform(col, lambda x: (F.lit(aj) * x.bitwiseAND(lane) + F.lit(bj)) % p)
+        )
+
+    mins = [perm_min(int(a[j]), int(b[j])) for j in range(num_perms)]
+    empty_sig = F.array(*[F.lit(MERSENNE).cast("long") for _ in range(num_perms)])
+    return F.when(F.size(col) > 0, F.array(*mins)).otherwise(empty_sig)
+
+
 def minhash_udf(num_perms: int, seed: int):
     """pandas UDF: array<long> shingle hashes -> array<long> signature."""
     a, b = make_perms(num_perms, seed)

@@ -132,11 +132,18 @@ def lsh_cosine_candidates(
     correlated embeddings routinely concentrate in one dominant sign-pattern
     bucket whose uncapped self-join goes quadratic.
     """
+    from sycl_jaccard_spark.operators.lsh import UNCAPPED
+
     banded = _hyperplane_banded(vectors, dim, n_planes, bands, seed, id_col, vec_col)
-    w = Window.partitionBy("band", "band_hash").orderBy(F.col("id"))
-    capped = banded.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= bucket_cap
-    ).drop("rn")
+    if bucket_cap >= UNCAPPED:
+        # declared-uncapped contract call — the rank window would keep every
+        # row; skip its per-bucket sort (same rule as operators/lsh.py)
+        capped = banded
+    else:
+        w = Window.partitionBy("band", "band_hash").orderBy(F.col("id"))
+        capped = banded.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= bucket_cap
+        ).drop("rn")
     left = capped.select("band", "band_hash", F.col("id").alias("a"))
     right = capped.select("band", "band_hash", F.col("id").alias("b"))
     return (
@@ -389,13 +396,18 @@ def ivf_candidates(
 
     ``centroids_q``: a trained codebook from :func:`train_ivf_centroids`
     (int64, VEC_SCALE space); defaults to the seeded random quantizer."""
+    from sycl_jaccard_spark.operators.lsh import UNCAPPED
+
     listed = _ivf_listed(
         vectors, dim, n_centroids, nprobe, seed, id_col, vec_col, centroids_q
     )
-    w = Window.partitionBy("cid").orderBy(F.col("id"))
-    capped = listed.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") <= bucket_cap
-    ).drop("rn")
+    if bucket_cap >= UNCAPPED:
+        capped = listed  # declared-uncapped: skip the no-op rank window
+    else:
+        w = Window.partitionBy("cid").orderBy(F.col("id"))
+        capped = listed.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= bucket_cap
+        ).drop("rn")
     left = capped.select("cid", F.col("id").alias("a"))
     right = capped.select("cid", F.col("id").alias("b"))
     return (

@@ -22,8 +22,19 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sycl_jaccard_spark.config import PipelineConfig
-from sycl_jaccard_spark.functions.minhash import minhash_udf
+from sycl_jaccard_spark.functions.minhash import minhash_expr, minhash_udf
 from sycl_jaccard_spark.functions.shingles import md5_long
+
+# minhash_impl="auto" crossover: JVM-expression minhash traverses the shingle
+# array once per perm, the Arrow UDF pays one ~flat boundary crossing — the
+# expression wins up to ~32 perms (measured, OPTIMIZATION_r06.md).
+_EXPR_MAX_PERMS = 32
+
+# bucket caps at or above this are "declared uncapped" — the cap can never
+# bind (a 10^9-member bucket's self-join is ~10^18 pairs, out of reach by
+# construction), so cap-mode candidate joins skip the rank window entirely.
+# 10^9 exactly matches the oracle-parity contract's "never truncate" value.
+UNCAPPED = 10**9
 
 
 def minhash_signatures(
@@ -32,13 +43,24 @@ def minhash_signatures(
 ) -> DataFrame:
     """Adds ``sig: array<long>`` (num_perms MinHash values).
 
+    Implementation is picked by ``cfg.minhash_impl`` (results bit-identical,
+    dual-impl-tested): the vectorized Arrow UDF, or the pure-JVM expression
+    chain for narrow signatures — no Python boundary at all (guide §4.1).
+
     ``materialize=True`` cuts the plan with an eager localCheckpoint. Needed
     when the result feeds a generator (``explode``) WITHOUT an intervening
     checkpoint: Catalyst inlines the Python UDF into the generator expression,
     which cannot host Python UDFs (INTERNAL_ERROR: Cannot evaluate _minhash).
     The staged pipeline checkpoints signatures anyway, so it passes False.
+    (The expression impl has no such constraint, but the checkpoint contract
+    is honored either way so callers don't depend on the dispatch.)
     """
-    out = items.withColumn("sig", minhash_udf(cfg.num_perms, cfg.seed)(F.col(hash_col)))
+    impl = getattr(cfg, "minhash_impl", "auto")
+    use_expr = impl == "expr" or (impl == "auto" and cfg.num_perms <= _EXPR_MAX_PERMS)
+    if use_expr:
+        out = items.withColumn("sig", minhash_expr(F.col(hash_col), cfg.num_perms, cfg.seed))
+    else:
+        out = items.withColumn("sig", minhash_udf(cfg.num_perms, cfg.seed)(F.col(hash_col)))
     return out.localCheckpoint(eager=True) if materialize else out
 
 
@@ -122,8 +144,17 @@ def candidate_pairs(
     """
     w = Window.partitionBy("band", "band_hash").orderBy(F.col(id_col))
     if skew_mode == "cap":
-        ranked = banded.withColumn("rn", F.row_number().over(w))
-        capped = ranked.filter(F.col("rn") <= cfg.bucket_cap).drop("rn")
+        if cfg.bucket_cap >= UNCAPPED:
+            # declared-uncapped (the oracle-parity contract passes 10^9 to
+            # mean "never truncate"): the rank window would keep every row
+            # anyway, so skip its per-bucket sort outright — the self-join
+            # below then runs straight off one exchange (guide §2.4). Any
+            # bucket actually reaching 2^30 members would have made the
+            # quadratic self-join unrunnable long before the cap mattered.
+            capped = banded
+        else:
+            ranked = banded.withColumn("rn", F.row_number().over(w))
+            capped = ranked.filter(F.col("rn") <= cfg.bucket_cap).drop("rn")
     elif skew_mode == "auto":
         wsz = Window.partitionBy("band", "band_hash")
         graded = (

@@ -50,6 +50,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # let the planner pick shuffled-hash over sort-merge when its size
+        # conditions hold (guide §3.1): the pipeline's joins are dominated by
+        # small-to-mid keyed relations (pairs, per-vertex aggregates) where
+        # the per-partition sort is pure overhead; sort-merge remains the
+        # fallback whenever the build side estimate is too large to hash.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -421,3 +421,46 @@ def test_winnow_arrow_impl_bit_equals_expression(spark):
         e = {r["i"]: r["fps"] for r in expr.collect()}
         a = {r["i"]: r["fps"] for r in arrow.collect()}
         assert e == a, f"portable={portable}"
+
+
+def test_minhash_expr_matches_udf(spark):
+    """r6 optimization gate: the pure-JVM expression MinHash must be
+    bit-identical to the Arrow-UDF impl, including the empty/null-array
+    all-P fill, for both narrow and wide signatures."""
+    from sycl_jaccard_spark.functions.minhash import minhash_expr
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (0, [int(x) for x in rng.integers(0, 2**61, size=37)]),
+        (1, [int(x) for x in rng.integers(0, 2**61, size=5)]),
+        (2, []),
+        (3, None),
+        (4, [0, MERSENNE, (1 << 61) - 1]),
+    ]
+    df = spark.createDataFrame(rows, "id long, h array<long>")
+    for n_perms in (16, 32):
+        both = df.select(
+            "id",
+            minhash_udf(n_perms, 42)(F.col("h")).alias("sig_udf"),
+            minhash_expr(F.col("h"), n_perms, 42).alias("sig_expr"),
+        ).collect()
+        for r in both:
+            assert r["sig_udf"] == r["sig_expr"], f"id={r['id']} n_perms={n_perms}"
+
+
+def test_minhash_signatures_impl_dispatch(spark):
+    """minhash_impl config knob: expr/udf/auto all yield identical sigs."""
+    from sycl_jaccard_spark.config import PipelineConfig
+    from sycl_jaccard_spark.operators.lsh import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(0, [11, 22, 33]), (1, [44])], "id long, shingle_hashes array<long>"
+    )
+    sigs = {}
+    for impl in ("auto", "udf", "expr"):
+        cfg = PipelineConfig(num_perms=16, bands=4, rows_per_band=4, minhash_impl=impl)
+        out = minhash_signatures(df, cfg).select("id", "sig").collect()
+        sigs[impl] = {r["id"]: r["sig"] for r in out}
+    assert sigs["auto"] == sigs["udf"] == sigs["expr"]
+    with pytest.raises(ValueError):
+        PipelineConfig(minhash_impl="nope")

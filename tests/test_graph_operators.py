@@ -310,3 +310,26 @@ def test_jaccard_pairs_weighted_dual_impl_consistency(spark):
                     assert got[k][col] == pytest.approx(exp[k][col], rel=1e-12), (k, col)
                     assert got_m[k][col] == pytest.approx(exp[k][col], rel=1e-12), (k, col)
                     assert got_v[k][col] == pytest.approx(exp[k][col], rel=1e-12), (k, col)
+
+
+def test_candidate_pairs_uncapped_skips_window_same_pairs(spark):
+    """r6: a declared-uncapped bucket_cap (>= 2^30) must produce the same
+    pair set as a binding-free finite cap, while the plan drops the rank
+    window entirely."""
+    from sycl_jaccard_spark.config import PipelineConfig
+    from sycl_jaccard_spark.operators.lsh import UNCAPPED, candidate_pairs
+
+    rows = [(i, b, (i % 3) + 100 * b) for i in range(12) for b in range(2)]
+    banded = spark.createDataFrame(rows, "id long, band int, band_hash long")
+    cfg_unc = PipelineConfig(bucket_cap=10**9)
+    cfg_fin = PipelineConfig(bucket_cap=64)
+    assert cfg_unc.bucket_cap >= UNCAPPED
+    pairs_unc = sorted(
+        (r["a"], r["b"]) for r in candidate_pairs(banded, cfg_unc, "id").collect()
+    )
+    pairs_fin = sorted(
+        (r["a"], r["b"]) for r in candidate_pairs(banded, cfg_fin, "id").collect()
+    )
+    assert pairs_unc == pairs_fin and len(pairs_unc) > 0
+    plan = candidate_pairs(banded, cfg_unc, "id")._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
