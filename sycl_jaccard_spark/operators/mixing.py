@@ -45,7 +45,12 @@ def sample_hash(id_col: Column | str, seed: int = 0) -> Column:
     VARCHAR)), 1, 15))::BIGINT`` — the md5_long contract.
     """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return md5_long(F.concat_ws("#", F.lit(str(int(seed))), c.cast("string")))
+    # F.concat (not concat_ws): the oracle's `seed || '#' || id` is
+    # NULL-propagating, so a NULL id must hash to NULL (row dropped by the
+    # `<` filter) on the Spark side too — concat_ws would silently skip the
+    # NULL and hash every NULL-id row to the same md5(seed#) value (ADVICE
+    # r5). Identical bytes, and an identical hash, for non-null ids.
+    return md5_long(F.concat(F.lit(f"{int(seed)}#"), c.cast("string")))
 
 
 def deterministic_sample(

@@ -99,10 +99,10 @@ def substring_banded(files_df: DataFrame, cfg: PipelineConfig, band_id: int) -> 
             "id", winnow_min_udf(cfg.winnow_w)(F.col("grams")).alias("fps")
         ).localCheckpoint(eager=True)
         # the gram arrays are ~one int64 PER CHARACTER of every unique file
-        # (~8× corpus bytes) — release their blocks as soon as the (much
-        # smaller, ~2/w density) fingerprint checkpoint is materialized;
-        # fps' lineage is its own checkpointed RDD, so this is safe
-        grams.unpersist()
+        # (~8× corpus bytes); their checkpointed blocks are released by the
+        # ContextCleaner once `grams` goes out of scope (ADVICE r5: a
+        # DataFrame.unpersist() here was a no-op — localCheckpoint persists
+        # at the RDD level, outside the cacheManager that call clears)
         src = fps.select("id", F.explode("fps").alias("band_hash"))
     return src.select("id", F.lit(band_id).alias("band"), "band_hash")
 

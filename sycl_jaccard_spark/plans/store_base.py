@@ -149,15 +149,18 @@ class DeltaStoreBase:
                     out.add(int(name.split("=", 1)[1]))
         return sorted(out)
 
-    def incomplete_batch_ids(self) -> list[int]:
+    def incomplete_batch_ids(self, known: list[int] | None = None) -> list[int]:
         """Epochs whose anchor partition exists but whose final-relation
         lineage (written LAST in both the add and remove paths) is missing —
         the signature of a crash mid-epoch. New epochs are refused until the
         incomplete one is replayed (replaying overwrites its partitions —
-        at-least-once)."""
+        at-least-once). ``known`` lets a caller that already listed the
+        anchor partitions pass its result through (ADVICE r5: _begin_epoch's
+        ``existing`` passthrough otherwise re-listed them here, so the
+        claimed saving was mostly unrealized)."""
         return [
             bid
-            for bid in self.batch_ids()
+            for bid in (self.batch_ids() if known is None else known)
             if not self._exists(
                 f"{self.root}/{self._FINAL_RELATION}/batch={bid}/_lineage.json"
             )
@@ -191,7 +194,7 @@ class DeltaStoreBase:
                 "only the LATEST batch id is replayable (the at-least-once "
                 "window); new deliveries must use a higher id"
             )
-        stale = [x for x in self.incomplete_batch_ids() if x != bid]
+        stale = [x for x in self.incomplete_batch_ids(known=existing) if x != bid]
         if stale:
             raise ValueError(
                 f"delta store {self.root} has incomplete batch(es) {stale}: "

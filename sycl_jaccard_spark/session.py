@@ -59,6 +59,13 @@ def get_spark(
             "spark.sql.join.preferSortMergeJoin",
             os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
         )
+        # zstd for parquet writes (guide §6): measured on the delta-store
+        # ingest at sf0.1 — wall-neutral, ~5% fewer bytes on disk; the ratio
+        # grows with the shingle relations that dominate store bytes at scale
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

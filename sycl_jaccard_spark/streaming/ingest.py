@@ -118,13 +118,16 @@ def delta_store_batch_writer(store):
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # a source that re-emits the same (repo, path, commit) row twice in
         # ONE micro-batch would hit add_batch's duplicate-id refusal and
-        # wedge the stream (every restart replays the same micro-batch) —
-        # identical ids mean identical provenance, so dropping is safe and
-        # keeps the stream self-healing
+        # wedge the stream (every restart replays the same micro-batch).
+        # The pick is min(content) per id — DETERMINISTIC across checkpoint
+        # replays (ADVICE r5: dropDuplicates keeps an arbitrary row, so two
+        # same-id rows with DIVERGENT content would store nondeterministic
+        # bytes), and identical to the old behavior whenever ids are unique.
         files = (
             incremental_exact_dedup(batch_df)
             .select("id", "content")
-            .dropDuplicates(["id"])
+            .groupBy("id")
+            .agg(F.min("content").alias("content"))
         )
         store.add_batch(files, batch_id=batch_id)
 
@@ -231,9 +234,14 @@ def emb_store_batch_writer(store, id_col: str = "vec_id", vec_col: str = "embedd
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         # same self-healing rule as delta_store_batch_writer: a re-emitted
         # vec_id within one micro-batch must not wedge the stream on the
-        # store's duplicate-id refusal
+        # store's duplicate-id refusal. min(vector) per id (arrays order
+        # lexicographically) makes the pick deterministic across checkpoint
+        # replays (ADVICE r5), identical to dropDuplicates when ids are
+        # unique.
         store.add_batch(
-            batch_df.select(id_col, vec_col).dropDuplicates([id_col]),
+            batch_df.select(id_col, vec_col)
+            .groupBy(id_col)
+            .agg(F.min(vec_col).alias(vec_col)),
             id_col=id_col,
             vec_col=vec_col,
             batch_id=batch_id,
