@@ -149,7 +149,7 @@ def candidate_pairs(
             # mean "never truncate"): the rank window would keep every row
             # anyway, so skip its per-bucket sort outright — the self-join
             # below then runs straight off one exchange (guide §2.4). Any
-            # bucket actually reaching 2^30 members would have made the
+            # bucket actually reaching 10^9 members would have made the
             # quadratic self-join unrunnable long before the cap mattered.
             capped = banded
         else:

@@ -313,9 +313,9 @@ def test_jaccard_pairs_weighted_dual_impl_consistency(spark):
 
 
 def test_candidate_pairs_uncapped_skips_window_same_pairs(spark):
-    """r6: a declared-uncapped bucket_cap (>= 2^30) must produce the same
-    pair set as a binding-free finite cap, while the plan drops the rank
-    window entirely."""
+    """r6: a declared-uncapped bucket_cap (>= UNCAPPED, 10^9) must produce
+    the same pair set as a binding-free finite cap, while the plan drops the
+    rank window entirely."""
     from sycl_jaccard_spark.config import PipelineConfig
     from sycl_jaccard_spark.operators.lsh import UNCAPPED, candidate_pairs
 
