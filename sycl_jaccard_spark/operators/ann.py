@@ -27,25 +27,6 @@ def _quantized(col, scale: int = 10_000):
     return F.transform(col, lambda e: F.round(e.cast("double") * scale).cast("long"))
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Scale-adaptive spread (guide §2.5 input skew): a small embeddings
-    parquet is ONE scan split, so a pure-JVM per-row stage downstream (the
-    crossJoin probe) runs on one core unless the scan is repartitioned.
-    Round-robin to the session's parallelism when the input has fewer
-    partitions; at production scale the scan already has >= cores splits and
-    this is a no-op decision. Row-wise deterministic consumers only.
-
-    Deliberately NOT applied to the pandas-UDF stages (IVF assign, Lloyd
-    iterations, hyperplane signatures): measured at 2k vectors, one Lloyd
-    iteration runs 0.3s on 1 partition vs 0.7-0.9s on 32 — per-task Python
-    worker round-trips dominate below ~128 MB inputs, and above 128 MB the
-    file scan splits naturally (OPTIMIZATION_r06.md ledger)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
-
-
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
@@ -68,9 +49,12 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _quantized(F.col(vec_col)).alias("qv")
     )
-    # spread the corpus side: the crossJoin broadcasts the (bounded) query
-    # side, so the probe's parallelism is exactly the corpus partition count
-    c = _spread(corpus).select(
+    # NOTE (r6 ledger): repartitioning a single-split corpus side before the
+    # crossJoin was measured and REJECTED — with the driver's count
+    # estimator the warm probe is slightly FASTER unspread (1.32-1.43s vs
+    # 1.52-1.63s at sf0.1): the dot-product pass over a <=128MB split is
+    # cheaper than the extra exchange, and larger inputs split naturally.
+    c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _quantized(F.col(vec_col)).alias("cv")
     )
     scored = (
