@@ -53,7 +53,7 @@ from sycl_jaccard_spark.operators.decontaminate import (
     contamination_overlap,
     decontamination_manifest,
 )
-from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs, jaccard_pairs_weighted
+from sycl_jaccard_spark.operators.pair_jaccard import jaccard_pairs
 from sycl_jaccard_spark.plans.pipeline import DedupPipeline
 from sycl_jaccard_spark.sources.tables import documents_as_files, load_table
 
