@@ -47,8 +47,17 @@ def dedup_exact(df: DataFrame, id_col: str = "id", content_col: str = "content")
         .filter(F.col(id_col) == F.col("rep_id"))
         .drop("rep_id")
     )
+    # exact_pairs needs only (id, sha256) — derive it from a LAZILY
+    # checkpointed metadata projection instead of the full hashed scan
+    # (guide §8: decide on small rows): each evaluation of the r5 shape
+    # re-scanned and re-hashed every content byte TWICE (probe + reps
+    # subtrees), and the pipeline evaluates exact_pairs once per consumer
+    # (pair_graph, verified_pairs). Lazy checkpoint: callers that never
+    # evaluate exact_pairs (the delta ingest discards it) pay nothing.
+    meta = hashed.select(id_col, "sha256").localCheckpoint(eager=False)
+    reps_m = meta.groupBy("sha256").agg(F.min(id_col).alias("rep_id"))
     exact_pairs = (
-        hashed.join(reps, "sha256")
+        meta.join(reps_m, "sha256")
         .filter(F.col(id_col) != F.col("rep_id"))
         .select(
             F.col("rep_id").alias("a"),
